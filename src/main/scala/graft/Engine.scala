@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the driver's harness (local[32], 128 GiB single JVM) but the
+  * settings are the ones we would ship on a real cluster:
+  *   - AQE on (runtime join re-planning + skew-join splitting),
+  *   - shuffle partitions sized to cores (the driver overrides per-run),
+  *   - UTC session time zone (oracle parity with DuckDB).
+  */
+object Engine {
+
+  def session(
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
+      appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    spark
+  }
+
+  /** Idempotent per-session setup for sessions we did not build (e.g. the
+    * driver's own Verify/Bench session): registers SQL functions.
+    */
+  def prepare(spark: SparkSession): SparkSession = {
+    GraftFunctions.register(spark)
+    spark
+  }
+}
+
+/** Catalyst extension point: injected when the session is built through
+  * [[Engine.session]]. Keeps a seam for optimizer rules / strategies; the
+  * engine currently needs none for parity (SURVEY.md §4) — deterministic id
+  * functions (uuid5) eliminated the joins a custom rule would optimize.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    graft.plans.Uuid5JoinRewrite.inject(ext)
+  }
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact, MinHash-LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design: every variant is a pure column pipeline plus at most one
+  * shuffle on a *bucket* key (LSH band or simhash prefix). Nothing is
+  * quadratic in the corpus; candidate generation collides near-duplicates
+  * into small buckets and only those buckets are compared. MinHash values
+  * are derived from md5 (seeded) so signatures are engine-portable and
+  * oracle-checkable; the xxhash64 variants are the cheaper scale path.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per key. One hash-shuffle on the key;
+    * map-side partial aggregation makes this cheap even at 100 TB.
+    */
+  def exact(df: DataFrame, key: Column, idCol: String): DataFrame =
+    df.groupBy(key.as("dedup_key")).agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word n-gram shingles (distinct, order-normalized). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
+  }
+
+  /** Character n-gram shingles (distinct). */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+        i => text.substr(i, lit(n))))
+
+  /** MinHash signature: element k = min over shingles of md5(k || shingle).
+    * Lexicographic min over fixed-width hex == numeric min of the hash, so
+    * each seed is an independent permutation. Portable across engines.
+    */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { k =>
+      array_min(transform(shingles, s => md5(concat(lit(s"$k:"), s))))
+    }: _*)
+
+  /** LSH band keys: hash `rowsPerBand`-sized slices of the signature. Two
+    * documents sharing any band key are near-dup candidates.
+    */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", slice(signature, b * rowsPerBand + 1, rowsPerBand)))
+    }: _*)
+
+  /** MinHash-LSH near-duplicate candidate pairs.
+    *
+    * Pipeline: shingle → minhash(bands*rows) → explode band keys →
+    * self-join on (band index, band key) → distinct (id1 < id2) pairs.
+    * The only shuffle is the band-bucket join; bucket sizes are the LSH
+    * collision sets, so the join is sparse. At cluster scale the explode
+    * output is salted by band index already (bands spread the key space).
+    */
+  def minHashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val sig = minHashSignature(wordShingles(col(textCol), shingleLen), bands * rowsPerBand)
+    val banded = docs
+      .select(col(idCol).as("doc"), posexplode(lshBands(sig, bands, rowsPerBand)))
+      .toDF("doc", "band", "bucket")
+    val a = banded.toDF("id1", "band", "bucket")
+    val b = banded.toDF("id2", "band", "bucket")
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+  }
+
+  /** Jaccard similarity of two pre-deduped shingle arrays: one exact integer
+    * intersection/union and a single double division (engine-portable).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0d, 0d).otherwise(inter / uni)
+  }
+
+  /** SimHash as a bit string: bit j is the sign of the majority vote over
+    * tokens of bit j of md5(token) (the j-th hex nibble's high bit). `bits`
+    * ≤ 32. Near-duplicates differ in few bits → bucket by prefix to find
+    * candidates without a quadratic pass.
+    */
+  def simHashBits(text: Column, bits: Int = 32): Column = {
+    val tokens = split(trim(text), "\\s+")
+    val votes = (1 to bits).map { j =>
+      // +1 when the nibble's high bit is set (hex 8..f), -1 otherwise
+      aggregate(
+        tokens,
+        lit(0),
+        (acc, t) =>
+          acc + when(substring(md5(t), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+            .otherwise(-1))
+    }
+    concat(votes.map(v => when(v >= 0, lit("1")).otherwise(lit("0"))): _*)
+  }
+
+  /** 64-bit SimHash over xxhash64 — the cheap non-oracle scale path. */
+  def simHash64(text: Column): Column = {
+    val tokens = split(trim(text), "\\s+")
+    val votes = (0 until 64).map { j =>
+      aggregate(
+        tokens,
+        lit(0L),
+        (acc, t) =>
+          acc + when(shiftright(xxhash64(t), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+    }
+    votes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (v, j)) =>
+      acc.bitwiseOR(when(v >= 0L, shiftleft(lit(1L), j)).otherwise(0L))
+    }
+  }
+
+  /** Hamming distance between two equal-length bit strings. */
+  def hammingBits(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(split(a, ""), split(b, ""), (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0),
+      (acc, x) => acc + x)
+
+  /** Embedding near-duplicate pairs: LSH sign-bucket candidates, kept when
+    * cosine exceeds `threshold`. One shuffle on the bucket key.
+    */
+  def embeddingNearDupPairs(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      signBits: Int = 8,
+      threshold: Double = 0.95): DataFrame = {
+    import graft.functions.Vectors
+    val bucketed = embeddings.select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      Vectors.signBucket(col(vecCol), signBits).as("bucket"))
+    val a = bucketed.toDF("id1", "vec1", "bucket")
+    val b = bucketed.toDF("id2", "vec2", "bucket")
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", Vectors.cosine(col("vec1"), col("vec2")))
+      .filter(col("cos") > threshold)
+      .select("id1", "id2")
+  }
+}

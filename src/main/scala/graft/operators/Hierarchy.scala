@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** J7 — iterative hierarchy resolution (the reference's two-phase docs
+  * migration, `etl/orchestrator.py:743-1000`): folders are resolved
+  * level-by-level (each level joins against the accumulated path→id map of
+  * all shallower levels), then leaves resolve their containing path with a
+  * miss→root fallback (`orchestrator.py:914-923`).
+  *
+  * The loop runs on the driver but every step is a distributed join; depth
+  * is data-dependent and tiny (path depth, not row count). `localCheckpoint`
+  * bounds lineage growth across iterations (SURVEY.md §7.4 risk 4).
+  */
+object Hierarchy {
+
+  /** Resolve `childCol` (a parent path string) to the parent's id.
+    *
+    * @param nodes     one row per node with `idCol`, `pathCol` (the node's own
+    *                  full path) and `childCol` (the path of its parent)
+    * @param depthCol  precomputed depth of the node's own path
+    * @return nodes with `parent_id` (missing parent → `rootId`)
+    */
+  def resolveParents(
+      nodes: DataFrame,
+      idCol: String,
+      pathCol: String,
+      parentPathCol: String,
+      depthCol: String,
+      rootId: Long = 0L,
+      checkpointEvery: Int = 3): DataFrame = {
+    val maxRow = nodes.agg(max(col(depthCol)).cast("int")).head()
+    val maxDepth = if (maxRow.isNullAt(0)) -1 else maxRow.getInt(0)
+    // accumulated (path -> id) map of all levels resolved so far
+    var pathToId = nodes
+      .filter(col(depthCol) === 0)
+      .select(col(pathCol).as("__path"), col(idCol).as("__pid"))
+      .localCheckpoint()
+    var out = nodes
+      .filter(col(depthCol) === 0)
+      .withColumn("parent_id", lit(rootId))
+
+    var d = 1
+    while (d <= maxDepth) {
+      val level = nodes.filter(col(depthCol) === d)
+      val resolved = level
+        .join(broadcast(pathToId), level(parentPathCol) === col("__path"), "left")
+        .withColumn("parent_id", coalesce(col("__pid"), lit(rootId)))
+        .drop("__path", "__pid")
+      out = out.unionByName(resolved)
+      pathToId = pathToId.unionByName(
+        level.select(col(pathCol).as("__path"), col(idCol).as("__pid")))
+      if (d % checkpointEvery == 0) {
+        pathToId = pathToId.localCheckpoint()
+        out = out.localCheckpoint()
+      }
+      d += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's join/id/denormalization operators (SURVEY.md §2.4–§2.8),
+  * re-expressed as set-oriented Spark plans.
+  *
+  * Design rules for 100 TB:
+  *   - dimension lookups are **broadcast** joins (the reference's in-memory
+  *     id caches are exactly a hand-rolled broadcast hash join — reference
+  *     `etl/utils/id_mapper.py:22-92`);
+  *   - fact↔fact joins stay shuffle joins and lean on AQE for skew;
+  *   - global sequences ([[sequentialIds]]) are quarantined to dim-sized
+  *     inputs — fact tables get deterministic hash ids (uuid5/timeuuid)
+  *     precisely so no global ordering is ever needed at scale.
+  */
+object Relational {
+
+  /** J1-J5 — FK resolution: translate a source key to the dimension's id by
+    * broadcast left join. `dim` must be dimension-sized (it is collected to
+    * every executor).
+    */
+  def resolveFk(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      dimId: String,
+      as: String): DataFrame = {
+    val d = dim.select(col(dimKey).as("__fk_key"), col(dimId).as(as))
+    fact.join(broadcast(d), fact(factKey) === col("__fk_key"), "left").drop("__fk_key")
+  }
+
+  /** J6 — many-to-many explode: unnest an array of references and resolve
+    * both endpoints; composite traceability key `parent_item`
+    * (reference `etl/orchestrator.py:1002-1104`, key at `:1076`).
+    */
+  def explodeManyToMany(
+      parents: DataFrame,
+      parentId: String,
+      arrayCol: String,
+      itemAs: String): DataFrame =
+    parents
+      .select(col(parentId), explode(col(arrayCol)).as(itemAs))
+      .withColumn("link_key", concat_ws("_", col(parentId), col(itemAs)))
+
+  /** W1/A6 — top-1 per group with a total (deterministic) order: the
+    * reference's "last message per room" cache
+    * (`etl/orchestrator.py:1266-1276`). `order` must be a total order —
+    * callers pass tie-breakers.
+    */
+  def topOnePerGroup(df: DataFrame, partitionBy: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** K3/W2 — global sequential ids continued from an offset. Uses a
+    * single-partition window: acceptable for dimension tables only (the
+    * reference does the same for users/roles —
+    * `etl/utils/cassandra_id_mapper.py:257-267`); fact tables must use
+    * uuid5/timeuuid instead.
+    */
+  def sequentialIds(dim: DataFrame, orderKey: String, as: String, offset: Long = 0L): DataFrame =
+    dim.withColumn(as, row_number().over(Window.orderBy(col(orderKey))) + offset)
+
+  /** J8 — bidirectional pair lookup: groups with exactly two members emit
+    * both orderings (the reference's `p2p_room_by_users` build —
+    * `etl/orchestrator.py:1130-1233`).
+    */
+  def bidirectionalPairs(
+      membership: DataFrame,
+      groupCol: String,
+      memberCol: String): DataFrame = {
+    val two = membership
+      .groupBy(col(groupCol))
+      .agg(
+        countDistinct(col(memberCol)).as("__n"),
+        min(col(memberCol)).as("m1"),
+        max(col(memberCol)).as("m2"))
+      .filter(col("__n") === 2)
+      .drop("__n")
+    two.select(col(groupCol), col("m1").as("member_a"), col("m2").as("member_b"))
+      .unionByName(two.select(col(groupCol), col("m2").as("member_a"), col("m1").as("member_b")))
+  }
+
+  /** J12/U3 — referential-integrity anti-join: child rows whose FK has no
+    * parent (`scripts/validate_migration.py:594-641`).
+    */
+  def orphans(child: DataFrame, parent: DataFrame, childFk: String, parentPk: String): DataFrame =
+    child.join(parent, child(childFk) === parent(parentPk), "left_anti")
+
+  /** J10 — overwrite-by-join: refresh a subset of columns in `target` from
+    * `updates` (the reference's post-migration UPDATE pass —
+    * `etl/orchestrator.py:1409-1471`). Columns present in `updates` (beyond
+    * the keys) replace the target's values when a match exists.
+    */
+  def overwriteByJoin(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val updateCols = updates.columns.filterNot(keys.contains)
+    val renamed = updateCols.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
+    val joined = target.join(renamed, keys, "left")
+    updateCols
+      .foldLeft(joined)((d, c) =>
+        d.withColumn(c, coalesce(col(s"__u_$c"), col(c))))
+      .drop(updateCols.map(c => s"__u_$c"): _*)
+  }
+
+  /** U4 — dedup by key keeping the smallest order value: deterministic
+    * (unlike `dropDuplicates`, whose survivor is arbitrary — fine
+    * single-node, not reproducible cluster-wide).
+    */
+  def dedupByKey(df: DataFrame, keys: Seq[String], orderBy: Column): DataFrame =
+    topOnePerGroup(df, keys, Seq(orderBy))
+}

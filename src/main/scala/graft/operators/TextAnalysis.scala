@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text statistics for training-data curation: token counting, quality
+  * scoring, language identification, and document fingerprinting.
+  * All pure column pipelines (codegen'd, no UDFs, no shuffles).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (empty/null-safe). */
+  def tokenCount(text: Column): Column =
+    when(text.isNull || trim(text) === "", 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count estimate: word-boundary pieces plus an extra
+    * piece per 6 chars of long words (approximates subword splitting
+    * without a vocabulary).
+    */
+  def subwordCountEstimate(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    aggregate(
+      words,
+      lit(0),
+      (acc, w) => acc + greatest(ceil(length(w).cast("double") / 6.0).cast("int"), lit(1)))
+  }
+
+  /** Quality signals: each component is a ratio of exact integer counts, so
+    * the doubles are engine-portable (single division, no reductions).
+    */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def meanWordLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Stopword hit ratio against a fixed marker list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val hits = size(org.apache.spark.sql.functions.filter(
+      words, w => w.isin(stopwords.map(x => x: Any): _*)))
+    hits.cast("double") / greatest(size(words), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: weighted blend of signals. Weights
+    * are exact binary fractions so the arithmetic is portable.
+    */
+  def qualityScore(text: Column): Column =
+    alphaRatio(text) * 0.5 + least(meanWordLen(text) / 8.0, lit(1.0)) * 0.25 +
+      (lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))) * 0.25
+
+  /** N-gram-heuristic language ID: score each language by marker-word hits,
+    * pick the max (ties broken by fixed language order), `und` when nothing
+    * matches.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "et"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不")
+  )
+
+  def languageId(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(org.apache.spark.sql.functions.filter(
+        words, w => w.isin(markers.map(x => x: Any): _*)))
+    }
+    // strictly-greater comparison in fixed order = deterministic argmax
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          greatest(score, bestScore))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Stable content fingerprint: md5 of case-folded, whitespace-collapsed
+    * text — the exact-dedup key that survives formatting noise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Karp-Rabin rolling hash over words (polynomial accumulate) — cheap
+    * order-sensitive fingerprint for shift detection; xxhash64-based
+    * (scale path, not oracle-portable).
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      split(trim(text), "\\s+"),
+      lit(0L),
+      (acc, w) => acc * 1000003L + xxhash64(w))
+}
