@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare (dev tool only — the
+engine itself has no Python dependency). Usage:
+
+    python3 dev/oracle_check.py /root/testdata/sf0.01 /tmp/vout
+
+Registers each testdata parquet as a view, runs every oracle_sql.json query,
+and diffs it against the Spark output parquet under <outdir>/<name>/.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            want = con.execute(sql).fetchall()
+            want_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchall()
+            got_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            failures += 1
+            continue
+        if sorted(want_cols) != sorted(got_cols):
+            print(f"FAIL {name}: cols want={want_cols} got={got_cols}")
+            failures += 1
+            continue
+        # driver sorts columns by name before hashing; do the same
+        wi = [want_cols.index(c) for c in sorted(want_cols)]
+        gi = [got_cols.index(c) for c in sorted(got_cols)]
+        w = [tuple(norm(r[i]) for i in wi) for r in want]
+        g = [tuple(norm(r[i]) for i in gi) for r in got]
+        if len(w) != len(g):
+            print(f"FAIL {name}: rows want={len(w)} got={len(g)}")
+            failures += 1
+            continue
+        bad = [(a, b) for a, b in zip(w, g) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(w)} rows differ; first: "
+                  f"want={bad[0][0]} got={bad[0][1]}")
+            failures += 1
+        else:
+            print(f"ok   {name}: {len(w)} rows")
+    print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

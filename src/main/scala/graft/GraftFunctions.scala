@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.udf
 
-import graft.functions.{AesCbc, ReEncrypt, TimeUuid, Uuid5Expr}
+import graft.functions.{AesCbc, ReEncrypt, TimeUuid, Uuid3Expr, Uuid5Expr}
 
 /** Public function surface of the engine.
   *
@@ -17,6 +17,14 @@ object GraftFunctions {
   def uuid5(c: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(Uuid5Expr(GraftColumnBridge.expression(c.cast("string"))))
+  }
+
+  /** uuid3(OID namespace, name) — MD5 variant of [[uuid5]] (oracle-checkable
+    * by engines that lack SHA-1).
+    */
+  def uuid3(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(Uuid3Expr(GraftColumnBridge.expression(c.cast("string"))))
   }
 
   private val timeuuidUdf = udf((micros: Long, seed: String) => TimeUuid.compute(micros, seed))
@@ -40,6 +48,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "uuid5", exprs => Uuid5Expr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "uuid3", exprs => Uuid3Expr(exprs.head), "built-in")
     spark.udf.register("graft_timeuuid", (micros: Long, seed: String) => TimeUuid.compute(micros, seed))
     spark.udf.register("graft_salsa20_decrypt",
       (p: String, k: String) => ReEncrypt.tryDecryptSalsa20(p, k).orNull)

@@ -1,0 +1,283 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB-dialect oracle SQL for each [[SparkEntry.queries]] entry.
+  *
+  * Written to reproduce the Spark result bit-for-bit: identical column
+  * names, identical ORDER BY, exact decimal accumulation for double sums,
+  * regexp flags ('g') matching Spark's replace-all semantics, and epoch-ms
+  * bigints instead of raw timestamps. Queries DuckDB cannot express
+  * (SHA-1-based uuid5/timeuuid) are intentionally absent — the driver
+  * records a rows-only check for those; their md5-based twin (q08) and
+  * ScalaTest RFC vectors carry the correctness load.
+  */
+object OracleSql {
+
+
+  /** Shared cosine-similarity fragment over two list<float> columns. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
+       | (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |  sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+
+  val all: Map[String, String] = ListMap(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filtered_scan" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type NOT IN ('error', 'signup') AND (value IS NULL OR value > 5.0)
+        |ORDER BY event_id""".stripMargin,
+
+    "q03_part_revenue" ->
+      """SELECT p.p_brand AS brand,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items,
+        |  count(DISTINCT s.s_name) AS n_suppliers
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY p.p_brand ORDER BY brand""".stripMargin,
+
+    "q04_geo_rollup" ->
+      """SELECT r.r_name AS region_name, n.n_name AS nation_name,
+        |  count(*) AS n_customers,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY region_name, nation_name ORDER BY region_name, nation_name""".stripMargin,
+
+    "q05_last_item_denorm" ->
+      """WITH last AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem)
+        |SELECT o.o_orderkey, l.l_linenumber AS last_linenumber, epoch_ms(l.l_shipdate) AS last_ship_ms,
+        |  o.o_custkey, c.c_mktsegment
+        |FROM last l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE l.rn = 1 ORDER BY o.o_orderkey""".stripMargin,
+
+    "q06_sequential_ids" ->
+      """SELECT n_nationkey, n_name, row_number() OVER (ORDER BY n_name) + 100 AS seq_id
+        |FROM nation ORDER BY seq_id""".stripMargin,
+
+    "q08_uuid3_ids" ->
+      """SELECT o_orderkey,
+        |  substr(d,1,8) || '-' || substr(d,9,4) || '-3' || substr(d,14,3) || '-' ||
+        |  CASE WHEN substr(d,17,1) IN ('0','4','8','c') THEN '8'
+        |       WHEN substr(d,17,1) IN ('1','5','9','d') THEN '9'
+        |       WHEN substr(d,17,1) IN ('2','6','a','e') THEN 'a'
+        |       ELSE 'b' END || substr(d,18,3) || '-' || substr(d,21,12) AS id_uuid
+        |FROM (SELECT o_orderkey, md5(concat('graft3:namespace', CAST(o_orderkey AS VARCHAR))) AS d FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q10_anti_join_orphans" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q12_explode_m2m" ->
+      """SELECT p_partkey, word, p_partkey || '_' || word AS link_key
+        |FROM (SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word FROM part)
+        |ORDER BY p_partkey, word""".stripMargin,
+
+    "q13_group_pairs" ->
+      """WITH two AS (
+        |  SELECT l_orderkey, min(l_suppkey) AS m1, max(l_suppkey) AS m2
+        |  FROM lineitem GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) = 2)
+        |SELECT l_orderkey, m1 AS member_a, m2 AS member_b FROM two
+        |UNION ALL SELECT l_orderkey, m2, m1 FROM two
+        |ORDER BY l_orderkey, member_a""".stripMargin,
+
+    "q14_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+
+    "q15_except_diff" ->
+      """SELECT n_nationkey AS nationkey FROM nation
+        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < 0
+        |ORDER BY nationkey""".stripMargin,
+
+    "q16_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS dedup_key,
+        |  min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY dedup_key ORDER BY dedup_key""".stripMargin,
+
+    "q17_minhash_lsh_pairs" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(ws)-1, 1)),
+        |  i -> array_to_string(ws[i:i+1], ' '))) AS s FROM w),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 7),
+        |  k -> list_aggregate(list_transform(s, x -> md5(concat(k, ':', x))), 'min')) AS g FROM sh),
+        |bands AS (SELECT doc_id, list_transform(generate_series(0, 3),
+        |  b -> md5(array_to_string(g[b*2+1:b*2+2], '|'))) AS bl FROM sig)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2
+        |FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(generate_series(1, 4), i -> a.bl[i] = b.bl[i])) > 0
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q18_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ws FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CASE WHEN CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) = 0.0 THEN 0.0
+        |       ELSE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE)
+        |  END AS jaccard
+        |FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id1""".stripMargin,
+
+    "q19_simhash" ->
+      """SELECT doc_id, array_to_string(list_transform(generate_series(1, 16),
+        |  j -> CASE WHEN list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> CASE WHEN substr(md5(t), j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0
+        |  THEN '1' ELSE '0' END), '') AS simhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q20_text_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> greatest(CAST(ceil(len(x) / 6.0) AS INTEGER), 1))) AS BIGINT) AS n_subwords,
+        |  CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE) AS alpha_ratio,
+        |  CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |    CAST(greatest(CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS DOUBLE) AS mean_word_len,
+        |  (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE)) * 0.5
+        |  + least((CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |      CAST(greatest(CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS DOUBLE)) / 8.0, 1.0) * 0.25
+        |  + (1.0 - least((CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE)) * 4.0, 1.0)) * 0.25 AS quality,
+        |  CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        |       WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END AS lang_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM (
+        |  SELECT *,
+        |    len(list_filter(lw, x -> x IN ('the','and','of','to','is','a'))) AS s_en,
+        |    len(list_filter(lw, x -> x IN ('el','la','de','que','y','los'))) AS s_es,
+        |    len(list_filter(lw, x -> x IN ('le','la','les','des','est','et'))) AS s_fr,
+        |    len(list_filter(lw, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+        |    len(list_filter(lw, x -> x IN ('的','是','了','在','我','不'))) AS s_zh
+        |  FROM (SELECT *, regexp_split_to_array(lower(trim(text)), '\s+') AS lw FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q21_tumbling_window" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL '10 minutes', ts)) AS window_ms, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY window_ms, event_type ORDER BY window_ms, event_type""".stripMargin,
+
+    "q22_sliding_window" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL '10 minutes', ts) - k * INTERVAL '10 minutes') AS window_ms,
+        |  event_type, count(*) AS n_events
+        |FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) ks
+        |GROUP BY window_ms, event_type ORDER BY window_ms, event_type""".stripMargin,
+
+    "q23_sessionize" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "q24_similarity_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, round(${cosSql("qv", "cv")}, 6) AS cos
+         |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM scored)
+         |SELECT query_id, rnk, neighbor_id FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q25_embedding_neardup" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  array_to_string(list_transform(generate_series(1, 4),
+         |    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id1, bb.vec_id AS id2
+         |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |WHERE ${cosSql("a.embedding", "bb.embedding")} > 0.2
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q26_scalar_library" ->
+      """SELECT c_custkey,
+        |  lower(trim(concat('  ', c_name, '@EXAMPLE.com '))) AS email,
+        |  regexp_replace(concat('(', CAST(c_custkey % 1000 AS VARCHAR), ') 555-00', CAST(c_nationkey AS VARCHAR)), '[^0-9]', '', 'g') AS phone,
+        |  CASE WHEN len(regexp_replace(concat('(', CAST(c_custkey % 1000 AS VARCHAR), ') 555-00', CAST(c_nationkey AS VARCHAR)), '[^0-9]', '', 'g')) > 0
+        |       THEN concat('+', regexp_replace(concat('(', CAST(c_custkey % 1000 AS VARCHAR), ') 555-00', CAST(c_nationkey AS VARCHAR)), '[^0-9]', '', 'g'))
+        |       ELSE '' END AS phone_intl,
+        |  regexp_replace(concat('gs://sibci-devel.appspot.com/avatars/', CAST(c_custkey AS VARCHAR), '.png'),
+        |    '^gs://sibci-(devel|2f7fc)\.appspot\.com/?', 'siscom_old/', 'g') AS avatar_url,
+        |  CASE WHEN len(upper(regexp_replace(concat('v-', CAST(c_custkey AS VARCHAR), '88'), '[^A-Za-z0-9]', '', 'g'))) < 7
+        |       THEN upper(regexp_replace(concat('v-', CAST(c_custkey AS VARCHAR), '88'), '[^A-Za-z0-9]', '', 'g'))
+        |       WHEN substr(upper(regexp_replace(concat('v-', CAST(c_custkey AS VARCHAR), '88'), '[^A-Za-z0-9]', '', 'g')), 1, 1) IN ('V','E','J','G','P')
+        |       THEN concat(substr(upper(regexp_replace(concat('v-', CAST(c_custkey AS VARCHAR), '88'), '[^A-Za-z0-9]', '', 'g')), 1, 1), '-',
+        |            substr(upper(regexp_replace(concat('v-', CAST(c_custkey AS VARCHAR), '88'), '[^A-Za-z0-9]', '', 'g')), 2))
+        |       ELSE concat('V-', upper(regexp_replace(concat('v-', CAST(c_custkey AS VARCHAR), '88'), '[^A-Za-z0-9]', '', 'g'))) END AS dni,
+        |  CASE WHEN (CASE WHEN c_custkey % 3 = 0 THEN 'Masculino' WHEN c_custkey % 3 = 1 THEN 'Femenino' ELSE 'x' END) IN ('Masculino', 'M') THEN 'M'
+        |       WHEN (CASE WHEN c_custkey % 3 = 0 THEN 'Masculino' WHEN c_custkey % 3 = 1 THEN 'Femenino' ELSE 'x' END) IN ('Femenino', 'F') THEN 'F'
+        |       ELSE '' END AS gender,
+        |  CASE WHEN c_custkey % 4 = 0 THEN 'image/png' WHEN c_custkey % 4 = 1 THEN 'video/mp4'
+        |       WHEN c_custkey % 4 = 2 THEN 'audio/mp3' ELSE 'application/pdf' END AS mime,
+        |  CAST(len(string_split(regexp_replace(concat('/', c_mktsegment, '/', c_name), '^/|/$', '', 'g'), '/')) AS BIGINT) AS depth,
+        |  concat('/', c_mktsegment, '/', c_name) AS full_path,
+        |  substr(c_name, 1, 12) AS name_short
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q27_crypto_roundtrip" ->
+      "SELECT doc_id, text AS aes_rt, text AS salsa_rt FROM documents ORDER BY doc_id",
+
+    "q28_reencrypt_migration" ->
+      """SELECT doc_id, text AS decrypted, (doc_id % 2 = 0) AS was_encrypted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q29_hierarchy_resolve" ->
+      """WITH langs AS (SELECT DISTINCT lang FROM documents),
+        |srcs AS (SELECT DISTINCT lang, source FROM documents),
+        |dirs AS (
+        |  SELECT path, row_number() OVER (ORDER BY path) + 1000 AS id, depth, parent_path FROM (
+        |    SELECT concat('/', lang) AS path, 1 AS depth, '/' AS parent_path FROM langs
+        |    UNION ALL SELECT concat('/', lang, '/', source), 2, concat('/', lang) FROM srcs)),
+        |nodes AS (
+        |  SELECT '/' AS path, CAST(0 AS BIGINT) AS id, 0 AS depth, NULL AS parent_path
+        |  UNION ALL SELECT path, id, depth, parent_path FROM dirs
+        |  UNION ALL SELECT concat('/', lang, '/', source, '/', CAST(doc_id AS VARCHAR)),
+        |    doc_id + 10000, 3, concat('/', lang, '/', source) FROM documents)
+        |SELECT n.id, n.path, CASE WHEN n.depth = 0 THEN 0 ELSE coalesce(p.id, 0) END AS parent_id
+        |FROM nodes n LEFT JOIN nodes p ON n.parent_path = p.path
+        |ORDER BY n.id""".stripMargin,
+
+    "q30_overwrite_by_join" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS c_custkey, concat('PRIO::', max(o_orderpriority)) AS seg
+        |  FROM orders GROUP BY o_custkey HAVING count(*) >= 15)
+        |SELECT c.c_custkey, coalesce(u.seg, c.c_mktsegment) AS c_mktsegment, c.c_acctbal
+        |FROM customer c LEFT JOIN u USING (c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q31_table_counts" ->
+      Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings")
+        .map(t => s"SELECT '$t' AS tbl, count(*) AS n FROM $t")
+        .mkString("", " UNION ALL ", " ORDER BY tbl")
+  )
+}

@@ -1,13 +1,403 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Scalars, Vectors}
+import graft.operators.{Dedup, Hierarchy, Relational, Similarity, TextAnalysis, Windows}
+
+/** Driver contract: one `queries` entry per implemented operator family from
+  * SURVEY.md §2, each with equivalent DuckDB SQL in `oracleSql` (omitted only
+  * where the op is not SQL-expressible — uuid5/timeuuid, which DuckDB cannot
+  * recompute without SHA-1; those are covered by the md5-based `uuid3` twin
+  * query plus ScalaTest RFC vectors).
+  *
+  * Determinism rules used throughout (so Spark parquet output hash-matches
+  * the DuckDB oracle bit-for-bit):
+  *   - double sums go through an exact `decimal(18,6)` cast per row, are
+  *     summed exactly, and only then cast back to double (double addition is
+  *     not associative across partition orders; decimal addition is);
+  *   - every query ends in a total ORDER BY;
+  *   - timestamps are emitted as epoch millis (bigint), never raw;
+  *   - cosine scores are rounded to 6 dp before ranking, ids break ties.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as a long (with
+    // spark.sql.legacy.parquet.nanosAsLong=true — set by Verify/Bench/Engine
+    // sessions). Integer-divide to micros (double division would lose
+    // precision above 2^53) and restore a proper UTC timestamp.
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q05LastItemDenorm(spark, "/root/testdata/sf0.001")
+
+  // ---- §2.6 aggregations (A1/A2, TPC-H Q1 shape) -------------------------
+  private def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    T(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ---- §2.1/§2.3 scans + null-tolerant predicates (S1, F1 shape) ---------
+  private def q02FilteredScan(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events")
+      .filter(!col("event_type").isin("error", "signup") &&
+        (col("value").isNull || col("value") > 5.0))
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+
+  // ---- §2.4 J1 broadcast FK resolution + agg -----------------------------
+  private def q03PartRevenue(s: SparkSession, d: String): DataFrame = {
+    val withBrand = Relational.resolveFk(
+      T(s, d, "lineitem"), T(s, d, "part"), "l_partkey", "p_partkey", "p_brand", "brand")
+    Relational.resolveFk(
+        withBrand, T(s, d, "supplier"), "l_suppkey", "s_suppkey", "s_name", "supplier_name")
+      .groupBy("brand")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("supplier_name")).as("n_suppliers"))
+      .orderBy("brand")
+  }
+
+  // ---- §2.4 J2 chained dim joins (geo hierarchy) -------------------------
+  private def q04GeoRollup(s: SparkSession, d: String): DataFrame =
+    T(s, d, "customer")
+      .join(broadcast(T(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,6)")).cast("double").as("sum_acctbal"))
+      .orderBy("region_name", "nation_name")
+
+  // ---- §2.7 W1 top-1 per group + §2.4 J9 denormalization -----------------
+  private def q05LastItemDenorm(s: SparkSession, d: String): DataFrame = {
+    val last = Relational.topOnePerGroup(
+      T(s, d, "lineitem"), Seq("l_orderkey"),
+      Seq(col("l_shipdate").desc, col("l_linenumber").desc))
+    last
+      .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_orderkey"),
+        col("l_linenumber").as("last_linenumber"),
+        unix_millis(col("l_shipdate").cast("timestamp")).as("last_ship_ms"),
+        col("o_custkey"),
+        col("c_mktsegment"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---- §2.5 K3 / §2.7 W2 sequential ids (dim-sized only) -----------------
+  private def q06SequentialIds(s: SparkSession, d: String): DataFrame =
+    Relational.sequentialIds(T(s, d, "nation"), "n_name", "seq_id", 100L)
+      .select("n_nationkey", "n_name", "seq_id")
+      .orderBy("seq_id")
+
+  // ---- §2.5 K1 uuid5 (rows-only: DuckDB lacks SHA-1; see q08 + tests) ----
+  private def q07Uuid5Ids(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .select(col("o_orderkey"), GraftFunctions.uuid5(col("o_orderkey")).as("id_uuid"))
+      .orderBy("o_orderkey")
+
+  // ---- §2.5 K1 uuid3 — md5 twin of uuid5, fully oracle-checked -----------
+  private def q08Uuid3Ids(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .select(col("o_orderkey"), GraftFunctions.uuid3(col("o_orderkey")).as("id_uuid"))
+      .orderBy("o_orderkey")
+
+  // ---- §2.5 K2 deterministic timeuuid (rows-only; ordering in tests) -----
+  private def q09TimeuuidIds(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        GraftFunctions.timeuuid(
+          unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderkey").cast("string"))
+          .as("id_timeuuid"))
+      .orderBy("o_orderkey")
+
+  // ---- §2.4 J12 anti-join integrity ---------------------------------------
+  private def q10AntiJoinOrphans(s: SparkSession, d: String): DataFrame =
+    Relational.orphans(
+        T(s, d, "customer"),
+        T(s, d, "orders").filter(col("o_totalprice") > 300000),
+        "c_custkey", "o_custkey")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  // ---- §2.1 S3 semi-join (scan by id-set) ---------------------------------
+  private def q11SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val bigItems = T(s, d, "lineitem").filter(col("l_quantity") >= 49)
+    T(s, d, "orders")
+      .join(bigItems, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  // ---- §2.4 J6 explode many-to-many --------------------------------------
+  private def q12ExplodeM2m(s: SparkSession, d: String): DataFrame =
+    Relational.explodeManyToMany(
+        T(s, d, "part").withColumn("type_words", split(col("p_type"), " ")),
+        "p_partkey", "type_words", "word")
+      .select("p_partkey", "word", "link_key")
+      .orderBy("p_partkey", "word")
+
+  // ---- §2.4 J8 bidirectional pair emission -------------------------------
+  private def q13GroupPairs(s: SparkSession, d: String): DataFrame =
+    Relational.bidirectionalPairs(
+        T(s, d, "lineitem").select("l_orderkey", "l_suppkey"), "l_orderkey", "l_suppkey")
+      .orderBy("l_orderkey", "member_a")
+
+  // ---- §2.8 U1/U2/A4 union + distinct ------------------------------------
+  private def q14UnionDistinct(s: SparkSession, d: String): DataFrame =
+    T(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .unionByName(T(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  // ---- §2.8 U3 set difference --------------------------------------------
+  private def q15ExceptDiff(s: SparkSession, d: String): DataFrame =
+    T(s, d, "nation").select(col("n_nationkey").as("nationkey"))
+      .except(T(s, d, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  // ---- dedup: exact (hash-groupBy on content fingerprint) ----------------
+  private def q16DedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(T(s, d, "documents"), TextAnalysis.fingerprint(col("text")), "doc_id")
+      .orderBy("dedup_key")
+
+  // ---- dedup: MinHash + LSH band-bucket candidate pairs ------------------
+  private def q17MinhashLshPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashLshPairs(T(s, d, "documents"), "doc_id", "text",
+        shingleLen = 2, bands = 4, rowsPerBand = 2)
+      .orderBy("id1", "id2")
+
+  // ---- dedup: n-gram Jaccard ---------------------------------------------
+  private def q18NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val a = docs.select(col("doc_id").as("id1"),
+      array_distinct(split(trim(col("text")), "\\s+")).as("w1"))
+    val b = docs.select(col("doc_id").as("id2"),
+      array_distinct(split(trim(col("text")), "\\s+")).as("w2"))
+    a.join(b, col("id2") === col("id1") + 1)
+      .select(col("id1"), col("id2"), Dedup.jaccard(col("w1"), col("w2")).as("jaccard"))
+      .orderBy("id1")
+  }
+
+  // ---- dedup: SimHash bit-string -----------------------------------------
+  private def q19Simhash(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents")
+      .select(col("doc_id"), Dedup.simHashBits(col("text"), 16).as("simhash"))
+      .orderBy("doc_id")
+
+  // ---- text analysis: tokens / quality / language-id / fingerprint -------
+  private def q20TextStats(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    T(s, d, "documents")
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+        TextAnalysis.subwordCountEstimate(t).cast("long").as("n_subwords"),
+        TextAnalysis.alphaRatio(t).as("alpha_ratio"),
+        TextAnalysis.punctRatio(t).as("punct_ratio"),
+        TextAnalysis.meanWordLen(t).as("mean_word_len"),
+        TextAnalysis.qualityScore(t).as("quality"),
+        TextAnalysis.languageId(t).as("lang_id"),
+        TextAnalysis.fingerprint(t).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  // ---- event-time tumbling window agg ------------------------------------
+  private def q21TumblingWindow(s: SparkSession, d: String): DataFrame =
+    Windows.tumbling(T(s, d, "events"), "ts", "10 minutes", Seq("event_type"),
+        Seq(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value")))
+      .select(unix_millis(col("window_start")).as("window_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_ms", "event_type")
+
+  // ---- event-time sliding window agg -------------------------------------
+  private def q22SlidingWindow(s: SparkSession, d: String): DataFrame =
+    Windows.sliding(T(s, d, "events"), "ts", "30 minutes", "10 minutes", Seq("event_type"),
+        Seq(count(lit(1)).as("n_events")))
+      .select(unix_millis(col("window_start")).as("window_ms"),
+        col("event_type"), col("n_events"))
+      .orderBy("window_ms", "event_type")
+
+  // ---- gap-based sessionization ------------------------------------------
+  private def q23Sessionize(s: SparkSession, d: String): DataFrame =
+    Windows.sessionize(T(s, d, "events"), "user_id", "ts", "event_id", 1800L)
+      .select("event_id", "user_id", "session_seq")
+      .orderBy("event_id")
+
+  // ---- similarity: exact cosine top-k (brute force baseline) -------------
+  private def q24SimilarityTopk(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings")
+    val q = broadcast(e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(Vectors.cosine(col("qv"), col("cv")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
+  // ---- similarity: LSH sign-bucket near-dup pairs ------------------------
+  private def q25EmbeddingNeardup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), "vec_id", "embedding",
+        signBits = 4, threshold = 0.2)
+      .orderBy("id1", "id2")
+
+  // ---- §2.9 scalar library X1-X14 ----------------------------------------
+  private def q26ScalarLibrary(s: SparkSession, d: String): DataFrame = {
+    val k = col("c_custkey")
+    val phoneRaw = concat(lit("("), (k % 1000).cast("string"), lit(") 555-00"),
+      col("c_nationkey").cast("string"))
+    T(s, d, "customer").select(
+      k,
+      Scalars.normalizeEmail(concat(lit("  "), col("c_name"), lit("@EXAMPLE.com "))).as("email"),
+      Scalars.normalizePhone(phoneRaw).as("phone"),
+      Scalars.normalizePhonePlus(phoneRaw).as("phone_intl"),
+      Scalars.rewriteBucketUrl(concat(lit("gs://sibci-devel.appspot.com/avatars/"),
+        k.cast("string"), lit(".png"))).as("avatar_url"),
+      Scalars.formatDni(concat(lit("v-"), k.cast("string"), lit("88"))).as("dni"),
+      Scalars.normalizeGender(
+        when(k % 3 === 0, "Masculino").when(k % 3 === 1, "Femenino").otherwise("x")).as("gender"),
+      Scalars.mimeType(
+        when(k % 4 === 0, "IMAGEN").when(k % 4 === 1, "VIDEO")
+          .when(k % 4 === 2, "AUDIO").otherwise("DOCUMENTO")).as("mime"),
+      Scalars.pathDepth(concat(lit("/"), col("c_mktsegment"), lit("/"), col("c_name")))
+        .cast("long").as("depth"),
+      Scalars.pathConcat(concat(lit("/"), col("c_mktsegment")), col("c_name")).as("full_path"),
+      Scalars.truncateContent(col("c_name"), 12).as("name_short")
+    ).orderBy("c_custkey")
+  }
+
+  // ---- §2.9 X15/X16 crypto round-trips (oracle: identity) ----------------
+  private def q27CryptoRoundtrip(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents").select(
+        col("doc_id"),
+        GraftFunctions.aesDecrypt(
+          GraftFunctions.aesEncrypt(col("text"), lit("some password")),
+          lit("some password")).as("aes_rt"),
+        GraftFunctions.salsa20Decrypt(
+          GraftFunctions.salsa20Encrypt(col("text"), lit("legacy-key")),
+          lit("legacy-key")).as("salsa_rt"))
+      .orderBy("doc_id")
+
+  // ---- §2.9 X17 re-encryption migration pipeline -------------------------
+  private def q28ReencryptMigration(s: SparkSession, d: String): DataFrame = {
+    val payload = when(col("doc_id") % 2 === 0,
+      GraftFunctions.salsa20Encrypt(col("text"), lit("legacy-key"))).otherwise(col("text"))
+    val dec = GraftFunctions.salsa20Decrypt(payload, lit("legacy-key"))
+    T(s, d, "documents").select(
+        col("doc_id"),
+        coalesce(dec, payload).as("decrypted"),
+        dec.isNotNull.as("was_encrypted"))
+      .orderBy("doc_id")
+  }
+
+  // ---- §2.4 J7 iterative hierarchy resolution ----------------------------
+  private def q29HierarchyResolve(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val root = docs.sparkSession.range(1).select(
+      lit("/").as("path"), lit(0L).as("id"), lit(0).as("depth"),
+      lit(null).cast("string").as("parent_path"))
+    val langDirs = docs.select(col("lang")).distinct().select(
+      concat(lit("/"), col("lang")).as("path"), lit(1).as("depth"), lit("/").as("parent_path"))
+    val srcDirs = docs.select(col("lang"), col("source")).distinct().select(
+      concat(lit("/"), col("lang"), lit("/"), col("source")).as("path"),
+      lit(2).as("depth"), concat(lit("/"), col("lang")).as("parent_path"))
+    val dirs = Relational.sequentialIds(langDirs.unionByName(srcDirs), "path", "id", 1000L)
+      .withColumn("id", col("id").cast("long"))
+    val leaves = docs.select(
+      concat(lit("/"), col("lang"), lit("/"), col("source"), lit("/"),
+        col("doc_id").cast("string")).as("path"),
+      (col("doc_id") + 10000L).as("id"), lit(3).as("depth"),
+      concat(lit("/"), col("lang"), lit("/"), col("source")).as("parent_path"))
+    val nodes = root.unionByName(dirs.select("path", "id", "depth", "parent_path"))
+      .unionByName(leaves)
+    Hierarchy.resolveParents(nodes, "id", "path", "parent_path", "depth", rootId = 0L)
+      .select("id", "path", "parent_id")
+      .orderBy("id")
+  }
+
+  // ---- §2.4 J10 overwrite-by-join ----------------------------------------
+  private def q30OverwriteByJoin(s: SparkSession, d: String): DataFrame = {
+    val target = T(s, d, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    val updates = T(s, d, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n"), max(col("o_orderpriority")).as("mp"))
+      .filter(col("n") >= 15)
+      .select(col("c_custkey"), concat(lit("PRIO::"), col("mp")).as("c_mktsegment"))
+    Relational.overwriteByJoin(target, updates, Seq("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  // ---- §2.1 S4 / §2.6 A1 per-table counts --------------------------------
+  private val AllTables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def q31TableCounts(s: SparkSession, d: String): DataFrame =
+    AllTables.map(n => T(s, d, n).agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n")))
+      .reduce(_ unionByName _)
+      .orderBy("tbl")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filtered_scan" -> (q02FilteredScan _),
+    "q03_part_revenue" -> (q03PartRevenue _),
+    "q04_geo_rollup" -> (q04GeoRollup _),
+    "q05_last_item_denorm" -> (q05LastItemDenorm _),
+    "q06_sequential_ids" -> (q06SequentialIds _),
+    "q07_uuid5_ids" -> (q07Uuid5Ids _),
+    "q08_uuid3_ids" -> (q08Uuid3Ids _),
+    "q09_timeuuid_ids" -> (q09TimeuuidIds _),
+    "q10_anti_join_orphans" -> (q10AntiJoinOrphans _),
+    "q11_semi_join" -> (q11SemiJoin _),
+    "q12_explode_m2m" -> (q12ExplodeM2m _),
+    "q13_group_pairs" -> (q13GroupPairs _),
+    "q14_union_distinct" -> (q14UnionDistinct _),
+    "q15_except_diff" -> (q15ExceptDiff _),
+    "q16_dedup_exact" -> (q16DedupExact _),
+    "q17_minhash_lsh_pairs" -> (q17MinhashLshPairs _),
+    "q18_ngram_jaccard" -> (q18NgramJaccard _),
+    "q19_simhash" -> (q19Simhash _),
+    "q20_text_stats" -> (q20TextStats _),
+    "q21_tumbling_window" -> (q21TumblingWindow _),
+    "q22_sliding_window" -> (q22SlidingWindow _),
+    "q23_sessionize" -> (q23Sessionize _),
+    "q24_similarity_topk" -> (q24SimilarityTopk _),
+    "q25_embedding_neardup" -> (q25EmbeddingNeardup _),
+    "q26_scalar_library" -> (q26ScalarLibrary _),
+    "q27_crypto_roundtrip" -> (q27CryptoRoundtrip _),
+    "q28_reencrypt_migration" -> (q28ReencryptMigration _),
+    "q29_hierarchy_resolve" -> (q29HierarchyResolve _),
+    "q30_overwrite_by_join" -> (q30OverwriteByJoin _),
+    "q31_table_counts" -> (q31TableCounts _)
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

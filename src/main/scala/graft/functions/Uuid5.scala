@@ -26,6 +26,13 @@ object Uuid5 {
   val NamespaceUrl: Array[Byte] = uuidBytes("6ba7b811-9dad-11d1-80b4-00c04fd430c8")
   val NamespaceOid: Array[Byte] = uuidBytes("6ba7b812-9dad-11d1-80b4-00c04fd430c8")
 
+  /** App-defined namespace whose 16 bytes are ASCII (`graft3:namespace`), so
+    * external SQL oracles can rebuild the md5 preimage as plain text —
+    * RFC 4122 §4.3 explicitly allows application-chosen namespace ids.
+    */
+  val NamespaceGraft: Array[Byte] =
+    "graft3:namespace".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
   def uuidBytes(uuid: String): Array[Byte] = {
     val hex = uuid.replace("-", "")
     Array.tabulate(16)(i => Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte)
@@ -77,5 +84,25 @@ case class Uuid5Expr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.Uuid5.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Uuid5Expr =
+    copy(child = newChild)
+}
+
+/** `uuid3(name)` — RFC 4122 v3 (MD5) with the graft ASCII namespace. Same
+  * minting contract as [[Uuid5Expr]]; MD5-based with an ASCII namespace so an
+  * external SQL oracle (which may lack SHA-1 and raw-byte hashing) can
+  * recompute it independently as `md5('graft3:namespace' || name)`.
+  */
+case class Uuid3Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "uuid3"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Uuid5.computeV3(Uuid5.NamespaceGraft, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Uuid5.computeV3(graft.functions.Uuid5.NamespaceGraft(), $c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Uuid3Expr =
     copy(child = newChild)
 }
