@@ -57,7 +57,7 @@ object ReEncrypt {
   def tryDecryptSalsa20(base64Payload: String, legacyKey: String): Option[String] = {
     try {
       val raw = Base64.getDecoder.decode(base64Payload)
-      if (raw.length < 9) return None // 8-byte nonce prefix + >=1 byte body
+      if (raw.length < 8) return None // 8-byte nonce prefix (empty body is legal)
       val nonce = java.util.Arrays.copyOf(raw, 8)
       val body = java.util.Arrays.copyOfRange(raw, 8, raw.length)
       val pt = Salsa20.crypt(legacyKey.getBytes(StandardCharsets.UTF_8), nonce, body)

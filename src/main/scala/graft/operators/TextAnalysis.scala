@@ -90,11 +90,15 @@ object TextAnalysis {
 
   /** Karp-Rabin rolling hash over words (polynomial accumulate) — cheap
     * order-sensitive fingerprint for shift detection; xxhash64-based
-    * (scale path, not oracle-portable).
+    * (scale path, not oracle-portable). The accumulator lives in Z_2^31 and
+    * tokens are masked to 32 bits so no step exceeds ~2^51: Spark 4 runs
+    * ANSI mode by default, where a wrapping `acc * p + x` would throw
+    * ARITHMETIC_OVERFLOW instead of wrapping.
     */
   def rollingHash(text: Column): Column =
     aggregate(
       split(trim(text), "\\s+"),
       lit(0L),
-      (acc, w) => acc * 1000003L + xxhash64(w))
+      (acc, w) =>
+        pmod(acc * 1000003L + xxhash64(w).bitwiseAND(lit(0xffffffffL)), lit(1L << 31)))
 }

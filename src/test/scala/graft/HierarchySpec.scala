@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Hierarchy
+
+/** J7: level-by-level path resolution with the reference's miss→root
+  * fallback (`etl/orchestrator.py:914-923`).
+  */
+class HierarchySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("resolves parents level by level; missing parent falls back to root") {
+    val nodes = Seq(
+      ("/", 1L, 0, null.asInstanceOf[String]),
+      ("/a", 2L, 1, "/"),
+      ("/b", 3L, 1, "/"),
+      ("/a/x", 4L, 2, "/a"),
+      ("/a/x/deep", 5L, 3, "/a/x"),
+      ("/orphan/child", 6L, 2, "/orphan") // parent path never defined
+    ).toDF("path", "id", "depth", "parent_path")
+    val out = Hierarchy.resolveParents(nodes, "id", "path", "parent_path", "depth",
+        rootId = 0L, checkpointEvery = 2)
+      .orderBy("id").collect()
+    val parents = out.map(r => r.getLong(r.fieldIndex("parent_id"))).toSeq
+    assert(parents === Seq(0L, 1L, 1L, 2L, 4L, 0L))
+  }
+
+  test("single-level input degenerates to all-root") {
+    val nodes = Seq(("/x", 7L, 0, null.asInstanceOf[String]))
+      .toDF("path", "id", "depth", "parent_path")
+    val out = Hierarchy.resolveParents(nodes, "id", "path", "parent_path", "depth", rootId = 9L)
+      .collect()
+    assert(out.head.getLong(out.head.fieldIndex("parent_id")) === 9L)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** J1–J12 / K3 / U4 structural operators on hand-built frames with known
+  * answers (miss→null FK, tie-broken top-1, exactly-2 pair emission, …).
+  */
+class RelationalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("resolveFk: broadcast left join, misses stay null") {
+    val fact = Seq(("a", 1), ("b", 2), ("zz", 3)).toDF("k", "v")
+    val dim = Seq(("a", 10L), ("b", 20L)).toDF("mongo_id", "id")
+    val out = Relational.resolveFk(fact, dim, "k", "mongo_id", "id", "fk")
+      .orderBy("v").collect()
+    assert(out.map(r => if (r.isNullAt(2)) -1L else r.getLong(2)).toSeq === Seq(10L, 20L, -1L))
+  }
+
+  test("topOnePerGroup: deterministic under ties via tie-break column") {
+    val df = Seq((1, "x", 5), (1, "y", 5), (1, "z", 3), (2, "q", 9)).toDF("g", "tag", "score")
+    val out = Relational.topOnePerGroup(df, Seq("g"),
+      Seq(col("score").desc, col("tag").asc)).orderBy("g").collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("x", "q"))
+  }
+
+  test("sequentialIds: dense, offset, ordered by key") {
+    val out = Relational.sequentialIds(Seq("c", "a", "b").toDF("k"), "k", "sid", 100L)
+      .orderBy("sid").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("a", 101L), ("b", 102L), ("c", 103L)))
+  }
+
+  test("bidirectionalPairs: only exactly-2 groups, both orderings") {
+    val m = Seq((1, "u1"), (1, "u2"), (2, "u1"), (3, "u1"), (3, "u2"), (3, "u3"),
+      (4, "u5"), (4, "u5")).toDF("room", "user")
+    val out = Relational.bidirectionalPairs(m, "room", "user")
+      .orderBy("room", "member_a").collect()
+    // room 1: two members -> 2 rows; room 2: one member; room 3: three; room 4: dup single
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      === Seq((1, "u1", "u2"), (1, "u2", "u1")))
+  }
+
+  test("orphans: anti-join finds FK violations only") {
+    val child = Seq((1, "p1"), (2, "p2"), (3, "p9")).toDF("id", "fk")
+    val parent = Seq(("p1", 1), ("p2", 2)).toDF("pk", "x")
+    val out = Relational.orphans(child, parent, "fk", "pk").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(3))
+  }
+
+  test("overwriteByJoin: updated columns replace, unmatched keep originals") {
+    val target = Seq((1, "old1", 10.0), (2, "old2", 20.0)).toDF("id", "seg", "bal")
+    val updates = Seq((1, "new1")).toDF("id", "seg")
+    val out = Relational.overwriteByJoin(target, updates, Seq("id")).orderBy("id").collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("new1", "old2"))
+    assert(out.map(_.getDouble(2)).toSeq === Seq(10.0, 20.0))
+  }
+
+  test("explodeManyToMany: composite link key per element") {
+    val df = Seq(("u1", Seq("p1", "p2")), ("u2", Seq.empty[String])).toDF("uid", "refs")
+    val out = Relational.explodeManyToMany(df, "uid", "refs", "ref")
+      .orderBy("link_key").collect()
+    assert(out.map(_.getString(2)).toSeq === Seq("u1_p1", "u1_p2")) // empty array drops out
+  }
+
+  test("dedupByKey keeps the smallest order value deterministically") {
+    val df = Seq(("k", 3, "c"), ("k", 1, "a"), ("k", 2, "b"), ("j", 9, "z")).toDF("k", "o", "tag")
+    val out = Relational.dedupByKey(df, Seq("k"), col("o").asc).orderBy("k").collect()
+    assert(out.map(_.getString(2)).toSeq === Seq("z", "a"))
+  }
+}

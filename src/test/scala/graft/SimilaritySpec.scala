@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.operators.Similarity
+
+/** ANN search: brute-force exactness on constructed vectors with known
+  * cosine order; LSH variant returns a subset restricted to the bucket.
+  */
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // vec 1 is closest to the x-axis query, then 2, then 3; 4 points away.
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Seq(0.7f, 0.7f, 0.0f, 0.0f)),
+    (3L, Seq(0.1f, 0.9f, 0.2f, 0.0f)),
+    (4L, Seq(-1.0f, -0.1f, 0.0f, 0.0f)))
+
+  test("cosine column math matches hand computation") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+      .select(Vectors.dot(col("a"), col("b")).as("d"),
+        Vectors.norm(col("a")).as("n"),
+        Vectors.cosine(col("a"), col("b")).as("c"))
+    val r = df.head()
+    assert(r.getDouble(0) === 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+  }
+
+  test("bruteForceTopK returns exact neighbor order") {
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    val out = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("lshTopK only surfaces same-bucket candidates") {
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    val out = Similarity.lshTopK(queries, corpus, "vec_id", "embedding", 5, signBits = 1)
+      .collect().map(_.getLong(2)).toSet
+    // bucket = sign of first coordinate: vec 4 (negative) must be excluded
+    assert(!out.contains(4L))
+    assert(out.contains(1L))
+  }
+
+  test("signBucket groups by leading coordinate signs") {
+    val df = Seq(Seq(1.0f, -2.0f, 3.0f), Seq(2.0f, -1.0f, 9.0f), Seq(-1.0f, 2.0f, 3.0f))
+      .toDF("v").select(Vectors.signBucket(col("v"), 2).as("b"))
+    val b = df.collect().map(_.getString(0))
+    assert(b(0) === b(1))
+    assert(b(0) !== b(2))
+  }
+}

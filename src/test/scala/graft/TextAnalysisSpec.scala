@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Text curation signals: counts, ratios, language-id, fingerprints. */
+class TextAnalysisSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def one[T](text: String, c: org.apache.spark.sql.Column): T = {
+    Seq(Option(text)).toDF("text").select(c).head().get(0).asInstanceOf[T]
+  }
+
+  test("tokenCount handles null/empty/whitespace") {
+    assert(one[Int]("one two three", TextAnalysis.tokenCount(col("text"))) === 3)
+    assert(one[Int]("", TextAnalysis.tokenCount(col("text"))) === 0)
+    assert(one[Int]("   ", TextAnalysis.tokenCount(col("text"))) === 0)
+    assert(one[Int](null, TextAnalysis.tokenCount(col("text"))) === 0)
+  }
+
+  test("ratios are bounded and sane") {
+    val alpha = one[Double]("abc 123", TextAnalysis.alphaRatio(col("text")))
+    assert(alpha > 0.4 && alpha < 0.5) // 3 letters / 7 chars
+    val punct = one[Double]("a,b.c", TextAnalysis.punctRatio(col("text")))
+    assert(punct === 0.4)
+    val q = one[Double]("A normal english sentence, with words.", TextAnalysis.qualityScore(col("text")))
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("languageId picks marker-dominant language, und when nothing matches") {
+    assert(one[String]("the cat and the dog is a pet",
+      TextAnalysis.languageId(col("text"))) === "en")
+    assert(one[String]("el perro y la casa de los gatos",
+      TextAnalysis.languageId(col("text"))) === "es")
+    assert(one[String]("xyzzy plugh qwerty",
+      TextAnalysis.languageId(col("text"))) === "und")
+  }
+
+  test("fingerprint is whitespace/case insensitive, content sensitive") {
+    val f1 = one[String]("Hello   World", TextAnalysis.fingerprint(col("text")))
+    val f2 = one[String]("  hello world ", TextAnalysis.fingerprint(col("text")))
+    val f3 = one[String]("hello worlds", TextAnalysis.fingerprint(col("text")))
+    assert(f1 === f2)
+    assert(f1 !== f3)
+  }
+
+  test("subword estimate >= word count, rolling hash order-sensitive") {
+    val sub = one[Int]("internationalization is long", TextAnalysis.subwordCountEstimate(col("text")))
+    assert(sub >= 3)
+    val h1 = one[Long]("a b c", TextAnalysis.rollingHash(col("text")))
+    val h2 = one[Long]("c b a", TextAnalysis.rollingHash(col("text")))
+    assert(h1 !== h2)
+  }
+}
