@@ -1,0 +1,18 @@
+package graft
+
+/** Dev harness: print the formatted physical plan of one SparkEntry query
+  * (`runMain graft.PlanDump <query> [sfDir]`) — the `.explain` feedback loop
+  * for checking pushdown / broadcast / exchange-reuse / codegen spans.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = Engine.session(
+      master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]",
+      shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,
+      appName = "graft-plan")
+    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}

@@ -21,13 +21,14 @@ object Dedup {
   def exact(df: DataFrame, key: Column, idCol: String): DataFrame =
     df.groupBy(key.as("dedup_key")).agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Word n-gram shingles (distinct, order-normalized). */
+  /** Word n-gram shingles (distinct, first-occurrence order). Backed by the
+    * native [[graft.functions.WordShinglesExpr]]; equivalent SQL:
+    * `list_distinct(list_transform(generate_series(1, greatest(len(w)-(n-1),1)), i -> array_to_string(w[i:i+n-1], ' ')))`.
+    */
   def wordShingles(text: Column, n: Int): Column = {
-    val words = split(trim(text), "\\s+")
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(words, i, lit(n)))))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.WordShinglesExpr(GraftColumnBridge.expression(text.cast("string")), n))
   }
 
   /** Character n-gram shingles (distinct). */
@@ -39,12 +40,17 @@ object Dedup {
 
   /** MinHash signature: element k = min over shingles of md5(k || shingle).
     * Lexicographic min over fixed-width hex == numeric min of the hash, so
-    * each seed is an independent permutation. Portable across engines.
+    * each seed is an independent permutation. Portable across engines
+    * (equivalent SQL: `array_min(transform(shingles, s -> md5(k||':'||s)))`
+    * per seed). Backed by the native [[graft.functions.MinHashSig]]
+    * expression — the interpreted higher-order-function formulation paid
+    * ~10µs/hash in lambda overhead and dominated the LSH bench.
     */
-  def minHashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { k =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$k:"), s))))
-    }: _*)
+  def minHashSignature(shingles: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.MinHashSig(GraftColumnBridge.expression(shingles), numHashes))
+  }
 
   /** LSH band keys: hash `rowsPerBand`-sized slices of the signature. Two
     * documents sharing any band key are near-dup candidates.
@@ -69,10 +75,20 @@ object Dedup {
       shingleLen: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
-    val sig = minHashSignature(wordShingles(col(textCol), shingleLen), bands * rowsPerBand)
-    val banded = docs
-      .select(col(idCol).as("doc"), posexplode(lshBands(sig, bands, rowsPerBand)))
+    // Stage 1 in its own projection so the signature is evaluated once per
+    // row — lshBands references it `bands` times, and interpreted
+    // expressions get no common-subexpression elimination.
+    val withSig = docs.select(
+      col(idCol).as("doc"),
+      minHashSignature(wordShingles(col(textCol), shingleLen), bands * rowsPerBand).as("__sig"))
+    // cache: the banded table feeds BOTH sides of the self-join; without
+    // materialization the whole shingle→minhash pipeline runs twice. The
+    // cached rows are only (id, band, bucket) — tiny relative to the corpus
+    // (Spark ML's MinHashLSH materializes the same way).
+    val banded = withSig
+      .select(col("doc"), posexplode(lshBands(col("__sig"), bands, rowsPerBand)))
       .toDF("doc", "band", "bucket")
+      .cache()
     val a = banded.toDF("id1", "band", "bucket")
     val b = banded.toDF("id2", "band", "bucket")
     a.join(b, Seq("band", "bucket"))
