@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ReEncrypt
+import graft.model.Destination
+import graft.operators.Relational
+import graft.post.Denormalize
+import graft.run.Pipeline
+import graft.transform.{Projections, Rules}
+import graft.validate.Checks
+
+/** End-to-end migration drive over mongo-shaped fixtures: topo pipeline →
+  * dual-destination outputs → post-migration denormalization → the
+  * validation-check suite. `runMain graft.MigrationDemo [outDir]`.
+  * Exit code 1 if any validation check fails.
+  */
+object MigrationDemo {
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else
+      java.nio.file.Files.createTempDirectory("graft-migration").toString
+    val spark = Engine.session(master = "local[4]", shufflePartitions = 4, appName = "demo")
+    import spark.implicits._
+
+    def docs(json: String*): DataFrame = {
+      var df = spark.read.json(json.toDS)
+      for (c <- Seq("createdAt", "updatedAt", "joinedAt", "deletedAt"))
+        if (df.schema.fieldNames.contains(c)) df = df.withColumn(c, to_timestamp(col(c)))
+      df
+    }
+
+    val enc = ReEncrypt.encryptSalsa20("mensaje secreto", Rules.LegacyKey)
+    val sources: Map[String, DataFrame] = Map(
+      "roles" -> docs(
+        """{"_id":"ro1","name":"USER","type":"app"}""",
+        """{"_id":"ro2","name":"ADMIN","type":"app","default":true}"""),
+      "provinces" -> docs("""{"_id":"p1","name":"Zulia","key":"ZU","isActive":true}"""),
+      "municipalities" -> docs(
+        """{"_id":"mu1","name":"Maracaibo","province":"p1","isActive":true}"""),
+      "users" -> docs(
+        """{"_id":"u1","displayName":"Ana","phoneNumber":"(58)412-5551","email":"Ana@X.com",
+           "province":"p1","userType":"USER_ROLE","isActive":true,
+           "photoURL":"gs://sibci-devel.appspot.com/a.png","createdAt":"2024-01-01T00:00:00Z"}""",
+        """{"_id":"u2","name":"Bea","phone":"555","userType":"ADMIN","isActive":true,
+           "createdAt":"2024-01-01T00:00:00Z"}"""),
+      "rooms" -> docs(
+        """{"_id":"r1","name":"Duo","createdAt":"2024-02-01T00:00:00Z"}""",
+        """{"_id":"r2","name":"Equipo","isGroup":true,"isAdmin":true,
+           "createdAt":"2024-02-01T00:00:00Z"}"""),
+      "messages" -> docs(
+        s"""{"_id":"m1","room":"r1","sender":"u1","message":"$enc","isActive":true,
+            "createdAt":"2024-03-01T10:00:00Z"}""",
+        """{"_id":"m2","room":"r1","sender":"u2","message":"hola","isActive":true,
+           "createdAt":"2024-03-01T11:00:00Z"}""",
+        """{"_id":"m3","room":"r2","sender":"u1","message":"geo","msgType":"GEO_LOCATION",
+           "isActive":true,"createdAt":"2024-03-01T12:00:00Z"}"""),
+      "roommembers" -> docs(
+        """{"_id":"b1","room":"r1","user":"u1","role":"member"}""",
+        """{"_id":"b2","room":"r1","user":"u2","role":"admin"}""",
+        """{"_id":"b3","room":"r2","user":"u1","role":"member"}"""))
+
+    val pipe = new Pipeline(spark, sources(_), Pipeline.parquetSink(out))
+    val results = pipe.run(Map(
+      "roles" -> ((src, _) => Map(
+        Destination.Postgres -> Relational.sequentialIds(
+          Projections.rolesPostgres(src), "mongo_id", "id"),
+        Destination.Cassandra -> Relational.sequentialIds(
+          Projections.rolesCassandra(src), "mongo_id", "id"))),
+      "province" -> ((src, _) => Map(Destination.Postgres ->
+        Relational.sequentialIds(
+          Rules.geoRules(Projections.geoPostgres(src, withProvince = false,
+            withMunicipality = false)), "mongo_id", "id"))),
+      "municipality" -> ((src, dims) => Map(Destination.Postgres ->
+        Relational.sequentialIds(
+          Rules.geoRules(Projections.geoPostgres(src, withProvince = true,
+            withMunicipality = false), provinceDim = Some(dims("province"))),
+          "mongo_id", "id"))),
+      "user" -> ((src, dims) => Map(
+        Destination.Postgres -> Relational.sequentialIds(
+          Rules.userRules(Projections.userPostgres(src), Destination.Postgres,
+            provinceDim = Some(dims("province")), roleDim = Some(dims("roles"))),
+          "mongo_id", "id"),
+        Destination.Cassandra -> Relational.sequentialIds(
+          Rules.userRules(Projections.userCassandra(src), Destination.Cassandra),
+          "mongo_id", "user_id"))),
+      "room" -> ((src, _) => Map(Destination.Cassandra ->
+        Rules.roomRules(Projections.roomCassandra(src)))),
+      "message" -> ((src, dims) => Map(Destination.Cassandra ->
+        Rules.messageRules(
+          Rules.messageExtractFilter(Projections.messageCassandra(src)),
+          Destination.Cassandra,
+          userDim = Some(dims("user").select(col("mongo_id"), col("user_id")))))),
+      "room_member" -> ((src, dims) => Map(Destination.Cassandra ->
+        Rules.roomMemberRules(Projections.roomMemberCassandra(src),
+          userDim = Some(dims("user").select(col("mongo_id"), col("user_id"))))))))
+
+    // post-migration denormalization (J8-J10 + S12 lookups)
+    val rooms = results(("room", Destination.Cassandra))
+    val participants = results(("room_member", Destination.Cassandra))
+    val messages = results(("message", Destination.Cassandra))
+    val cassUsers = results(("user", Destination.Cassandra))
+    val rbu = Denormalize.roomsByUser(participants, rooms, messages, cassUsers)
+    val p2p = Denormalize.p2pLookup(rooms, participants)
+    val lookup = Denormalize.refreshMembershipLookup(
+      Denormalize.membershipLookup(participants), rbu)
+    rbu.write.mode("overwrite").parquet(s"$out/cassandra/rooms_by_user")
+    p2p.write.mode("overwrite").parquet(s"$out/cassandra/p2p_room_by_users")
+    lookup.write.mode("overwrite").parquet(s"$out/cassandra/room_membership_lookup")
+
+    // validation suite (§3.3)
+    val pgUsers = results(("user", Destination.Postgres))
+    val checks = Seq(
+      Checks.countParity("users-pg", sources("users").count(), pgUsers.count(), 0.95),
+      Checks.countParity("messages", sources("messages").count(), messages.count(), 0.60),
+      Checks.uuid5Oracle("room-uuid5", rooms, "mongo_id", "room_id"),
+      Checks.setContainment("msg-rooms⊆rooms", messages, rooms, "room_id"),
+      Checks.fkIntegrity("user-province", pgUsers,
+        results(("province", Destination.Postgres)), "province_id", "id"),
+      Checks.urlRewriteSweep("avatar-urls", pgUsers, Seq("avatar")),
+      Checks.absence("no-geo-msgs", messages, col("type") === "GEO_LOCATION"),
+      Checks.ratioAtLeast("cass-phone-plus",
+        cassUsers.filter(col("phone") =!= ""), col("phone").startsWith("+"), 1.0),
+      Checks.cardinalityEquals("rbu=participants", rbu.count(), participants.count()))
+    val (ok, summary) = Checks.runAll(checks)
+    println(summary)
+    println(s"MIGRATION ${if (ok) "VALID" else "INVALID"}; metrics=${pipe.report}")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.run
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Destination, Entities, EntityConfig}
+
+/** Host-level orchestration parity (SURVEY.md §3.1): entity jobs run in the
+  * topological order of COLLECTION_MAPPINGS (`settings.py:136-137`,
+  * `orchestrator.py:181-188` forces sequential mode for FK integrity); each
+  * job's *internal* plan is a Spark DAG. Dimension results are registered so
+  * later jobs resolve FKs against them (the reference's warm-cache phase,
+  * `orchestrator.py:86-102`). `dryRun` mirrors extract+transform-without-
+  * load (`run_etl.py:67-71`).
+  */
+final class Pipeline(
+    spark: SparkSession,
+    source: String => DataFrame,
+    sink: (String, Destination, DataFrame) => Unit,
+    dryRun: Boolean = false) {
+
+  /** One per-entity stage: given (sourceDF, dims-so-far) produce the final
+    * frame per destination.
+    */
+  type Stage = (DataFrame, Map[String, DataFrame]) => Map[Destination, DataFrame]
+
+  private val results = mutable.LinkedHashMap[(String, Destination), DataFrame]()
+  private val metrics = mutable.LinkedHashMap[String, Long]()
+
+  def dim(name: String, destination: Destination = Destination.Postgres): Option[DataFrame] =
+    results.get((name, destination))
+
+  /** Run entities in topo order with the provided stage implementations.
+    * Entities without a stage are skipped (partial runs, like the
+    * reference's `--entities` flag).
+    */
+  def run(stages: Map[String, Stage]): Map[(String, Destination), DataFrame] = {
+    for (cfg <- Entities.ordered; stage <- stages.get(cfg.name)) {
+      val src = source(cfg.mongo)
+      val out = stage(src, results.map { case ((n, _), df) => n -> df }.toMap)
+      for ((dest, df) <- out) {
+        // cache: later entities broadcast-join against this result, and the
+        // sink re-reads it — one computation, many consumers (K3 contract:
+        // ids are computed once, never re-derived with drifting state)
+        val cached = df.cache()
+        metrics(s"${cfg.name}/${dest.toString.toLowerCase}") = cached.count()
+        results((cfg.name, dest)) = cached
+        if (!dryRun) sink(cfg.name, dest, cached)
+      }
+    }
+    results.toMap
+  }
+
+  /** Per-entity row counts (`etl/utils/metrics.py` parity). */
+  def report: Map[String, Long] = metrics.toMap
+}
+
+object Pipeline {
+  /** Parquet-backed sink for the hermetic build (S6/S9 stand-in). */
+  def parquetSink(baseDir: String): (String, Destination, DataFrame) => Unit =
+    (entity, dest, df) =>
+      df.write.mode("overwrite").parquet(s"$baseDir/${dest.toString.toLowerCase}/$entity")
+}

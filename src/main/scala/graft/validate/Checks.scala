@@ -1,0 +1,103 @@
+package graft.validate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions
+import graft.operators.Relational
+
+/** The reference's 14-check validation suite
+  * (`scripts/validate_migration.py`, SURVEY.md §3.3) as reusable DataFrame
+  * checks. Each returns a [[CheckResult]]; `runAll` is the
+  * `MigrationValidator.run` equivalent.
+  */
+final case class CheckResult(name: String, passed: Boolean, detail: String)
+
+object Checks {
+
+  /** Check 1 — count parity with tolerance (`validate_migration.py:50-131`,
+    * thresholds `:105-110`).
+    */
+  def countParity(name: String, source: Long, target: Long, minRatio: Double): CheckResult = {
+    val ratio = if (source == 0) 1.0 else target.toDouble / source
+    CheckResult(name, ratio >= minRatio, f"$target/$source = ${ratio * 100}%.1f%%")
+  }
+
+  /** Check 3 — distinct-set containment (`:174-232`): every child key set is
+    * contained in the parent's.
+    */
+  def setContainment(name: String, child: DataFrame, parent: DataFrame, key: String)
+      : CheckResult = {
+    val missing = child.select(key).distinct()
+      .except(parent.select(key).distinct()).count()
+    CheckResult(name, missing == 0, s"$missing orphaned distinct keys")
+  }
+
+  /** Check 4 — UUID5 oracle recomputation (`:234-270`): stored room ids must
+    * equal uuid5(mongo_id) recomputed independently.
+    */
+  def uuid5Oracle(name: String, df: DataFrame, mongoIdCol: String, uuidCol: String)
+      : CheckResult = {
+    val mismatches = df
+      .filter(GraftFunctions.uuid5(col(mongoIdCol)) =!= col(uuidCol)).count()
+    CheckResult(name, mismatches == 0, s"$mismatches uuid5 mismatches")
+  }
+
+  /** Check 5 — lookup-table cardinality equalities (`:272-402`). */
+  def cardinalityEquals(name: String, a: Long, b: Long): CheckResult =
+    CheckResult(name, a == b, s"$a vs $b")
+
+  /** Check 7 — URL-rewrite sweep (`:451-539`): no target url may still carry
+    * the legacy bucket prefix.
+    */
+  def urlRewriteSweep(name: String, df: DataFrame, urlCols: Seq[String]): CheckResult = {
+    val bad = urlCols.map(c =>
+      df.filter(col(c).startsWith("gs://sibci")).count()).sum
+    CheckResult(name, bad == 0, s"$bad un-rewritten legacy urls")
+  }
+
+  /** Check 8 — absence of filtered message types (`:541-566`). */
+  def absence(name: String, df: DataFrame, predicate: Column): CheckResult = {
+    val n = df.filter(predicate).count()
+    CheckResult(name, n == 0, s"$n rows matching a filtered-out predicate")
+  }
+
+  /** Check 10 — FK anti-join integrity over all declared pairs (`:594-641`). */
+  def fkIntegrity(
+      name: String,
+      child: DataFrame,
+      parent: DataFrame,
+      childFk: String,
+      parentPk: String): CheckResult = {
+    val orphans = Relational.orphans(
+      child.filter(col(childFk).isNotNull), parent, childFk, parentPk).count()
+    CheckResult(name, orphans == 0, s"$orphans orphaned FK rows")
+  }
+
+  /** Check 11 — docs-hierarchy invariants (`:643-756`): folder references
+    * resolve and specialRole implies isPrivate (`:717-730`).
+    */
+  def implication(name: String, df: DataFrame, antecedent: Column, consequent: Column)
+      : CheckResult = {
+    val violations = df.filter(antecedent && !consequent).count()
+    CheckResult(name, violations == 0, s"$violations implication violations")
+  }
+
+  /** Check 12 — business-rule sample: phone `+` prefix rate in the
+    * wide-column users (`:769-782`).
+    */
+  def ratioAtLeast(name: String, df: DataFrame, predicate: Column, minRatio: Double)
+      : CheckResult = {
+    val total = df.count()
+    val hits = df.filter(predicate).count()
+    val ratio = if (total == 0) 1.0 else hits.toDouble / total
+    CheckResult(name, ratio >= minRatio, f"$hits/$total = ${ratio * 100}%.1f%%")
+  }
+
+  def runAll(checks: Seq[CheckResult]): (Boolean, String) = {
+    val failed = checks.filterNot(_.passed)
+    val summary = checks.map(c =>
+      s"${if (c.passed) "PASS" else "FAIL"} ${c.name}: ${c.detail}").mkString("\n")
+    (failed.isEmpty, summary)
+  }
+}
