@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.10: the reference is batch-only;
+  * this is the engine's incremental extension, not parity). The batch
+  * operators in [[graft.operators.Windows]] share these aggregation shapes —
+  * pure `DataFrame => DataFrame` stages compose into `foreachBatch` below.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window aggregation over an event stream. Late data
+    * beyond `lateness` is dropped; state is bounded by the watermark.
+    */
+  def tumbling(
+      stream: DataFrame,
+      tsCol: String,
+      width: String,
+      lateness: String,
+      keys: Seq[String],
+      aggs: Seq[Column]): DataFrame = {
+    val agged = stream
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    agged.select(col("window.start").as("window_start") +:
+      agged.columns.filter(_ != "window").map(col).toSeq: _*)
+  }
+
+  /** Sliding-window variant. */
+  def sliding(
+      stream: DataFrame,
+      tsCol: String,
+      width: String,
+      slide: String,
+      lateness: String,
+      keys: Seq[String],
+      aggs: Seq[Column]): DataFrame =
+    stream
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width, slide) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+}
+
+/** Typed input for stateful sessionization. */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Accumulating per-key session state. */
+final case class SessionState(
+    start: java.sql.Timestamp, last: java.sql.Timestamp, n: Long, sum: Double)
+
+/** Emitted when a session closes (gap exceeded via event-time timeout). */
+final case class SessionSummary(
+    user_id: Long,
+    session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp,
+    n_events: Long,
+    sum_value: Double)
+
+object SessionizeStream {
+  import org.apache.spark.sql.{Dataset, Encoders}
+
+  /** Gap-based streaming sessionization with `flatMapGroupsWithState` +
+    * event-time timeout — the stateful-operator path the batch
+    * [[graft.operators.Windows.sessionize]] mirrors with window functions.
+    * A session closes when the watermark passes last-event + gap.
+    */
+  def apply(events: Dataset[SessionEvent], gapSeconds: Long, lateness: String)
+      : Dataset[SessionSummary] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionSummary]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, s.start, s.last, s.n, s.sum))
+          } else {
+            val events = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            for (e <- events) {
+              cur match {
+                case Some(s) if e.ts.getTime - s.last.getTime <= gapSeconds * 1000 =>
+                  cur = Some(s.copy(last = e.ts, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionSummary(userId, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
+
+/** Incremental-migration extension (SURVEY.md §2.10): the batch transform
+  * stages are pure `DataFrame => DataFrame`, so a change-stream source can
+  * reuse them unchanged inside `foreachBatch` with idempotent upsert-shaped
+  * sinks (dedup on mongo_id inside each batch; deterministic ids make
+  * re-delivery safe by construction).
+  */
+object IncrementalMigration {
+  import org.apache.spark.sql.streaming.StreamingQuery
+
+  def run(
+      changeStream: DataFrame,
+      transform: DataFrame => DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      checkpoint: String): StreamingQuery =
+    changeStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // at-least-once delivery → dedup within the batch; deterministic ids
+        // (uuid5/timeuuid) make cross-batch replays converge at the sink
+        sink(transform(batch.dropDuplicates("_id")), id)
+      }
+      .start()
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{EventStreams, SessionEvent, SessionizeStream}
+
+/** Structured Streaming extension: watermarked windows and stateful
+  * sessionization driven through MemoryStream micro-batches.
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("watermarked tumbling window emits finalized buckets and drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val windowed = EventStreams.tumbling(
+      input.toDF.toDF("ts", "event_type", "value"),
+      "ts", "10 minutes", "5 minutes", Seq("event_type"),
+      Seq(count(lit(1)).as("n"), sum(col("value")).as("total")))
+    val q = windowed.writeStream.format("memory").queryName("tumbled")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), "a", 1.0), (ts(5), "a", 2.0), (ts(11), "a", 4.0))
+      q.processAllAvailable()
+      // advance watermark past the first window (10:00 + 5m lateness)
+      input.addData((ts(21), "a", 8.0))
+      q.processAllAvailable()
+      // a late event for the already-finalized first window must be dropped
+      input.addData((ts(2), "a", 100.0))
+      q.processAllAvailable()
+      input.addData((ts(40), "a", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbled").orderBy("window_start").collect()
+      val first = rows.head
+      assert(first.getAs[Long]("n") === 2L)
+      assert(first.getAs[Double]("total") === 3.0) // late 100.0 NOT included
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val sessions = SessionizeStream(input.toDS(), gapSeconds = 300L, lateness = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(2), 2.0))
+      q.processAllAvailable()
+      // gap > 300s closes the first session once the watermark passes
+      input.addData(SessionEvent(1L, ts(20), 4.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, ts(40), 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").orderBy("session_start").collect()
+      assert(rows.nonEmpty)
+      val first = rows.head
+      assert(first.getAs[Long]("n_events") === 2L)
+      assert(first.getAs[Double]("sum_value") === 3.0)
+      assert(first.getAs[Timestamp]("session_end") === ts(2))
+    } finally q.stop()
+  }
+}
