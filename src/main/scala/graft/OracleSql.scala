@@ -274,6 +274,12 @@ object OracleSql {
         |FROM customer c LEFT JOIN u USING (c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
+    "q32_json_props" ->
+      """SELECT CAST(props->>'k' AS INTEGER) % 10 AS k_bucket, count(*) AS n,
+        |  CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k
+        |FROM events WHERE CAST(props->>'k' AS INTEGER) IS NOT NULL
+        |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+
     "q31_table_counts" ->
       Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem",
         "events", "documents", "embeddings")

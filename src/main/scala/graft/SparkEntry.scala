@@ -356,6 +356,16 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  // ---- §2.1 S5/X12 — JSON payload parsing + agg --------------------------
+  private def q32JsonProps(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events")
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("k_bucket")
+
   // ---- §2.1 S4 / §2.6 A1 per-table counts --------------------------------
   private val AllTables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
@@ -396,7 +406,8 @@ object SparkEntry {
     "q28_reencrypt_migration" -> (q28ReencryptMigration _),
     "q29_hierarchy_resolve" -> (q29HierarchyResolve _),
     "q30_overwrite_by_join" -> (q30OverwriteByJoin _),
-    "q31_table_counts" -> (q31TableCounts _)
+    "q31_table_counts" -> (q31TableCounts _),
+    "q32_json_props" -> (q32JsonProps _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -56,6 +56,18 @@ object Relational {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Top-N per group (generalized [[topOnePerGroup]]); keeps the rank as
+    * `__rnk` for callers that need it.
+    */
+  def topOnePerGroupN(
+      df: DataFrame,
+      partitionBy: Seq[String],
+      order: Seq[Column],
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rnk", row_number().over(w)).filter(col("__rnk") <= n)
+  }
+
   /** K3/W2 — global sequential ids continued from an offset. Uses a
     * single-partition window: acceptable for dimension tables only (the
     * reference does the same for users/roles —

@@ -44,6 +44,53 @@ object Similarity {
     ranked(joined, k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the learned-centroid scale
+    * path: KMeans centroids partition the corpus into `numCentroids` cells;
+    * each query probes only its `nProbe` nearest cells. Per query the
+    * candidate set shrinks from |corpus| to ~nProbe/numCentroids of it; the
+    * corpus-side cell assignment is one broadcast join + map-side top-1
+    * (computed once, reusable across query batches).
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(numCentroids).setSeed(seed).setMaxIter(5).fit(train)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("centroid_id", "cvec")
+
+    def assign(df: DataFrame, id: String, vec: String, topN: Int): DataFrame =
+      Relational.topOnePerGroupN(
+        df.crossJoin(broadcast(centroids))
+          .withColumn("__cos", Vectors.cosine(col(vec), col("cvec")))
+          .drop("cvec"),
+        Seq(id), Seq(col("__cos").desc, col("centroid_id").asc), topN)
+        .drop("__cos", "__rnk")
+
+    val corpusCells = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv", 1)
+    val queryCells = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv", nProbe)
+
+    val joined = broadcast(queryCells)
+      .join(corpusCells, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+    ranked(joined, k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the query's sign
     * bucket. Recall < 1 by construction; raise `signBits` for precision,
     * lower it for recall.

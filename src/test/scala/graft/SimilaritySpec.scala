@@ -48,6 +48,16 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.contains(1L))
   }
 
+  test("ivfTopK: centroid-probed search finds the true near neighbors") {
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    val out = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+        k = 2, numCentroids = 2, nProbe = 1)
+      .orderBy("rank").collect()
+    // probing the query's own cell must surface the nearest x-axis vectors
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 2L))
+  }
+
   test("signBucket groups by leading coordinate signs") {
     val df = Seq(Seq(1.0f, -2.0f, 3.0f), Seq(2.0f, -1.0f, 9.0f), Seq(-1.0f, 2.0f, 3.0f))
       .toDF("v").select(Vectors.signBucket(col("v"), 2).as("b"))

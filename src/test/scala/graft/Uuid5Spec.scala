@@ -55,6 +55,18 @@ class Uuid5Spec extends SparkSpecBase {
     assert(viaSql.getString(1) === "9453c9a8-572f-3686-9da5-8e742ffef736")
   }
 
+  test("optimizer rule rewrites uuid5(a)=uuid5(b) join conditions to a=b") {
+    import spark.implicits._
+    val a = Seq("x", "y").toDF("ka")
+    val b = Seq("y", "z").toDF("kb")
+    val joined = a.join(b,
+      GraftFunctions.uuid5(col("ka")) === GraftFunctions.uuid5(col("kb")))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("uuid5"),
+      s"rule should eliminate uuid5 from the join condition:\n$optimized")
+    assert(joined.count() === 1)
+  }
+
   test("deterministic and distinct across distinct names") {
     val names = (0 until 1000).map(_.toString)
     val ids = names.map(u5)
