@@ -35,7 +35,7 @@ object Hierarchy {
     // accumulated (path -> id) map of all levels resolved so far
     var pathToId = nodes
       .filter(col(depthCol) === 0)
-      .select(col(pathCol).as("__path"), col(idCol).as("__pid"))
+      .select(col(pathCol).as("__h_path"), col(idCol).as("__h_pid"))
       .localCheckpoint()
     var out = nodes
       .filter(col(depthCol) === 0)
@@ -45,12 +45,12 @@ object Hierarchy {
     while (d <= maxDepth) {
       val level = nodes.filter(col(depthCol) === d)
       val resolved = level
-        .join(broadcast(pathToId), level(parentPathCol) === col("__path"), "left")
-        .withColumn("parent_id", coalesce(col("__pid"), lit(rootId)))
-        .drop("__path", "__pid")
+        .join(broadcast(pathToId), level(parentPathCol) === col("__h_path"), "left")
+        .withColumn("parent_id", coalesce(col("__h_pid"), lit(rootId)))
+        .drop("__h_path", "__h_pid")
       out = out.unionByName(resolved)
       pathToId = pathToId.unionByName(
-        level.select(col(pathCol).as("__path"), col(idCol).as("__pid")))
+        level.select(col(pathCol).as("__h_path"), col(idCol).as("__h_pid")))
       if (d % checkpointEvery == 0) {
         pathToId = pathToId.localCheckpoint()
         out = out.localCheckpoint()
