@@ -8,13 +8,14 @@ import graft.model.Destination
 import graft.operators.Relational
 import graft.post.Denormalize
 import graft.run.Pipeline
-import graft.transform.{Projections, Rules}
+import graft.transform.{DocsHierarchy, Projections, Rules}
 import graft.validate.Checks
 
-/** End-to-end migration drive over mongo-shaped fixtures: topo pipeline →
-  * dual-destination outputs → post-migration denormalization → the
-  * validation-check suite. `runMain graft.MigrationDemo [outDir]`.
-  * Exit code 1 if any validation check fails.
+/** End-to-end migration drive over mongo-shaped fixtures covering ALL 15
+  * entities of the catalog: topo pipeline → dual-destination outputs →
+  * hierarchical docs → many-to-many derivation → post-migration
+  * denormalization → the validation-check suite.
+  * `runMain graft.MigrationDemo [outDir]`; exit code 1 if any check fails.
   */
 object MigrationDemo {
   def main(args: Array[String]): Unit = {
@@ -34,16 +35,36 @@ object MigrationDemo {
     val sources: Map[String, DataFrame] = Map(
       "roles" -> docs(
         """{"_id":"ro1","name":"USER","type":"app"}""",
-        """{"_id":"ro2","name":"ADMIN","type":"app","default":true}"""),
+        """{"_id":"ro2","name":"ADMIN","type":"app","default":true}""",
+        """{"_id":"ro9","name":"SPECIAL","type":"app"}"""),
       "provinces" -> docs("""{"_id":"p1","name":"Zulia","key":"ZU","isActive":true}"""),
       "municipalities" -> docs(
         """{"_id":"mu1","name":"Maracaibo","province":"p1","isActive":true}"""),
+      "parroquias" -> docs(
+        """{"_id":"pa1","name":"Olegario","province":"p1","municipality":"mu1","isActive":true}"""),
+      "professions" -> docs(
+        """{"_id":"pr1","name":"Teacher","name_es":"Docente"}""",
+        """{"_id":"pr2","name_es":"Médico"}"""),
+      "entities" -> docs("""{"_id":"en1","name":"Ministry","organization":"gov"}"""),
       "users" -> docs(
         """{"_id":"u1","displayName":"Ana","phoneNumber":"(58)412-5551","email":"Ana@X.com",
-           "province":"p1","userType":"USER_ROLE","isActive":true,
+           "province":"p1","municipality":"mu1","parroquia":"pa1","userType":"USER_ROLE",
+           "isActive":true,"profession":["pr1","pr2"],"entities":["en1"],
            "photoURL":"gs://sibci-devel.appspot.com/a.png","createdAt":"2024-01-01T00:00:00Z"}""",
         """{"_id":"u2","name":"Bea","phone":"555","userType":"ADMIN","isActive":true,
-           "createdAt":"2024-01-01T00:00:00Z"}"""),
+           "profession":["pr1"],"createdAt":"2024-01-01T00:00:00Z"}"""),
+      "channels" -> docs(
+        """{"_id":"c1","name":"Noticias","isActive":true,"createdBy":"u1",
+           "picture":{"url":"gs://sibci-2f7fc.appspot.com/c1.png"},"lives":["l1","l2"]}"""),
+      "docs" -> docs(
+        """{"_id":"f1","name":"docs","type":"FOLDER","onFolder":"/","isActive":true}""",
+        """{"_id":"f2","name":"legal","type":"FOLDER","onFolder":"/docs","isActive":true}""",
+        """{"_id":"a1","title":"contrato","fileType":"PDF","onFolder":"/docs/legal",
+           "isActive":true,"specialRole":"ro9","uploadedBy":"u1"}""",
+        """{"_id":"a2","title":"huerfano","fileType":"PDF","onFolder":"/nada","isActive":true}"""),
+      "lives" -> docs(
+        """{"_id":"l1","title":"En vivo","channel":"c1","createdBy":"u1","isFinished":false,
+           "photoURL":{"url":"gs://sibci-devel.appspot.com/l1.png"},"liveUrl":"https://yt/1"}"""),
       "rooms" -> docs(
         """{"_id":"r1","name":"Duo","createdAt":"2024-02-01T00:00:00Z"}""",
         """{"_id":"r2","name":"Equipo","isGroup":true,"isAdmin":true,
@@ -59,6 +80,9 @@ object MigrationDemo {
         """{"_id":"b1","room":"r1","user":"u1","role":"member"}""",
         """{"_id":"b2","room":"r1","user":"u2","role":"admin"}""",
         """{"_id":"b3","room":"r2","user":"u1","role":"member"}"""))
+
+    def userDimOf(dims: Map[String, DataFrame]) =
+      dims("user:cassandra").select(col("mongo_id"), col("user_id"))
 
     val pipe = new Pipeline(spark, sources(_), Pipeline.parquetSink(out))
     val results = pipe.run(Map(
@@ -76,24 +100,60 @@ object MigrationDemo {
           Rules.geoRules(Projections.geoPostgres(src, withProvince = true,
             withMunicipality = false), provinceDim = Some(dims("province"))),
           "mongo_id", "id"))),
+      "parroquia" -> ((src, dims) => Map(Destination.Postgres ->
+        Relational.sequentialIds(
+          Rules.geoRules(Projections.geoPostgres(src, withProvince = true,
+            withMunicipality = true), provinceDim = Some(dims("province")),
+            municipalityDim = Some(dims("municipality"))),
+          "mongo_id", "id"))),
+      "profession" -> ((src, _) => Map(Destination.Postgres ->
+        Relational.sequentialIds(Projections.professionPostgres(src), "mongo_id", "id"))),
+      "entity" -> ((src, _) => Map(Destination.Postgres ->
+        Relational.sequentialIds(Projections.entityPostgres(src), "mongo_id", "id"))),
       "user" -> ((src, dims) => Map(
         Destination.Postgres -> Relational.sequentialIds(
           Rules.userRules(Projections.userPostgres(src), Destination.Postgres,
-            provinceDim = Some(dims("province")), roleDim = Some(dims("roles"))),
+            provinceDim = Some(dims("province")),
+            municipalityDim = Some(dims("municipality")),
+            parroquiaDim = Some(dims("parroquia")),
+            roleDim = Some(dims("roles"))),
           "mongo_id", "id"),
         Destination.Cassandra -> Relational.sequentialIds(
           Rules.userRules(Projections.userCassandra(src), Destination.Cassandra),
           "mongo_id", "user_id"))),
+      "channel" -> ((src, dims) => Map(Destination.Postgres ->
+        Relational.sequentialIds(
+          Rules.channelRules(Projections.channelPostgres(src),
+            userDim = Some(dims("user").select(col("mongo_id"), col("id")))),
+          "mongo_id", "id"))),
+      "docs" -> ((src, dims) => Map(Destination.Postgres ->
+        DocsHierarchy.resolve(
+          Rules.docsRules(Projections.docsPostgres(src),
+            userDim = Some(dims("user").select(col("mongo_id"), col("id"))),
+            roleDim = Some(dims("roles").select(col("mongo_id"), col("id"))))).docs)),
+      "live" -> ((src, dims) => Map(Destination.Postgres ->
+        Relational.sequentialIds(
+          Rules.liveRules(Projections.livePostgres(src),
+            channelDim = Some(dims("channel").select(col("mongo_id"), col("id"))),
+            userDim = Some(dims("user").select(col("mongo_id"), col("id")))),
+          "mongo_id", "id"))),
       "room" -> ((src, _) => Map(Destination.Cassandra ->
         Rules.roomRules(Projections.roomCassandra(src)))),
       "message" -> ((src, dims) => Map(Destination.Cassandra ->
         Rules.messageRules(
           Rules.messageExtractFilter(Projections.messageCassandra(src)),
-          Destination.Cassandra,
-          userDim = Some(dims("user").select(col("mongo_id"), col("user_id")))))),
+          Destination.Cassandra, userDim = Some(userDimOf(dims))))),
       "room_member" -> ((src, dims) => Map(Destination.Cassandra ->
         Rules.roomMemberRules(Projections.roomMemberCassandra(src),
-          userDim = Some(dims("user").select(col("mongo_id"), col("user_id"))))))))
+          userDim = Some(userDimOf(dims))))),
+      "profession_user" -> ((src, dims) => Map(Destination.Postgres ->
+        Rules.manyToMany(src, "profession",
+          dims("user").select(col("mongo_id"), col("id")),
+          dims("profession").select(col("mongo_id"), col("id"))))),
+      "entities_user" -> ((src, dims) => Map(Destination.Postgres ->
+        Rules.manyToMany(src, "entities",
+          dims("user").select(col("mongo_id"), col("id")),
+          dims("entity").select(col("mongo_id"), col("id")))))))
 
     // post-migration denormalization (J8-J10 + S12 lookups)
     val rooms = results(("room", Destination.Cassandra))
@@ -108,8 +168,10 @@ object MigrationDemo {
     p2p.write.mode("overwrite").parquet(s"$out/cassandra/p2p_room_by_users")
     lookup.write.mode("overwrite").parquet(s"$out/cassandra/room_membership_lookup")
 
-    // validation suite (§3.3)
+    // validation suite (§3.3), incl. hierarchy + m2m + FK invariants
     val pgUsers = results(("user", Destination.Postgres))
+    val pgDocs = results(("docs", Destination.Postgres))
+    val folders = pgDocs.filter(col("type") === "FOLDER")
     val checks = Seq(
       Checks.countParity("users-pg", sources("users").count(), pgUsers.count(), 0.95),
       Checks.countParity("messages", sources("messages").count(), messages.count(), 0.60),
@@ -117,11 +179,23 @@ object MigrationDemo {
       Checks.setContainment("msg-rooms⊆rooms", messages, rooms, "room_id"),
       Checks.fkIntegrity("user-province", pgUsers,
         results(("province", Destination.Postgres)), "province_id", "id"),
+      Checks.fkIntegrity("live-channel", results(("live", Destination.Postgres)),
+        results(("channel", Destination.Postgres)), "channel_id", "id"),
+      Checks.fkIntegrity("m2m-user", results(("profession_user", Destination.Postgres)),
+        pgUsers, "user_id", "id"),
+      Checks.fkIntegrity("docs-folders", pgDocs.filter(col("onFolder") =!= 0),
+        folders, "onFolder", "id"),
+      Checks.implication("specialRole⇒isPrivate", pgDocs,
+        col("special_role_id").isNotNull, col("isPrivate")),
       Checks.urlRewriteSweep("avatar-urls", pgUsers, Seq("avatar")),
+      Checks.urlRewriteSweep("channel-urls", results(("channel", Destination.Postgres)),
+        Seq("picture", "cover")),
       Checks.absence("no-geo-msgs", messages, col("type") === "GEO_LOCATION"),
       Checks.ratioAtLeast("cass-phone-plus",
         cassUsers.filter(col("phone") =!= ""), col("phone").startsWith("+"), 1.0),
-      Checks.cardinalityEquals("rbu=participants", rbu.count(), participants.count()))
+      Checks.cardinalityEquals("rbu=participants", rbu.count(), participants.count()),
+      Checks.cardinalityEquals("m2m-profession", 3L,
+        results(("profession_user", Destination.Postgres)).count()))
     val (ok, summary) = Checks.runAll(checks)
     println(summary)
     println(s"MIGRATION ${if (ok) "VALID" else "INVALID"}; metrics=${pipe.report}")

@@ -339,7 +339,7 @@ object SparkEntry {
       concat(lit("/"), col("lang"), lit("/"), col("source")).as("parent_path"))
     val nodes = root.unionByName(dirs.select("path", "id", "depth", "parent_path"))
       .unionByName(leaves)
-    Hierarchy.resolveParents(nodes, "id", "path", "parent_path", "depth", rootId = 0L)
+    Hierarchy.resolveParentsDirect(nodes, "id", "path", "parent_path", "depth", rootId = 0L)
       .select("id", "path", "parent_id")
       .orderBy("id")
   }

@@ -15,6 +15,31 @@ import org.apache.spark.sql.functions._
   */
 object Hierarchy {
 
+  /** One-join parent resolution for trees whose ids are already assigned
+    * (the engine's normal case — ids are deterministic, SURVEY.md §2.5).
+    * The reference's level-by-level loop exists only because its sink
+    * assigns serial ids during the walk; with pre-assigned ids,
+    * `parent_id = self-join on (parent_path = path)` with miss→root gives
+    * the identical result for any well-formed tree (parent shallower than
+    * child) in a single broadcast join — no iteration, no checkpoints.
+    * Use [[resolveParents]] only when ids must be minted level-by-level.
+    */
+  def resolveParentsDirect(
+      nodes: DataFrame,
+      idCol: String,
+      pathCol: String,
+      parentPathCol: String,
+      depthCol: String,
+      rootId: Long = 0L): DataFrame = {
+    val parents = nodes.select(col(pathCol).as("__h_path"), col(idCol).as("__h_pid"))
+    nodes
+      .join(broadcast(parents), nodes(parentPathCol) === col("__h_path"), "left")
+      .withColumn("parent_id",
+        when(col(depthCol) === 0, lit(rootId))
+          .otherwise(coalesce(col("__h_pid"), lit(rootId))))
+      .drop("__h_path", "__h_pid")
+  }
+
   /** Resolve `childCol` (a parent path string) to the parent's id.
     *
     * @param nodes     one row per node with `idCol`, `pathCol` (the node's own

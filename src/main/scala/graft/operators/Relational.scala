@@ -98,10 +98,16 @@ object Relational {
   }
 
   /** J12/U3 — referential-integrity anti-join: child rows whose FK has no
-    * parent (`scripts/validate_migration.py:594-641`).
+    * parent (`scripts/validate_migration.py:594-641`). The parent key is
+    * re-aliased so child and parent may share lineage (self-referential FKs
+    * like docs.onFolder → docs.id would otherwise trip the ambiguous-
+    * self-join check).
     */
-  def orphans(child: DataFrame, parent: DataFrame, childFk: String, parentPk: String): DataFrame =
-    child.join(parent, child(childFk) === parent(parentPk), "left_anti")
+  def orphans(child: DataFrame, parent: DataFrame, childFk: String, parentPk: String)
+      : DataFrame = {
+    val parentKeys = parent.select(col(parentPk).as("__orphan_pk")).distinct()
+    child.join(parentKeys, child(childFk) === col("__orphan_pk"), "left_anti")
+  }
 
   /** J10 — overwrite-by-join: refresh a subset of columns in `target` from
     * `updates` (the reference's post-migration UPDATE pass —

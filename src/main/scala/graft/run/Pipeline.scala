@@ -39,7 +39,16 @@ final class Pipeline(
   def run(stages: Map[String, Stage]): Map[(String, Destination), DataFrame] = {
     for (cfg <- Entities.ordered; stage <- stages.get(cfg.name)) {
       val src = source(cfg.mongo)
-      val out = stage(src, results.map { case ((n, _), df) => n -> df }.toMap)
+      // dims exposed as "name" (Postgres result preferred — FK resolution
+      // targets the relational ids, like the reference's pg_id_mapper) and
+      // as "name:postgres"/"name:cassandra" for explicit dialect picks
+      val qualified = results.map { case ((n, dest), df) =>
+        s"$n:${dest.toString.toLowerCase}" -> df
+      }
+      val bare = results.groupBy(_._1._1).map { case (n, m) =>
+        n -> m.getOrElse((n, Destination.Postgres), m.head._2)
+      }
+      val out = stage(src, (bare ++ qualified).toMap)
       for ((dest, df) <- out) {
         // cache: later entities broadcast-join against this result, and the
         // sink re-reads it — one computation, many consumers (K3 contract:

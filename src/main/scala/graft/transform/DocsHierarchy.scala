@@ -51,7 +51,7 @@ object DocsHierarchy {
       lit("/").as("fpath"), lit(0L).as("__folder_id"), lit(0).as("fdepth"),
       lit(null).cast("string").as("fparent"))
 
-    val resolved = Hierarchy.resolveParents(
+    val resolved = Hierarchy.resolveParentsDirect(
       root.unionByName(
         folderNodes.select(col("fpath"), col("__folder_id"), col("fdepth"), col("fparent")),
         allowMissingColumns = false),

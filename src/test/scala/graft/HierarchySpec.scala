@@ -24,6 +24,20 @@ class HierarchySpec extends SparkSpecBase {
     assert(parents === Seq(0L, 1L, 1L, 2L, 4L, 0L))
   }
 
+  test("direct (single-join) resolution matches the iterative loop") {
+    val nodes = Seq(
+      ("/", 1L, 0, null.asInstanceOf[String]),
+      ("/a", 2L, 1, "/"),
+      ("/a/x", 4L, 2, "/a"),
+      ("/orphan/child", 6L, 2, "/orphan")
+    ).toDF("path", "id", "depth", "parent_path")
+    val loop = Hierarchy.resolveParents(nodes, "id", "path", "parent_path", "depth", 0L)
+      .select("id", "parent_id").orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val direct = Hierarchy.resolveParentsDirect(nodes, "id", "path", "parent_path", "depth", 0L)
+      .select("id", "parent_id").orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(direct.toSeq === loop.toSeq)
+  }
+
   test("single-level input degenerates to all-root") {
     val nodes = Seq(("/x", 7L, 0, null.asInstanceOf[String]))
       .toDF("path", "id", "depth", "parent_path")
