@@ -29,6 +29,38 @@ object EventStreams {
       agged.columns.filter(_ != "window").map(col).toSeq: _*)
   }
 
+  /** Dedup-on-ingest for at-least-once sources: drops repeats of `keys`
+    * while bounding state by the watermark — the streaming counterpart of
+    * exact dedup (a change-stream redelivering a mongo_id is the normal
+    * case, not an error).
+    */
+  def dedupWithinWatermark(
+      stream: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      lateness: String): DataFrame =
+    stream.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(keys)
+
+  /** Watermarked stream-stream inner join on `key` with an event-time bound:
+    * right rows must fall within [left.ts, left.ts + windowSeconds]. Both
+    * watermarks bound the join state.
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      lateness: String,
+      windowSeconds: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $windowSeconds seconds"))
+  }
+
   /** Sliding-window variant. */
   def sliding(
       stream: DataFrame,

@@ -42,6 +42,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops redelivered keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val deduped = EventStreams.dedupWithinWatermark(
+      input.toDF.toDF("mongo_id", "ts", "value"), Seq("mongo_id"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      input.addData(("m1", ts(1), 1.0), ("m2", ts(2), 2.0))
+      q.processAllAvailable()
+      input.addData(("m1", ts(3), 1.0)) // redelivery in a later batch
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() === 2)
+    } finally q.stop()
+  }
+
+  test("stream-stream join bounds matches to the event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = EventStreams.streamStreamJoin(
+      clicks.toDF.toDF("user_id", "click_ts"), buys.toDF.toDF("user_id", "buy_ts"),
+      "user_id", "click_ts", "buy_ts", "1 minute", windowSeconds = 600)
+    val q = joined.writeStream.format("memory").queryName("joined")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0)), (2L, ts(0)))
+      buys.addData((1L, ts(5)), (2L, ts(30))) // user 2 buys outside the 10-min window
+      q.processAllAvailable()
+      val out = spark.table("joined").collect()
+      assert(out.map(_.getLong(0)).toSet === Set(1L))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
