@@ -280,6 +280,42 @@ object OracleSql {
         |FROM events WHERE CAST(props->>'k' AS INTEGER) IS NOT NULL
         |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
 
+    "q33_curation_pipeline" ->
+      """WITH fp AS (SELECT doc_id, text, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM documents),
+        |winners AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+        |exact_kept AS (SELECT fp.doc_id, fp.text FROM fp JOIN winners ON fp.f = winners.f AND fp.doc_id = winners.doc_id),
+        |gated AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE)) * 0.5
+        |      + least((CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |          CAST(greatest(CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS DOUBLE)) / 8.0, 1.0) * 0.25
+        |      + (1.0 - least((CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE)) * 4.0, 1.0)) * 0.25 AS q,
+        |      len(list_filter(lw, x -> x IN ('the','and','of','to','is','a'))) AS s_en,
+        |      len(list_filter(lw, x -> x IN ('el','la','de','que','y','los'))) AS s_es,
+        |      len(list_filter(lw, x -> x IN ('le','la','les','des','est','et'))) AS s_fr,
+        |      len(list_filter(lw, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+        |      len(list_filter(lw, x -> x IN ('的','是','了','在','我','不'))) AS s_zh
+        |    FROM (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS lw FROM exact_kept))
+        |  WHERE q >= 0.3 AND greatest(s_en, s_es, s_fr, s_de, s_zh) > 0),
+        |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM gated),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(ws)-1, 1)),
+        |  i -> array_to_string(ws[i:i+1], ' '))) AS s FROM w),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 11),
+        |  k -> list_aggregate(list_transform(s, x -> md5(concat(k, ':', x))), 'min')) AS g FROM sh),
+        |bandsq AS (SELECT doc_id, list_transform(generate_series(0, 3),
+        |  b -> md5(array_to_string(g[b*3+1:b*3+3], '|'))) AS bl FROM sig),
+        |cand AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2 FROM bandsq a JOIN bandsq b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(generate_series(1, 4), i -> a.bl[i] = b.bl[i])) > 0),
+        |confirmed AS (
+        |  SELECT DISTINCT c.id2 AS doc_id FROM cand c
+        |  JOIN sh s1 ON s1.doc_id = c.id1 JOIN sh s2 ON s2.doc_id = c.id2
+        |  WHERE (CASE WHEN CAST(len(list_distinct(list_concat(s1.s, s2.s))) AS DOUBLE) = 0.0 THEN 0.0
+        |         ELSE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(s1.s, s2.s))) AS DOUBLE) END) >= 0.6)
+        |SELECT doc_id FROM gated g WHERE NOT EXISTS (SELECT 1 FROM confirmed c WHERE c.doc_id = g.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q31_table_counts" ->
       Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem",
         "events", "documents", "embeddings")

@@ -366,6 +366,12 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy("k_bucket")
 
+  // ---- composed training-data curation pipeline --------------------------
+  private def q33CurationPipeline(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.pipeline(T(s, d, "documents"), "doc_id", "text")
+      .select("doc_id")
+      .orderBy("doc_id")
+
   // ---- §2.1 S4 / §2.6 A1 per-table counts --------------------------------
   private val AllTables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
@@ -407,7 +413,8 @@ object SparkEntry {
     "q29_hierarchy_resolve" -> (q29HierarchyResolve _),
     "q30_overwrite_by_join" -> (q30OverwriteByJoin _),
     "q31_table_counts" -> (q31TableCounts _),
-    "q32_json_props" -> (q32JsonProps _)
+    "q32_json_props" -> (q32JsonProps _),
+    "q33_curation_pipeline" -> (q33CurationPipeline _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
