@@ -1,0 +1,53 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native SimHash bit-string over whitespace tokens — bit-identical to the
+  * column formulation (per bit j: majority vote over tokens of the high bit
+  * of hex nibble j of md5(token)), but ONE md5 per token instead of one
+  * md5-and-substr per (token × bit): the interpreted-HOF form re-evaluates
+  * the token array `bits` times (same pathology as [[MinHashSig]]).
+  * `bits` ≤ 32 (nibbles of an md5 digest).
+  */
+case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 32, "bits must be in [1, 32]")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String].toString.trim.split("\\s+", -1)
+    val votes = new Array[Int](bits)
+    val md = MessageDigest.getInstance("MD5")
+    var t = 0
+    while (t < tokens.length) {
+      md.reset()
+      val digest = md.digest(tokens(t).getBytes("UTF-8"))
+      var j = 0
+      while (j < bits) {
+        // hex nibble j (0-based): high half of byte j/2 when j even
+        val byte = digest(j / 2) & 0xff
+        val nibble = if (j % 2 == 0) byte >> 4 else byte & 0xf
+        votes(j) += (if ((nibble & 0x8) != 0) 1 else -1)
+        j += 1
+      }
+      t += 1
+    }
+    val sb = new java.lang.StringBuilder(bits)
+    var j = 0
+    while (j < bits) {
+      sb.append(if (votes(j) >= 0) '1' else '0')
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}

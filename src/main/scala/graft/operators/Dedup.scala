@@ -109,20 +109,14 @@ object Dedup {
   /** SimHash as a bit string: bit j is the sign of the majority vote over
     * tokens of bit j of md5(token) (the j-th hex nibble's high bit). `bits`
     * ≤ 32. Near-duplicates differ in few bits → bucket by prefix to find
-    * candidates without a quadratic pass.
+    * candidates without a quadratic pass. Backed by the native
+    * [[graft.functions.SimHashExpr]]; equivalent SQL per bit j:
+    * `sign(Σ_tokens CASE WHEN substr(md5(t), j, 1) IN ('8'..'f') THEN 1 ELSE -1 END)`.
     */
   def simHashBits(text: Column, bits: Int = 32): Column = {
-    val tokens = split(trim(text), "\\s+")
-    val votes = (1 to bits).map { j =>
-      // +1 when the nibble's high bit is set (hex 8..f), -1 otherwise
-      aggregate(
-        tokens,
-        lit(0),
-        (acc, t) =>
-          acc + when(substring(md5(t), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-            .otherwise(-1))
-    }
-    concat(votes.map(v => when(v >= 0, lit("1")).otherwise(lit("0"))): _*)
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.SimHashExpr(GraftColumnBridge.expression(text.cast("string")), bits))
   }
 
   /** 64-bit SimHash over xxhash64 — the cheap non-oracle scale path. */
