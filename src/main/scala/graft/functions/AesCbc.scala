@@ -51,10 +51,31 @@ object ReEncrypt {
 
   final case class Result(decrypted: String, reencrypted: String, wasEncrypted: Boolean)
 
+  /** Cheap base64-shape test: rejects non-alphabet characters and bad
+    * lengths WITHOUT the decoder's exception path — most payloads in a real
+    * corpus are plaintext (spaces, accents), and per-row exception
+    * construction dominated the 2M-message pipeline bench.
+    */
+  private def looksLikeBase64(s: String): Boolean = {
+    val n = s.length
+    if (n == 0 || n % 4 != 0) return false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val ok = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '/' ||
+        (c == '=' && i >= n - 2)
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
   /** Attempt Salsa20 decryption; `None` when the result is not valid UTF-8
     * (the reference's "was it encrypted?" test — `encryption.py:78-86`).
     */
   def tryDecryptSalsa20(base64Payload: String, legacyKey: String): Option[String] = {
+    if (base64Payload == null || !looksLikeBase64(base64Payload)) return None
     try {
       val raw = Base64.getDecoder.decode(base64Payload)
       if (raw.length < 8) return None // 8-byte nonce prefix (empty body is legal)
