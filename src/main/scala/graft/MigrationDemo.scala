@@ -52,7 +52,9 @@ object MigrationDemo {
            "isActive":true,"profession":["pr1","pr2"],"entities":["en1"],
            "photoURL":"gs://sibci-devel.appspot.com/a.png","createdAt":"2024-01-01T00:00:00Z"}""",
         """{"_id":"u2","name":"Bea","phone":"555","userType":"ADMIN","isActive":true,
-           "profession":["pr1"],"createdAt":"2024-01-01T00:00:00Z"}"""),
+           "profession":["pr1"],"createdAt":"2024-01-01T00:00:00Z"}""",
+        """{"_id":"u3","name":"Cerrada","phone":"777","email":"c@x.com","userType":"USER",
+           "isActive":false,"createdAt":"2024-01-01T00:00:00Z"}"""),
       "channels" -> docs(
         """{"_id":"c1","name":"Noticias","isActive":true,"createdBy":"u1",
            "picture":{"url":"gs://sibci-2f7fc.appspot.com/c1.png"},"lives":["l1","l2"]}"""),
@@ -195,8 +197,23 @@ object MigrationDemo {
         cassUsers.filter(col("phone") =!= ""), col("phone").startsWith("+"), 1.0),
       Checks.cardinalityEquals("rbu=participants", rbu.count(), participants.count()),
       Checks.cardinalityEquals("m2m-profession", 3L,
-        results(("profession_user", Destination.Postgres)).count()))
-    val (ok, summary) = Checks.runAll(checks)
+        results(("profession_user", Destination.Postgres)).count()),
+      Checks.schemaPresence("messages-schema", messages,
+        Seq("room_id", "message_id", "content", "content_decrypted", "sender_id",
+          "file_url", "mime_type", "is_deleted", "mongo_id", "created_at")),
+      Checks.flagDerivedCount("organizations-flag",
+        sources("rooms"), coalesce(col("isAdmin"), lit(false)),
+        rooms, col("is_organization")),
+      Checks.sampleSpotCheck("room-type-domain", rooms,
+        col("type").isin("p2p", "group", "broadcast")),
+      Checks.sampleSpotCheck("participant-role-upper", participants,
+        col("role") === upper(col("role"))),
+      Checks.softDeleteConsistency("deleted-user-anonymized", pgUsers,
+        col("name") === "Deleted User",
+        mustBeSet = Seq("deleted_at", "deleted_name"),
+        mustBeBlank = Seq("email", "phone")))
+    val (ok, summary) = Checks.verdict(checks,
+      critical = Set("room-uuid5", "msg-rooms⊆rooms", "docs-folders"))
     println(summary)
     println(s"MIGRATION ${if (ok) "VALID" else "INVALID"}; metrics=${pipe.report}")
     spark.stop()

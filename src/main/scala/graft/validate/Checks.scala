@@ -94,10 +94,78 @@ object Checks {
     CheckResult(name, ratio >= minRatio, f"$hits/$total = ${ratio * 100}%.1f%%")
   }
 
-  def runAll(checks: Seq[CheckResult]): (Boolean, String) = {
-    val failed = checks.filterNot(_.passed)
+  /** Check 2 — schema presence probes (`validate_migration.py:133-172`):
+    * every expected column exists in the target frame.
+    */
+  def schemaPresence(name: String, df: DataFrame, expected: Seq[String]): CheckResult = {
+    val missing = expected.filterNot(df.columns.contains)
+    CheckResult(name, missing.isEmpty,
+      if (missing.isEmpty) s"all ${expected.size} columns present"
+      else s"missing: ${missing.mkString(", ")}")
+  }
+
+  /** Check 6 — flag-derived counts (`validate_migration.py:404-449`): the
+    * number of target rows carrying a derived flag equals the number of
+    * source rows carrying the originating condition.
+    */
+  def flagDerivedCount(
+      name: String,
+      source: DataFrame,
+      sourcePredicate: Column,
+      target: DataFrame,
+      targetPredicate: Column): CheckResult = {
+    val s = source.filter(sourcePredicate).count()
+    val t = target.filter(targetPredicate).count()
+    CheckResult(name, s == t, s"source=$s target=$t")
+  }
+
+  /** Check 9 — soft-delete spot check (`validate_migration.py:568-592`):
+    * anonymized rows must carry their tombstone columns and no PII.
+    */
+  def softDeleteConsistency(
+      name: String,
+      df: DataFrame,
+      deletedPredicate: Column,
+      mustBeSet: Seq[String],
+      mustBeBlank: Seq[String]): CheckResult = {
+    val bad = df.filter(deletedPredicate &&
+      (mustBeSet.map(c => col(c).isNull).reduceOption(_ || _).getOrElse(lit(false)) ||
+        mustBeBlank.map(c => col(c).isNotNull && col(c) =!= "")
+          .reduceOption(_ || _).getOrElse(lit(false)))).count()
+    CheckResult(name, bad == 0, s"$bad inconsistent soft-deleted rows")
+  }
+
+  /** Check 13 — transformation spot check on a bounded sample
+    * (`validate_migration.py:874-986`): every sampled row satisfies the
+    * transformed-shape predicate.
+    */
+  def sampleSpotCheck(
+      name: String,
+      df: DataFrame,
+      predicate: Column,
+      sampleSize: Int = 100): CheckResult = {
+    val sample = df.limit(sampleSize)
+    val total = sample.count()
+    val ok = sample.filter(predicate).count()
+    CheckResult(name, ok == total, s"$ok/$total sampled rows conform")
+  }
+
+  /** Check 14 — weighted verdict (`validate_migration.py:988-1043`): the
+    * suite passes when every critical check passes and the overall pass
+    * rate clears the bar.
+    */
+  def verdict(
+      checks: Seq[CheckResult],
+      critical: Set[String] = Set.empty,
+      minPassRate: Double = 1.0): (Boolean, String) = {
+    val criticalFailed = checks.filter(c => critical.contains(c.name) && !c.passed)
+    val rate = if (checks.isEmpty) 1.0
+      else checks.count(_.passed).toDouble / checks.size
     val summary = checks.map(c =>
       s"${if (c.passed) "PASS" else "FAIL"} ${c.name}: ${c.detail}").mkString("\n")
-    (failed.isEmpty, summary)
+    val ok = criticalFailed.isEmpty && rate >= minPassRate
+    (ok, summary + f"\nverdict: pass_rate=${rate * 100}%.1f%% critical_failures=${criticalFailed.size}")
   }
+
+  def runAll(checks: Seq[CheckResult]): (Boolean, String) = verdict(checks)
 }
