@@ -76,6 +76,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("incremental migration reuses a batch transform inside foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IncrementalMigration
+    val input = MemoryStream[(String, String)]
+    val outDir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // the batch stage: uuid5 minting + projection, unchanged from batch use
+    val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.select(col("_id").as("mongo_id"),
+        GraftFunctions.uuid5(col("_id")).as("room_id"), col("name"))
+    val q = IncrementalMigration.run(
+      input.toDF.toDF("_id", "name"), transform,
+      (batch, _) => batch.write.mode("append").parquet(s"$outDir/rooms"), ckpt)
+    try {
+      input.addData(("r1", "Duo"), ("r1", "Duo-redelivered"), ("r2", "Grupo"))
+      q.processAllAvailable()
+      input.addData(("r3", "Tercero"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$outDir/rooms")
+      assert(out.count() === 3) // within-batch redelivery of r1 deduped
+      val r1 = out.filter(col("mongo_id") === "r1").head()
+      assert(r1.getAs[String]("room_id") ===
+        graft.functions.Uuid5.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString("r1")).toString)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
