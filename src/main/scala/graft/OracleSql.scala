@@ -280,6 +280,14 @@ object OracleSql {
         |FROM events WHERE CAST(props->>'k' AS INTEGER) IS NOT NULL
         |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
 
+    "q34_rolling_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, rolling_qty""".stripMargin,
+
     "q33_curation_pipeline" ->
       """WITH fp AS (SELECT doc_id, text, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM documents),
         |winners AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),

@@ -366,6 +366,23 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy("k_bucket")
 
+  // ---- §2.7 window frames: rolling aggregate per partition ---------------
+  // (l_orderkey, l_linenumber) is NOT unique in this corpus, so the frame
+  // order tie-breaks through quantity+price: rows still tied after that are
+  // identical in the summed column, making the rolling sums order-invariant.
+  private def q34RollingWindow(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .rowsBetween(-2, 0)
+    T(s, d, "lineitem")
+      .withColumn("rolling_qty",
+        sum(col("l_quantity").cast("decimal(18,6)")).over(w).cast("double"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "rolling_qty")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "rolling_qty")
+  }
+
   // ---- composed training-data curation pipeline --------------------------
   private def q33CurationPipeline(s: SparkSession, d: String): DataFrame =
     graft.operators.Curation.pipeline(T(s, d, "documents"), "doc_id", "text")
@@ -414,7 +431,8 @@ object SparkEntry {
     "q30_overwrite_by_join" -> (q30OverwriteByJoin _),
     "q31_table_counts" -> (q31TableCounts _),
     "q32_json_props" -> (q32JsonProps _),
-    "q33_curation_pipeline" -> (q33CurationPipeline _)
+    "q33_curation_pipeline" -> (q33CurationPipeline _),
+    "q34_rolling_window" -> (q34RollingWindow _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
