@@ -288,6 +288,24 @@ object OracleSql {
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, rolling_qty""".stripMargin,
 
+    "q35_hll_distinct" ->
+      """WITH h AS (SELECT md5(CAST(o_custkey AS VARCHAR)) AS x FROM orders),
+        |br AS (SELECT substr(x, 1, 2) AS bucket,
+        |  least(4 * length(regexp_extract(substr(x, 3, 30), '^(0*)', 1)) +
+        |    (CASE WHEN substr(substr(x, 3, 30), length(regexp_extract(substr(x, 3, 30), '^(0*)', 1)) + 1, 1) = '1' THEN 3
+        |          WHEN substr(substr(x, 3, 30), length(regexp_extract(substr(x, 3, 30), '^(0*)', 1)) + 1, 1) IN ('2','3') THEN 2
+        |          WHEN substr(substr(x, 3, 30), length(regexp_extract(substr(x, 3, 30), '^(0*)', 1)) + 1, 1) IN ('4','5','6','7') THEN 1
+        |          ELSE 0 END) + 1, 50) AS rho
+        |  FROM h),
+        |regs AS (SELECT bucket, max(rho) AS register FROM br GROUP BY bucket),
+        |agg AS (SELECT CAST(sum(CAST(pow(2.0, 50 - register) AS BIGINT)) AS BIGINT) AS s_present,
+        |  count(*) AS present FROM regs),
+        |est AS (SELECT (0.7213 / (1.0 + 1.079 / 256)) * CAST(256.0 * 256 AS DOUBLE) * pow(2.0, 50) /
+        |    CAST(s_present + (256 - present) * CAST(pow(2.0, 50) AS BIGINT) AS DOUBLE) AS raw_estimate,
+        |  256 - present AS zero_buckets FROM agg)
+        |SELECT est.raw_estimate, est.zero_buckets, e.exact_distinct
+        |FROM est CROSS JOIN (SELECT count(DISTINCT o_custkey) AS exact_distinct FROM orders) e""".stripMargin,
+
     "q33_curation_pipeline" ->
       """WITH fp AS (SELECT doc_id, text, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM documents),
         |winners AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),

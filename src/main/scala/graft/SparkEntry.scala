@@ -383,6 +383,14 @@ object SparkEntry {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "rolling_qty")
   }
 
+  // ---- engine-portable HLL cardinality sketch ----------------------------
+  private def q35HllDistinct(s: SparkSession, d: String): DataFrame = {
+    val orders = T(s, d, "orders")
+    val est = graft.operators.Sketches.hllDistinctEstimate(orders, col("o_custkey"))
+    val exact = orders.agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    est.crossJoin(exact)
+  }
+
   // ---- composed training-data curation pipeline --------------------------
   private def q33CurationPipeline(s: SparkSession, d: String): DataFrame =
     graft.operators.Curation.pipeline(T(s, d, "documents"), "doc_id", "text")
@@ -432,7 +440,8 @@ object SparkEntry {
     "q31_table_counts" -> (q31TableCounts _),
     "q32_json_props" -> (q32JsonProps _),
     "q33_curation_pipeline" -> (q33CurationPipeline _),
-    "q34_rolling_window" -> (q34RollingWindow _)
+    "q34_rolling_window" -> (q34RollingWindow _),
+    "q35_hll_distinct" -> (q35HllDistinct _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

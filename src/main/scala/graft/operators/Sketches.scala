@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Engine-portable cardinality sketch (HyperLogLog shape, md5-derived).
+  *
+  * Native approx-distinct implementations differ across engines, so their
+  * results can never be oracle-compared. This sketch derives everything
+  * from md5 hex — bucket = first two hex chars (m=256), register = leading-
+  * zero rank of the remaining 120 bits, capped at 50 so the register sum
+  * fits exact integer arithmetic — making the whole computation
+  * reproducible bit-for-bit in any engine with md5 + string ops.
+  *
+  * Scale shape: one hash-shuffle on the 256-value bucket key with map-side
+  * partial max — constant-size state regardless of input cardinality, the
+  * whole point of a sketch. Registers are mergeable across partitions,
+  * days, or tables by element-wise max.
+  */
+object Sketches {
+
+  val NumBuckets = 256
+  private val RhoCap = 50
+
+  /** (bucket, rho) per row: bucket is the first-byte hex pair; rho is the
+    * 1-based position of the first 1-bit of the remaining nibbles.
+    */
+  def hllBucketRho(value: Column): (Column, Column) = {
+    val h = md5(value.cast("string"))
+    val suffix = substring(h, 3, 30)
+    val zeroes = length(regexp_extract(suffix, "^(0*)", 1))
+    val firstNz = substring(suffix, zeroes + 1, lit(1))
+    val lz = when(firstNz === "1", 3)
+      .when(firstNz.isin("2", "3"), 2)
+      .when(firstNz.isin("4", "5", "6", "7"), 1)
+      .otherwise(0) // 8..f or '' (all-zero suffix, capped below)
+    (substring(h, 1, 2).as("bucket"),
+      least(zeroes * 4 + lz + 1, lit(RhoCap)).as("rho"))
+  }
+
+  /** The 256-register table: max rho per present bucket. Mergeable with
+    * another register table via `unionByName` + re-max.
+    */
+  def hllRegisters(df: DataFrame, value: Column): DataFrame = {
+    val (bucket, rho) = hllBucketRho(value)
+    df.select(bucket, rho).groupBy("bucket").agg(max(col("rho")).as("register"))
+  }
+
+  /** Raw HLL estimate as one row (no bias corrections — those involve
+    * transcendental functions whose last-ulp behavior differs across
+    * engines; the raw estimate uses only exact integers and fixed-order
+    * double arithmetic). Also reports the zero-bucket count so callers can
+    * apply linear counting when appropriate.
+    */
+  def hllDistinctEstimate(df: DataFrame, value: Column): DataFrame = {
+    val regs = hllRegisters(df, value)
+    // Σ 2^-register expressed exactly: Σ 2^(cap - register) as a long
+    // (≤ 256·2^50 < 2^63), divided by 2^cap at the end in double.
+    regs.agg(
+        sum(pow(lit(2.0), lit(RhoCap) - col("register")).cast("long")).as("s_present"),
+        count(lit(1)).as("present"))
+      .select(
+        (lit(0.7213 / (1.0 + 1.079 / NumBuckets)) * lit(NumBuckets.toDouble * NumBuckets) *
+          pow(lit(2.0), RhoCap) /
+          (col("s_present") + (lit(NumBuckets.toLong) - col("present")) *
+            pow(lit(2.0), RhoCap).cast("long")).cast("double"))
+          .as("raw_estimate"),
+        (lit(NumBuckets.toLong) - col("present")).as("zero_buckets"))
+  }
+}
