@@ -288,6 +288,18 @@ object OracleSql {
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, rolling_qty""".stripMargin,
 
+    "q36_exact_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, p, o_totalprice AS quantile FROM (
+        |  SELECT o_orderpriority, CAST(0.5 AS DOUBLE) AS p, o_totalprice, rn, n FROM ranked
+        |  UNION ALL SELECT o_orderpriority, CAST(0.9 AS DOUBLE), o_totalprice, rn, n FROM ranked)
+        |WHERE rn = CAST(ceil(p * n) AS BIGINT)
+        |ORDER BY o_orderpriority, p""".stripMargin,
+
     "q35_hll_distinct" ->
       """WITH h AS (SELECT md5(CAST(o_custkey AS VARCHAR)) AS x FROM orders),
         |br AS (SELECT substr(x, 1, 2) AS bucket,

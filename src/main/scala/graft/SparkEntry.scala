@@ -383,6 +383,21 @@ object SparkEntry {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "rolling_qty")
   }
 
+  // ---- exact quantiles by rank (interpolation-free, engine-portable) -----
+  private def q36ExactQuantiles(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ranked = T(s, d, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))))
+    Seq(0.5, 0.9).map { p =>
+      ranked.filter(col("rn") === ceil(lit(p) * col("n")).cast("long"))
+        .select(col("o_orderpriority"), lit(p).as("p"), col("o_totalprice").as("quantile"))
+    }.reduce(_ unionByName _).orderBy("o_orderpriority", "p")
+  }
+
   // ---- engine-portable HLL cardinality sketch ----------------------------
   private def q35HllDistinct(s: SparkSession, d: String): DataFrame = {
     val orders = T(s, d, "orders")
@@ -441,7 +456,8 @@ object SparkEntry {
     "q32_json_props" -> (q32JsonProps _),
     "q33_curation_pipeline" -> (q33CurationPipeline _),
     "q34_rolling_window" -> (q34RollingWindow _),
-    "q35_hll_distinct" -> (q35HllDistinct _)
+    "q35_hll_distinct" -> (q35HllDistinct _),
+    "q36_exact_quantiles" -> (q36ExactQuantiles _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
