@@ -169,6 +169,20 @@ object MigrationDemo {
     rbu.write.mode("overwrite").parquet(s"$out/cassandra/rooms_by_user")
     p2p.write.mode("overwrite").parquet(s"$out/cassandra/p2p_room_by_users")
     lookup.write.mode("overwrite").parquet(s"$out/cassandra/room_membership_lookup")
+    // S12 reverse-lookup tables + F7 organizations branch + docs_roles —
+    // completing the reference's full target-table surface
+    Denormalize.roomsByMongo(rooms).write.mode("overwrite")
+      .parquet(s"$out/cassandra/rooms_by_mongo")
+    Denormalize.roomByMessage(messages).write.mode("overwrite")
+      .parquet(s"$out/cassandra/room_by_message")
+    Rules.organizations(rooms).write.mode("overwrite")
+      .parquet(s"$out/cassandra/organizations")
+    val docsRoles = DocsHierarchy.resolve(
+      Rules.docsRules(Projections.docsPostgres(sources("docs")),
+        userDim = Some(results(("user", Destination.Postgres)).select(col("mongo_id"), col("id"))),
+        roleDim = Some(results(("roles", Destination.Postgres)).select(col("mongo_id"), col("id")))))
+      .docsRoles
+    docsRoles.write.mode("overwrite").parquet(s"$out/postgres/docs_roles")
 
     // validation suite (§3.3), incl. hierarchy + m2m + FK invariants
     val pgUsers = results(("user", Destination.Postgres))
@@ -211,7 +225,13 @@ object MigrationDemo {
       Checks.softDeleteConsistency("deleted-user-anonymized", pgUsers,
         col("name") === "Deleted User",
         mustBeSet = Seq("deleted_at", "deleted_name"),
-        mustBeBlank = Seq("email", "phone")))
+        mustBeBlank = Seq("email", "phone")),
+      Checks.cardinalityEquals("rooms_by_mongo=rooms",
+        spark.read.parquet(s"$out/cassandra/rooms_by_mongo").count(), rooms.count()),
+      Checks.cardinalityEquals("room_by_message=messages",
+        spark.read.parquet(s"$out/cassandra/room_by_message").count(), messages.count()),
+      Checks.cardinalityEquals("docs_roles=special-role-docs",
+        docsRoles.count(), pgDocs.filter(col("special_role_id").isNotNull).count()))
     val (ok, summary) = Checks.verdict(checks,
       critical = Set("room-uuid5", "msg-rooms⊆rooms", "docs-folders"))
     println(summary)
