@@ -30,7 +30,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Machine-readable copies: a file the harness can always read, plus the
+    // bare JSON as the FINAL stdout line (after spark.stop(), so no late
+    // executor log lines can interleave; build.sbt passes forked stdout
+    // through unprefixed and suppresses the [success] trailer).
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out.json"), json + "\n")
     spark.stop()
+    println(json)
   }
 }
