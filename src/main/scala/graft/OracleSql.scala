@@ -358,6 +358,32 @@ object OracleSql {
       Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem",
         "events", "documents", "embeddings")
         .map(t => s"SELECT '$t' AS tbl, count(*) AS n FROM $t")
-        .mkString("", " UNION ALL ", " ORDER BY tbl")
+        .mkString("", " UNION ALL ", " ORDER BY tbl"),
+
+    // X12 — both engines emit compact JSON ({"k":v}, no separator spaces),
+    // so the serialized text hash-matches byte-for-byte.
+    "q37_json_serialize" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 <> 0 THEN CAST(to_json([
+        |    struct_pack(emoji := 'like', user_id := doc_id*7%100),
+        |    struct_pack(emoji := 'heart', user_id := doc_id*11%100)]) AS VARCHAR)
+        |  ELSE '[]' END AS reactions_json,
+        |  CAST(to_json(struct_pack(lang := lang, source := source)) AS VARCHAR) AS meta_json
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q38_embedding_band_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, band,
+         |    array_to_string(list_transform(generate_series(1, 8),
+         |      i -> CASE WHEN embedding[band*8 + i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bands),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id1, bb.vec_id AS id2
+         |  FROM b a JOIN b bb ON a.band = bb.band AND a.bucket = bb.bucket AND a.vec_id < bb.vec_id),
+         |v AS (SELECT vec_id, embedding FROM embeddings)
+         |SELECT id1, id2 FROM cand
+         |JOIN v v1 ON v1.vec_id = id1 JOIN v v2 ON v2.vec_id = id2
+         |WHERE ${cosSql("v1.embedding", "v2.embedding")} > 0.2
+         |ORDER BY id1, id2""".stripMargin
   )
 }

@@ -384,18 +384,25 @@ object SparkEntry {
   }
 
   // ---- exact quantiles by rank (interpolation-free, engine-portable) -----
+  // Single ranked pass: each row tests its rank against BOTH quantile ranks
+  // and explodes the (possibly 2-element, when the ceils coincide in a tiny
+  // group) list of quantile levels it represents — the union-of-filters
+  // formulation evaluated the row_number + count windows once per level.
   private def q36ExactQuantiles(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val ranked = T(s, d, "orders")
+    val ps = Seq(0.5, 0.9)
+    T(s, d, "orders")
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))))
-    Seq(0.5, 0.9).map { p =>
-      ranked.filter(col("rn") === ceil(lit(p) * col("n")).cast("long"))
-        .select(col("o_orderpriority"), lit(p).as("p"), col("o_totalprice").as("quantile"))
-    }.reduce(_ unionByName _).orderBy("o_orderpriority", "p")
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        explode(filter(
+          array(ps.map(p => when(col("rn") === ceil(lit(p) * col("n")).cast("long"), lit(p))): _*),
+          _.isNotNull)).as("p"))
+      .select(col("o_orderpriority"), col("p"), col("o_totalprice").as("quantile"))
+      .orderBy("o_orderpriority", "p")
   }
 
   // ---- engine-portable HLL cardinality sketch ----------------------------
@@ -411,6 +418,28 @@ object SparkEntry {
     graft.operators.Curation.pipeline(T(s, d, "documents"), "doc_id", "text")
       .select("doc_id")
       .orderBy("doc_id")
+
+  // ---- §2.9 X12 JSON serialization of list/struct fields -----------------
+  // The reference stores reaction lists as JSON text in the target table
+  // (`field_mapper.py:449-459`); the simulated reactions here exercise the
+  // three shapes: array-of-struct → JSON, struct → JSON, null → "[]".
+  private def q37JsonSerialize(s: SparkSession, d: String): DataFrame = {
+    val reactions = when(col("doc_id") % 3 =!= 0,
+      array(
+        struct(lit("like").as("emoji"), (col("doc_id") * 7 % 100).as("user_id")),
+        struct(lit("heart").as("emoji"), (col("doc_id") * 11 % 100).as("user_id"))))
+    T(s, d, "documents").select(
+        col("doc_id"),
+        coalesce(to_json(reactions), lit("[]")).as("reactions_json"),
+        to_json(struct(col("lang"), col("source"))).as("meta_json"))
+      .orderBy("doc_id")
+  }
+
+  // ---- dedup: banded hyperplane LSH over embeddings (multi-band recall) --
+  private def q38EmbeddingBandLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingLshBandPairs(T(s, d, "embeddings"), "vec_id", "embedding",
+        bands = 4, rowsPerBand = 8, threshold = 0.2)
+      .orderBy("id1", "id2")
 
   // ---- §2.1 S4 / §2.6 A1 per-table counts --------------------------------
   private val AllTables = Seq("region", "nation", "customer", "supplier", "part",
@@ -457,7 +486,9 @@ object SparkEntry {
     "q33_curation_pipeline" -> (q33CurationPipeline _),
     "q34_rolling_window" -> (q34RollingWindow _),
     "q35_hll_distinct" -> (q35HllDistinct _),
-    "q36_exact_quantiles" -> (q36ExactQuantiles _)
+    "q36_exact_quantiles" -> (q36ExactQuantiles _),
+    "q37_json_serialize" -> (q37JsonSerialize _),
+    "q38_embedding_band_lsh" -> (q38EmbeddingBandLsh _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

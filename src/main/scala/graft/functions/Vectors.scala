@@ -34,12 +34,14 @@ object Vectors {
       CosineSim(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 
-  /** Random-hyperplane-free LSH bucket: the sign pattern of the first
-    * `bits` coordinates. Cheap, deterministic, and oracle-expressible; near
-    * vectors (cosine ≈ 1) agree on most coordinate signs, so they collide.
-    * element_at is 1-indexed.
+  /** Random-hyperplane-free LSH bucket: the sign pattern of `bits`
+    * coordinates starting at `offset`. Cheap, deterministic, and
+    * oracle-expressible; near vectors (cosine ≈ 1) agree on most coordinate
+    * signs, so they collide. element_at is 1-indexed; `offset + bits` must
+    * not exceed the vector dimension (ANSI mode throws past the end).
     */
-  def signBucket(vec: Column, bits: Int): Column =
+  def signBucket(vec: Column, bits: Int, offset: Int = 0): Column =
     concat(
-      (1 to bits).map(i => when(element_at(vec, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+      (1 to bits).map(i =>
+        when(element_at(vec, offset + i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
 }

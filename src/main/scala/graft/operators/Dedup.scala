@@ -141,24 +141,90 @@ object Dedup {
       lit(0),
       (acc, x) => acc + x)
 
+  /** Sign bits needed to keep the EXPECTED bucket size ≈ `targetBucketSize`
+    * under a balanced split: ⌈log₂(n / target)⌉. Each within-bucket
+    * comparison is then O(target) per row — total candidate work is linear
+    * in the corpus, not O(n²/2^const). Capped at `maxBits` (the bucket key
+    * is a prefix of the vector's sign pattern, so bits ≤ dimension; 24 bits
+    * already means 16M buckets).
+    */
+  def autoSignBits(corpusSize: Long, targetBucketSize: Int = 64, maxBits: Int = 24): Int = {
+    val needed = math.ceil(
+      math.log((corpusSize.toDouble / targetBucketSize).max(1.0)) / math.log(2.0)).toInt
+    needed.max(1).min(maxBits)
+  }
+
   /** Embedding near-duplicate pairs: LSH sign-bucket candidates, kept when
     * cosine exceeds `threshold`. One shuffle on the bucket key.
+    *
+    * `signBits <= 0` (the default) derives the bucket count from the corpus
+    * size via [[autoSignBits]] — a FIXED bit width makes the within-bucket
+    * self-join O(n²/2^bits), i.e. all-pairs with a constant divisor once the
+    * corpus outgrows it. The two driver actions behind the default (a count
+    * and a 1-row dimension probe) read parquet footers / one row group —
+    * negligible against the join they right-size.
     */
   def embeddingNearDupPairs(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
-      signBits: Int = 8,
+      signBits: Int = 0,
       threshold: Double = 0.95): DataFrame = {
     import graft.functions.Vectors
+    val bits =
+      if (signBits > 0) signBits
+      else {
+        val n = embeddings.select(col(idCol)).count()
+        val dim = embeddings.select(size(col(vecCol)).as("d")).head().getInt(0)
+        autoSignBits(n).min(dim)
+      }
     val bucketed = embeddings.select(
       col(idCol).as("id"),
       col(vecCol).as("vec"),
-      Vectors.signBucket(col(vecCol), signBits).as("bucket"))
+      Vectors.signBucket(col(vecCol), bits).as("bucket"))
     val a = bucketed.toDF("id1", "vec1", "bucket")
     val b = bucketed.toDF("id2", "vec2", "bucket")
     a.join(b, Seq("bucket"))
       .filter(col("id1") < col("id2"))
+      .withColumn("cos", Vectors.cosine(col("vec1"), col("vec2")))
+      .filter(col("cos") > threshold)
+      .select("id1", "id2")
+  }
+
+  /** Banded hyperplane LSH near-duplicate pairs — the recall-controlled
+    * variant (multi-band, like [[minHashLshPairs]] for text): band b's key
+    * is the sign pattern of coordinates [b·r, (b+1)·r); two vectors are
+    * candidates when ANY band matches, so recall is 1-(1-s^r)^bands for
+    * per-coordinate sign-agreement s, instead of the single-prefix s^bits.
+    *
+    * Shape: only (id, band, bucket) rows go through the candidate shuffle —
+    * vectors are joined back per distinct pair, so the wide embedding column
+    * is never exploded ×bands.
+    */
+  def embeddingLshBandPairs(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bands: Int = 4,
+      rowsPerBand: Int = 8,
+      threshold: Double = 0.95): DataFrame = {
+    import graft.functions.Vectors
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val banded = embeddings
+      .select(
+        col(idCol).as("id"),
+        posexplode(array((0 until bands).map(b =>
+          Vectors.signBucket(col(vecCol), rowsPerBand, b * rowsPerBand)): _*)))
+      .toDF("id", "band", "bucket")
+    val a = banded.toDF("id1", "band", "bucket")
+    val b = banded.toDF("id2", "band", "bucket")
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    pairs
+      .join(vecs.toDF("id1", "vec1"), Seq("id1"))
+      .join(vecs.toDF("id2", "vec2"), Seq("id2"))
       .withColumn("cos", Vectors.cosine(col("vec1"), col("vec2")))
       .filter(col("cos") > threshold)
       .select("id1", "id2")

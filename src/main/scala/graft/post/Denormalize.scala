@@ -8,7 +8,9 @@ import graft.operators.Relational
 /** Post-migration denormalization (SURVEY.md §2.4 J8–J10,
   * `etl/orchestrator.py:1106-1471`): the reference's per-row cached loops
   * re-expressed as set-oriented joins. The three caches it pre-fetches
-  * ("10-100x faster" — `orchestrator.py:1240`) ARE broadcast joins here.
+  * ("10-100x faster" — `orchestrator.py:1240`) are plain equi-joins here;
+  * AQE upgrades them to broadcast at runtime exactly when the side is small
+  * enough to be a cache, instead of assuming it always is.
   */
 object Denormalize {
 
@@ -43,13 +45,18 @@ object Denormalize {
         substring(col("content"), 1, 100).as("last_message_preview"), // orchestrator.py:1348
         col("sender_id").as("last_message_sender_id"),
         col("created_at").as("last_message_at"))
+    // rooms and users are FACT-sized in a chat corpus (they grow with the
+    // user base, unlike the true dims nation/region) — no broadcast() hint
+    // here. AQE picks broadcast when a side is measured small at runtime and
+    // sort-merge otherwise; a forced broadcast of a tens-of-millions-row
+    // table would OOM every executor.
     participants
       .select("room_id", "user_id", "role", "joined_at", "is_muted")
-      .join(broadcast(rooms.select("room_id", "name", "type", "image")), Seq("room_id"))
+      .join(rooms.select("room_id", "name", "type", "image"), Seq("room_id"))
       .join(lastMsg, Seq("room_id"), "left")
       .join(
-        broadcast(users.select(col("user_id").as("last_message_sender_id"),
-          col("name").as("last_message_sender_name"))),
+        users.select(col("user_id").as("last_message_sender_id"),
+          col("name").as("last_message_sender_name")),
         Seq("last_message_sender_id"), "left")
       .withColumn("is_pinned", lit(false))
   }

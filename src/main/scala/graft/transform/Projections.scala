@@ -135,6 +135,8 @@ object Projections {
     boolOr(df, "edited", default = false).as("edited"),
     coalesce(opt(df, "pollQuestion"), lit("")).as("poll_question"),
     boolOr(df, "pollIsMultiple", default = false).as("poll_is_multiple_options"),
+    jsonList(df, "reactions").as("reactions"), // X12, field_mapper.py:449-453
+    jsonList(df, "seenBy").as("seen_by"),      // X12, field_mapper.py:455-459
     mongoId(df),
     createdAt(df),
     updatedAt(df),

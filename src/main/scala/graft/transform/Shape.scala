@@ -2,7 +2,7 @@ package graft.transform
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, MapType, StringType, StructType}
 
 /** Shape-tolerant ingest normalization (SURVEY.md §1.3, §7.4 risk 6).
   *
@@ -59,6 +59,21 @@ object Shape {
   /** `doc.get(name, default)` for booleans. */
   def boolOr(df: DataFrame, name: String, default: Boolean): Column =
     coalesce(opt(df, name, "boolean"), lit(default))
+
+  /** X12 — JSON serialization of a list-valued field (`field_mapper.py:
+    * 449-459` `_serialize_reactions` / `_serialize_list`): complex values
+    * become their JSON text; an absent field or null value falls back to
+    * `"[]"` (the reference's falsy default). Whitespace differs from
+    * CPython's `json.dumps` (`", "` separators) — the payload is
+    * semantically identical JSON.
+    */
+  def jsonList(df: DataFrame, name: String): Column =
+    if (!has(df, name)) lit("[]")
+    else df.schema(name).dataType match {
+      case _: ArrayType | _: MapType | _: StructType =>
+        coalesce(to_json(col(name)), lit("[]"))
+      case _ => coalesce(col(name).cast(StringType), lit("[]"))
+    }
 
   /** A sub-field of a nested document that may itself be absent — the
     * `doc.get('socialMedia', {}).get('x')` double-total accessor

@@ -69,4 +69,42 @@ class DedupSpec extends SparkSpecBase {
       .select(Dedup.charShingles(col("t"), 2)).head().getSeq[String](0)
     assert(out === Seq("ab", "bc", "cd"))
   }
+
+  test("autoSignBits: bucket count grows with the corpus, bounded bucket size") {
+    // doubling the corpus adds a bit — expected bucket size stays ≈ target,
+    // so within-bucket comparison work stays linear in n (not n²/2^const)
+    assert(Dedup.autoSignBits(1000) < Dedup.autoSignBits(100000))
+    assert(Dedup.autoSignBits(100000) < Dedup.autoSignBits(100000000))
+    for (n <- Seq(1000L, 1000000L, 1000000000L)) {
+      val bits = Dedup.autoSignBits(n, targetBucketSize = 64, maxBits = 24)
+      val expectedBucket = n.toDouble / math.pow(2.0, bits)
+      assert(bits == 24 || expectedBucket <= 64.0,
+        s"n=$n bits=$bits expected=$expectedBucket")
+    }
+    assert(Dedup.autoSignBits(10) === 1)            // floor
+    assert(Dedup.autoSignBits(Long.MaxValue) === 24) // cap
+  }
+
+  test("embeddingNearDupPairs default derives bits from the corpus") {
+    def vec(seed: Int) = (0 until 16).map(i => (((seed * 31 + i) % 7) - 3).toFloat).toArray
+    val emb = (0L until 300L).map(i => (i, vec(i.toInt % 50))).toDF("id", "vec")
+    // default (auto) must still find exact-duplicate vectors as near-dups
+    val pairs = graft.operators.Dedup
+      .embeddingNearDupPairs(emb, "id", "vec", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 50L))) // identical vectors collide in any bucketing
+    // and the derived width matches the pure formula: 300/64 → 3 bits
+    assert(Dedup.autoSignBits(300) === 3)
+  }
+
+  test("embeddingLshBandPairs: any-band collision finds near-dups, gates the rest") {
+    val base = (0 until 32).map(i => if (i % 2 == 0) 1.0f else -1.0f).toArray
+    val near = base.clone(); near(0) = 0.9f          // tiny perturbation
+    val far = base.map(x => -x)                      // opposite signs everywhere
+    val emb = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "vec")
+    val pairs = Dedup.embeddingLshBandPairs(emb, "id", "vec",
+        bands = 4, rowsPerBand = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
 }

@@ -113,6 +113,20 @@ class EntityPipelineSpec extends SparkSpecBase {
     assert(out(2).getAs[String]("mime_type") === "application/pdf")
   }
 
+  test("message reactions serialize to JSON text, absent/empty → '[]' (X12)") {
+    val msgs = mongoDocs(
+      """{"_id":"m1","room":"r1","message":"con reacciones","isActive":true,
+         "reactions":[{"emoji":"like","user":"u2"},{"emoji":"heart","user":"u3"}],
+         "createdAt":"2024-03-01T10:00:00Z"}""",
+      """{"_id":"m2","room":"r1","message":"sin reacciones","isActive":true,
+         "createdAt":"2024-03-01T11:00:00Z"}""")
+    val out = Projections.messageCassandra(msgs).orderBy("mongo_id").collect()
+    assert(out(0).getAs[String]("reactions") ===
+      """[{"emoji":"like","user":"u2"},{"emoji":"heart","user":"u3"}]""")
+    assert(out(1).getAs[String]("reactions") === "[]") // null list → falsy default
+    assert(out(0).getAs[String]("seen_by") === "[]")   // field absent entirely
+  }
+
   test("room: type derivation, organizations branch, deterministic encryption_data") {
     val rooms = mongoDocs(
       """{"_id":"r1","name":"","isGroup":true,"isAdmin":true,
@@ -188,6 +202,33 @@ class EntityPipelineSpec extends SparkSpecBase {
     val refreshed = Denormalize.refreshMembershipLookup(lookup, rbu)
     val l1 = refreshed.filter(col("room_id") === "R1" && col("user_id") === 1L).head()
     assert(l1.getAs[java.sql.Timestamp]("last_message_at") !== null)
+  }
+
+  test("rooms_by_user joins are not force-broadcast (large sides sort-merge)") {
+    // rooms/users grow with the user base: with the small-table broadcast
+    // path off (≙ both sides measured large), the planner must fall back to
+    // shuffle joins. A broadcast() hint on either side would override the
+    // threshold and show up here as a BroadcastHashJoin — i.e. an OOM at
+    // real scale.
+    val rooms = Seq(("R1", "p2p", "Duo", "")).toDF("room_id", "type", "name", "image")
+    val participants = Seq(("R1", 1L, "MEMBER"))
+      .toDF("room_id", "user_id", "role")
+      .withColumn("joined_at", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("is_muted", lit(false))
+    val messages = Seq(("R1", "mid1", "hola", 1L))
+      .toDF("room_id", "message_id", "content", "sender_id")
+      .withColumn("created_at", to_timestamp(lit("2024-02-01 10:00:00")))
+    val users = Seq((1L, "Ana")).toDF("user_id", "name")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rbu = Denormalize.roomsByUser(participants, rooms, messages, users)
+      val plan = rbu.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"no join side may be force-broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(rbu.count() === 1)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("topo pipeline runs entities in order with dims flowing downstream") {
