@@ -19,7 +19,8 @@ final class Pipeline(
     spark: SparkSession,
     source: String => DataFrame,
     sink: (String, Destination, DataFrame) => Unit,
-    dryRun: Boolean = false) {
+    dryRun: Boolean = false,
+    collector: Option[MetricsCollector] = None) {
 
   /** One per-entity stage: given (sourceDF, dims-so-far) produce the final
     * frame per destination.
@@ -37,29 +38,40 @@ final class Pipeline(
     * reference's `--entities` flag).
     */
   def run(stages: Map[String, Stage]): Map[(String, Destination), DataFrame] = {
-    for (cfg <- Entities.ordered; stage <- stages.get(cfg.name)) {
-      val src = source(cfg.mongo)
-      // dims exposed as "name" (Postgres result preferred — FK resolution
-      // targets the relational ids, like the reference's pg_id_mapper) and
-      // as "name:postgres"/"name:cassandra" for explicit dialect picks
-      val qualified = results.map { case ((n, dest), df) =>
-        s"$n:${dest.toString.toLowerCase}" -> df
+    // S13: per-entity row counts ride the sink action itself as observed
+    // metrics — a separate count() per entity would be a second full pass
+    // over every frame (×15 entities; prohibitive when a frame is 100 TB).
+    val mc = collector.getOrElse(new MetricsCollector(spark))
+    try {
+      for (cfg <- Entities.ordered; stage <- stages.get(cfg.name)) {
+        val src = source(cfg.mongo)
+        // dims exposed as "name" (Postgres result preferred — FK resolution
+        // targets the relational ids, like the reference's pg_id_mapper) and
+        // as "name:postgres"/"name:cassandra" for explicit dialect picks
+        val qualified = results.map { case ((n, dest), df) =>
+          s"$n:${dest.toString.toLowerCase}" -> df
+        }
+        val bare = results.groupBy(_._1._1).map { case (n, m) =>
+          n -> m.getOrElse((n, Destination.Postgres), m.head._2)
+        }
+        val out = stage(src, (bare ++ qualified).toMap)
+        for ((dest, df) <- out) {
+          val name = s"${cfg.name}/${dest.toString.toLowerCase}"
+          // cache: later entities broadcast-join against this result, and the
+          // sink re-reads it — one computation, many consumers (K3 contract:
+          // ids are computed once, never re-derived with drifting state)
+          val cached = mc.observeRows(df, name).cache()
+          results((cfg.name, dest)) = cached
+          // the sink write doubles as the materializing action; dry runs
+          // (extract+transform only, `run_etl.py:67-71`) still materialize so
+          // dims are warm and the observation fires
+          if (!dryRun) sink(cfg.name, dest, cached) else cached.count()
+          for (m <- mc.await(name))
+            metrics(name) = m("rows").asInstanceOf[Long]
+        }
       }
-      val bare = results.groupBy(_._1._1).map { case (n, m) =>
-        n -> m.getOrElse((n, Destination.Postgres), m.head._2)
-      }
-      val out = stage(src, (bare ++ qualified).toMap)
-      for ((dest, df) <- out) {
-        // cache: later entities broadcast-join against this result, and the
-        // sink re-reads it — one computation, many consumers (K3 contract:
-        // ids are computed once, never re-derived with drifting state)
-        val cached = df.cache()
-        metrics(s"${cfg.name}/${dest.toString.toLowerCase}") = cached.count()
-        results((cfg.name, dest)) = cached
-        if (!dryRun) sink(cfg.name, dest, cached)
-      }
-    }
-    results.toMap
+      results.toMap
+    } finally if (collector.isEmpty) mc.close()
   }
 
   /** Per-entity row counts (`etl/utils/metrics.py` parity). */

@@ -1,6 +1,6 @@
 package graft.sink
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Relational
@@ -22,6 +22,19 @@ trait TableSink {
     * MERGE per partition instead.
     */
   def upsert(table: String, df: DataFrame, keys: Seq[String]): Unit
+
+  /** S7 — insert with row isolation (`postgres_loader.py:67-163`): the
+    * reference retries a failed batch row-by-row and quarantines the bad
+    * rows. Declaratively that IS a validity split — rows failing `isValid`
+    * land in `<table>__quarantine` instead of failing the whole job. A null
+    * verdict (predicate over missing data) counts as invalid: quarantine is
+    * exactly for rows the checks can't vouch for.
+    */
+  def writeWithQuarantine(table: String, df: DataFrame, isValid: Column): Unit = {
+    val valid = coalesce(isValid, lit(false))
+    overwrite(table, df.filter(valid))
+    overwrite(s"${table}__quarantine", df.filter(!valid))
+  }
 }
 
 final class ParquetSink(baseDir: String) extends TableSink {
@@ -33,6 +46,12 @@ final class ParquetSink(baseDir: String) extends TableSink {
   def append(table: String, df: DataFrame): Unit =
     df.write.mode("append").parquet(path(table))
 
+  /** Whole-table read-merge-rewrite — the DIM-sized path. Every upsert
+    * rewrites the full table, so it is only appropriate for tables that fit
+    * a single rewrite comfortably (lookup/dimension tables); fact-sized
+    * tables use [[PartitionedParquetSink]], which rewrites only the
+    * partitions the update batch touches.
+    */
   def upsert(table: String, df: DataFrame, keys: Seq[String]): Unit = {
     val spark = df.sparkSession
     val existing =
@@ -54,5 +73,70 @@ final class ParquetSink(baseDir: String) extends TableSink {
     val dst = new org.apache.hadoop.fs.Path(path(table))
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}
+
+/** Directory-partitioned parquet sink whose upsert rewrites ONLY the
+  * partitions the update batch touches. At fact-table scale an upsert of 1k
+  * rows must not rewrite 100 TB: here the merge reads just the affected
+  * `partitionCol=value` directories (partition-pruned scan), merges the
+  * batch in, writes the result to a staging dir, and swaps those directories
+  * in place. Untouched partitions are never read, written, or moved — their
+  * files stay byte-identical.
+  *
+  * The affected-partition value list is collected to the driver: it is
+  * bounded by the batch's distinct partition values (the premise of a
+  * partition-scoped upsert), not by table size.
+  */
+final class PartitionedParquetSink(baseDir: String, partitionCol: String) extends TableSink {
+  private def path(table: String) = s"$baseDir/$table"
+
+  def overwrite(table: String, df: DataFrame): Unit =
+    df.write.partitionBy(partitionCol).mode("overwrite").parquet(path(table))
+
+  def append(table: String, df: DataFrame): Unit =
+    df.write.partitionBy(partitionCol).mode("append").parquet(path(table))
+
+  def upsert(table: String, df: DataFrame, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path(table))
+    if (!fs.exists(root)) { overwrite(table, df); return }
+
+    // the batch's distinct partition values (null partitions unsupported —
+    // a quarantine-style pre-filter should have caught those), plus their
+    // ESCAPED directory names as the writer produces them (spaces, unicode)
+    val values = df
+      .select(col(partitionCol).cast("string"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+    require(!values.contains(null), s"null $partitionCol in upsert batch")
+    val affected = values.map(v =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partitionCol, v))
+
+    // partition-pruned read: only the touched directories are scanned; the
+    // pruned column comes back from the directory name, so select order is
+    // restored to the batch's schema
+    val old = spark.read.parquet(path(table))
+      .filter(col(partitionCol).cast("string").isin(values: _*))
+      .select(df.columns.map(col): _*)
+    val updated = Relational.overwriteByJoin(old, df, keys)
+    val newRows = df.join(old.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val merged = updated.unionByName(newRows, allowMissingColumns = true)
+
+    // stage the merged partitions, then swap just those directories
+    val tmp = new org.apache.hadoop.fs.Path(path(table) + "__tmp")
+    merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
+    for (dir <- affected) {
+      val dst = new org.apache.hadoop.fs.Path(root, dir)
+      val src = new org.apache.hadoop.fs.Path(tmp, dir)
+      if (fs.exists(src)) {
+        fs.delete(dst, true)
+        fs.rename(src, dst)
+      }
+    }
+    fs.delete(tmp, true)
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sink.ParquetSink
+import graft.sink.{ParquetSink, PartitionedParquetSink}
 import graft.sources.{ParquetSource, Scans}
 
 /** S1/S3/S4 scan shapes and the S8 upsert sink. */
@@ -30,5 +30,45 @@ class SourceSinkSpec extends SparkSpecBase {
     val out = spark.read.parquet(s"$dir/t").orderBy("id").collect()
     assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
       Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("quarantine split: failed and unverdicted rows isolate, valid rows load (S7)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quar").toString
+    val sink = new ParquetSink(dir)
+    val rows = Seq((1L, Some(10)), (2L, Some(-5)), (3L, None)).toDF("id", "score")
+    sink.writeWithQuarantine("t", rows, col("score") > 0)
+    assert(spark.read.parquet(s"$dir/t").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // the null verdict (missing score) quarantines rather than vanishing —
+    // filter(p) and filter(!p) would BOTH drop it
+    assert(spark.read.parquet(s"$dir/t__quarantine")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+  }
+
+  test("partitioned upsert rewrites only the touched partitions (S8 at scale)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-psink").toString
+    val sink = new PartitionedParquetSink(dir, "p")
+    sink.overwrite("t",
+      Seq((1L, "x", "a"), (2L, "y", "b"), (3L, "z", "c")).toDF("id", "v", "p"))
+
+    // full byte-level snapshot of the partitions the batch does NOT touch
+    def snapshot(sub: String): Seq[(String, Long, Long, Int)] = {
+      val d = java.nio.file.Paths.get(dir, "t", sub)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala.toSeq.sortBy(_.toString).map { f =>
+        (f.getFileName.toString, java.nio.file.Files.size(f),
+          java.nio.file.Files.getLastModifiedTime(f).toMillis,
+          java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f)))
+      }
+    }
+    val before = snapshot("p=b") ++ snapshot("p=c")
+
+    sink.upsert("t", Seq((1L, "X", "a"), (4L, "w", "a")).toDF("id", "v", "p"), Seq("id"))
+
+    val out = spark.read.parquet(s"$dir/t")
+      .select("id", "v", "p").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(out === Seq((1L, "X", "a"), (2L, "y", "b"), (3L, "z", "c"), (4L, "w", "a")))
+    // untouched partitions were never read, rewritten, or moved
+    assert(snapshot("p=b") ++ snapshot("p=c") === before)
   }
 }
