@@ -42,6 +42,17 @@ object TargetTables {
   /** p2p_room_by_users (`create_scylla_database.cql:137-142`). */
   final case class P2pRoomByUsers(user_id: String, other_user_id: String, room_id: String)
 
+  /** rooms_by_user (`create_scylla_database.cql:51-90`) — the columns the
+    * denormalization pipeline populates; the remaining last_message_*
+    * columns of the DDL ride along untyped until their sources migrate.
+    */
+  final case class RoomsByUser(
+      user_id: Option[Long], is_pinned: Boolean, last_message_at: Option[Timestamp],
+      room_id: String, room_name: String, room_type: String, room_image: String,
+      last_message_id: String, last_message_preview: String,
+      last_message_sender_id: Option[Long], last_message_sender_name: String,
+      is_muted: Boolean, role: String, joined_at: Timestamp)
+
   /** Align an untyped stage output to a typed contract: missing nullable
     * columns become typed nulls, extras drop, order/types normalize — then
     * the encoder enforces the shape at compile time for consumers.
@@ -55,4 +66,5 @@ object TargetTables {
   implicit val messageEnc: Encoder[MessageByRoom] = Encoders.product[MessageByRoom]
   implicit val participantEnc: Encoder[ParticipantByRoom] = Encoders.product[ParticipantByRoom]
   implicit val p2pEnc: Encoder[P2pRoomByUsers] = Encoders.product[P2pRoomByUsers]
+  implicit val roomsByUserEnc: Encoder[RoomsByUser] = Encoders.product[RoomsByUser]
 }

@@ -52,7 +52,8 @@ object Denormalize {
     // table would OOM every executor.
     participants
       .select("room_id", "user_id", "role", "joined_at", "is_muted")
-      .join(rooms.select("room_id", "name", "type", "image"), Seq("room_id"))
+      .join(rooms.select(col("room_id"), col("name").as("room_name"),
+        col("type").as("room_type"), col("image").as("room_image")), Seq("room_id"))
       .join(lastMsg, Seq("room_id"), "left")
       .join(
         users.select(col("user_id").as("last_message_sender_id"),

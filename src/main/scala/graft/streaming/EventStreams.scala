@@ -146,19 +146,27 @@ object SessionizeStream {
   * re-delivery safe by construction).
   */
 object IncrementalMigration {
-  import org.apache.spark.sql.streaming.StreamingQuery
+  import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+  /** `catchUp = true` runs with `Trigger.AvailableNow`: process everything
+    * the source has accumulated in rate-limited micro-batches, then STOP —
+    * the backfill mode for resuming after downtime (drain the change-stream
+    * backlog as a batch job, restart continuous mode afterwards). The
+    * checkpoint carries offsets across the mode switch.
+    */
   def run(
       changeStream: DataFrame,
       transform: DataFrame => DataFrame,
       sink: (DataFrame, Long) => Unit,
-      checkpoint: String): StreamingQuery =
-    changeStream.writeStream
+      checkpoint: String,
+      catchUp: Boolean = false): StreamingQuery = {
+    val writer = changeStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // at-least-once delivery → dedup within the batch; deterministic ids
         // (uuid5/timeuuid) make cross-batch replays converge at the sink
         sink(transform(batch.dropDuplicates("_id")), id)
       }
-      .start()
+    (if (catchUp) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
 }

@@ -103,6 +103,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("availableNow catchup drains the backlog and stops on its own") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IncrementalMigration
+    val input = MemoryStream[(String, String)]
+    val outDir = java.nio.file.Files.createTempDirectory("graft-catchup").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-catchup-ckpt").toString
+    // backlog accumulated while the migration was down
+    input.addData(("r1", "Duo"), ("r2", "Grupo"))
+    input.addData(("r3", "Tercero"))
+    val q = IncrementalMigration.run(
+      input.toDF.toDF("_id", "name"),
+      df => df.select(col("_id").as("mongo_id"), col("name")),
+      (batch, _) => batch.write.mode("append").parquet(s"$outDir/rooms"),
+      ckpt, catchUp = true)
+    try {
+      // AvailableNow terminates once the pre-existing backlog is drained
+      assert(q.awaitTermination(60000), "catchup query did not stop by itself")
+      assert(!q.isActive)
+      assert(spark.read.parquet(s"$outDir/rooms").count() === 3)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]

@@ -39,4 +39,26 @@ class TargetTablesSpec extends SparkSpecBase {
     assert(p.room_id === "R1")
     assert(p.user_id.isEmpty)
   }
+
+  test("roomsByUser denormalization types as Dataset[RoomsByUser]") {
+    import org.apache.spark.sql.functions._
+    val rooms = Seq(("R1", "p2p", "Duo", "img")).toDF("room_id", "type", "name", "image")
+    val participants = Seq(("R1", 1L, "MEMBER"))
+      .toDF("room_id", "user_id", "role")
+      .withColumn("joined_at", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("is_muted", lit(false))
+    val messages = Seq(("R1", "mid1", "hola", 1L))
+      .toDF("room_id", "message_id", "content", "sender_id")
+      .withColumn("created_at", to_timestamp(lit("2024-02-01 10:00:00")))
+    val users = Seq((1L, "Ana")).toDF("user_id", "name")
+    val ds = TargetTables.typed[RoomsByUser](
+      graft.post.Denormalize.roomsByUser(participants, rooms, messages, users))
+    val r = ds.head()
+    assert(r.user_id === Some(1L))
+    assert(r.room_name === "Duo")
+    assert(r.room_type === "p2p")
+    assert(r.last_message_preview === "hola")
+    assert(r.last_message_sender_name === "Ana")
+    assert(!r.is_pinned)
+  }
 }
