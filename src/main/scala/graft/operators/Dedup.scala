@@ -210,12 +210,16 @@ object Dedup {
       threshold: Double = 0.95): DataFrame = {
     import graft.functions.Vectors
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // cache: feeds both sides of the self-join — only (id, band, bucket)
+    // rows are materialized (3 thin columns), never the vectors; without it
+    // the wide embedding column is scanned twice for bucket derivation
     val banded = embeddings
       .select(
         col(idCol).as("id"),
         posexplode(array((0 until bands).map(b =>
           Vectors.signBucket(col(vecCol), rowsPerBand, b * rowsPerBand)): _*)))
       .toDF("id", "band", "bucket")
+      .cache()
     val a = banded.toDF("id1", "band", "bucket")
     val b = banded.toDF("id2", "band", "bucket")
     val pairs = a.join(b, Seq("band", "bucket"))

@@ -85,10 +85,15 @@ object Relational {
       membership: DataFrame,
       groupCol: String,
       memberCol: String): DataFrame = {
+    // distinct-then-aggregate instead of countDistinct-with-min/max: the
+    // mixed distinct/plain aggregate plans an Expand that doubles every row
+    // through the shuffle; two thin map-side-combined aggregations move less
     val two = membership
+      .select(col(groupCol), col(memberCol))
+      .distinct()
       .groupBy(col(groupCol))
       .agg(
-        countDistinct(col(memberCol)).as("__n"),
+        count(lit(1)).as("__n"),
         min(col(memberCol)).as("m1"),
         max(col(memberCol)).as("m2"))
       .filter(col("__n") === 2)
