@@ -44,12 +44,25 @@ object Similarity {
     ranked(joined, k)
   }
 
+  /** IVF cell-count heuristic: √n cells. Keeps both sides of the structure
+    * sub-linear in the corpus — the centroid table (cells × dim, broadcast)
+    * and the expected cell population (~√n, the per-probe candidate cost) —
+    * where any FIXED cell count degenerates to a linear scan of n/cells
+    * candidates per probe once the corpus outgrows it.
+    */
+  def autoNumCentroids(corpusSize: Long, maxCentroids: Int = 65536): Int =
+    math.ceil(math.sqrt(corpusSize.toDouble)).toInt.max(4).min(maxCentroids)
+
   /** IVF (inverted-file) approximate top-k — the learned-centroid scale
     * path: KMeans centroids partition the corpus into `numCentroids` cells;
     * each query probes only its `nProbe` nearest cells. Per query the
     * candidate set shrinks from |corpus| to ~nProbe/numCentroids of it; the
     * corpus-side cell assignment is one broadcast join + map-side top-1
     * (computed once, reusable across query batches).
+    *
+    * `numCentroids <= 0` derives √n cells via [[autoNumCentroids]]. KMeans
+    * trains on a bounded deterministic sample (~64 vectors per cell, the
+    * usual IVF training budget) — never the full corpus.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -57,7 +70,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      numCentroids: Int = 16,
+      numCentroids: Int = 0,
       nProbe: Int = 4,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -65,8 +78,14 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(numCentroids).setSeed(seed).setMaxIter(5).fit(train)
+    val n = corpus.select(col(idCol)).count() // footer-only parquet count
+    val cells = if (numCentroids > 0) numCentroids else autoNumCentroids(n)
+    val all = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val trainTarget = cells.toLong * 64
+    val train =
+      if (n <= trainTarget) all
+      else all.sample(withReplacement = false, trainTarget.toDouble / n, seed)
+    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(5).fit(train)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
       .toSeq.toDF("centroid_id", "cvec")
@@ -93,7 +112,9 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: candidates share the query's sign
     * bucket. Recall < 1 by construction; raise `signBits` for precision,
-    * lower it for recall.
+    * lower it for recall. `signBits <= 0` derives the width from the corpus
+    * size ([[Dedup.autoSignBits]]) so the expected bucket population — the
+    * per-query candidate cost — stays bounded as the corpus grows.
     */
   def lshTopK(
       queries: DataFrame,
@@ -101,16 +122,23 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      signBits: Int = 4): DataFrame = {
+      signBits: Int = 0): DataFrame = {
+    val bits =
+      if (signBits > 0) signBits
+      else {
+        val n = corpus.select(col(idCol)).count()
+        val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+        Dedup.autoSignBits(n).min(dim)
+      }
     val q = broadcast(
       queries.select(
         col(idCol).as("query_id"),
         col(vecCol).as("qvec"),
-        Vectors.signBucket(col(vecCol), signBits).as("bucket")))
+        Vectors.signBucket(col(vecCol), bits).as("bucket")))
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       col(vecCol).as("cvec"),
-      Vectors.signBucket(col(vecCol), signBits).as("bucket"))
+      Vectors.signBucket(col(vecCol), bits).as("bucket"))
     val joined = q
       .join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

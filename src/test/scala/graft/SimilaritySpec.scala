@@ -58,6 +58,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.map(_.getLong(2)).toSeq === Seq(1L, 2L))
   }
 
+  test("auto defaults scale structure size with the corpus") {
+    // √n cells, bounded at both ends
+    assert(Similarity.autoNumCentroids(100) === 10)
+    assert(Similarity.autoNumCentroids(1000000) === 1000)
+    assert(Similarity.autoNumCentroids(1) === 4)                 // floor
+    assert(Similarity.autoNumCentroids(Long.MaxValue) === 65536) // cap
+    assert(Similarity.autoNumCentroids(100) < Similarity.autoNumCentroids(10000))
+    // lshTopK with derived bits still finds the same-direction neighbor
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    val out = Similarity.lshTopK(queries, corpus, "vec_id", "embedding", 5)
+      .collect().map(_.getLong(2)).toSet
+    assert(out.contains(1L))
+    assert(!out.contains(4L))
+  }
+
   test("signBucket groups by leading coordinate signs") {
     val df = Seq(Seq(1.0f, -2.0f, 3.0f), Seq(2.0f, -1.0f, 9.0f), Seq(-1.0f, 2.0f, 3.0f))
       .toDF("v").select(Vectors.signBucket(col("v"), 2).as("b"))
