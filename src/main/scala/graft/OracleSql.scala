@@ -384,6 +384,20 @@ object OracleSql {
          |SELECT id1, id2 FROM cand
          |JOIN v v1 ON v1.vec_id = id1 JOIN v v2 ON v2.vec_id = id2
          |WHERE ${cosSql("v1.embedding", "v2.embedding")} > 0.2
-         |ORDER BY id1, id2""".stripMargin
+         |ORDER BY id1, id2""".stripMargin,
+
+    // deterministic md5-derived uniform: identical digest semantics in both
+    // engines, so the sampled id set matches exactly (never rand())
+    "q39_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0
+        |  < (CASE WHEN lang = 'en' THEN 0.8 WHEN lang = 'zh' THEN 0.2 ELSE 0.5 END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q40_pack_bins" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_chars) / 4096.0) AS BIGINT) AS bin_id
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

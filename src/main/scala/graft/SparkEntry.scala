@@ -441,6 +441,22 @@ object SparkEntry {
         bands = 4, rowsPerBand = 8, threshold = 0.2)
       .orderBy("id1", "id2")
 
+  // ---- sampling: deterministic stratified training-mix weighting ---------
+  private def q39StratifiedSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.stratified(
+        T(s, d, "documents"), col("doc_id"), col("lang"),
+        rates = Map("en" -> 0.8, "zh" -> 0.2), defaultRate = 0.5)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  // ---- sampling: shard-local fixed-capacity sequence packing -------------
+  private def q40PackBins(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.packBins(
+        T(s, d, "documents"), col("lang"), col("doc_id"), col("n_chars"),
+        capacity = 4096L)
+      .select("doc_id", "lang", "n_chars", "bin_id")
+      .orderBy("doc_id")
+
   // ---- §2.1 S4 / §2.6 A1 per-table counts --------------------------------
   private val AllTables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
@@ -488,7 +504,9 @@ object SparkEntry {
     "q35_hll_distinct" -> (q35HllDistinct _),
     "q36_exact_quantiles" -> (q36ExactQuantiles _),
     "q37_json_serialize" -> (q37JsonSerialize _),
-    "q38_embedding_band_lsh" -> (q38EmbeddingBandLsh _)
+    "q38_embedding_band_lsh" -> (q38EmbeddingBandLsh _),
+    "q39_stratified_sample" -> (q39StratifiedSample _),
+    "q40_pack_bins" -> (q40PackBins _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

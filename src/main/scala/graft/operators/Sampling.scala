@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, splitting, and sequence packing for
+  * training-data curation.
+  *
+  * Sampling here is never `rand()`: the keep/drop decision is a pure
+  * function of the row's key (md5-derived uniform), so samples are
+  * reproducible across reruns, task retries, and repartitionings — on a
+  * real cluster a retried task re-executes its rows, and `rand()`-sampled
+  * output differs between attempts. The same id always lands in the same
+  * split, which is also what keeps train/test assignment stable as the
+  * corpus is re-processed.
+  */
+object Sampling {
+
+  /** Deterministic uniform in [0, 1): the first 8 md5 hex digits of the
+    * (salted) key, scaled by 2⁻³². Engine-portable — DuckDB:
+    * `CAST('0x' || substr(md5(k), 1, 8) AS UBIGINT) / 4294967296.0`.
+    * Change `salt` to draw an independent uniform from the same keys.
+    */
+  def hashUniform(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Deterministic Bernoulli sample at `rate`. */
+  def sample(df: DataFrame, key: Column, rate: Double, salt: String = ""): DataFrame =
+    df.filter(hashUniform(key, salt) < rate)
+
+  /** Stratified sample — the training-mix weighting: per-stratum keep rates
+    * (up/down-weight languages, sources, quality tiers); strata missing
+    * from `rates` keep `defaultRate`. One map-side filter, no shuffle.
+    */
+  def stratified(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String = ""): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashUniform(key, salt) < rate)
+  }
+
+  /** Deterministic train/val/test assignment from (label, fraction) pairs
+    * (fractions must sum to 1): the key's uniform falls into one cumulative
+    * band. Map-only; the same key is assigned the same split forever.
+    */
+  def split(df: DataFrame, key: Column, fractions: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val u = hashUniform(key, salt)
+    val (expr, _) = fractions.foldLeft((lit(fractions.last._1): Column, 0.0)) {
+      case ((acc, cum), (label, frac)) =>
+        (when(u >= cum && u < cum + frac, label).otherwise(acc), cum + frac)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Approximate contiguous sequence packing: rows are packed into
+    * fixed-capacity token bins in `order` order WITHIN each shard — bin id
+    * is ⌊(running-total-before-this-row) / capacity⌋, so a document that
+    * crosses a bin boundary stays in the bin it started (the
+    * cumulative-sum formulation every engine computes in one window pass;
+    * exact first-fit packing is inherently sequential per shard anyway).
+    * Shards pack independently, so the window partitions by shard — never
+    * a global total order through one partition.
+    */
+  def packBins(
+      df: DataFrame,
+      shard: Column,
+      order: Column,
+      tokens: Column,
+      capacity: Long): DataFrame = {
+    val w = Window.partitionBy(shard).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("bin_id",
+      floor((sum(tokens).over(w) - tokens).cast("double") / lit(capacity.toDouble))
+        .cast("long"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic sampling/splitting/packing: reproducible under reruns and
+  * repartitioning, rates land near nominal, packing respects shard capacity.
+  */
+class SamplingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val ids = (0L until 2000L).toDF("id")
+
+  test("hashUniform is deterministic, uniform-ish, and salt-independent draws") {
+    val u1 = ids.select(Sampling.hashUniform(col("id")).as("u")).collect().map(_.getDouble(0))
+    val u2 = ids.repartition(7).select(Sampling.hashUniform(col("id")).as("u"))
+      .collect().map(_.getDouble(0))
+    assert(u1.sorted.toSeq === u2.sorted.toSeq) // partitioning-independent
+    assert(u1.forall(u => u >= 0.0 && u < 1.0))
+    assert(math.abs(u1.sum / u1.length - 0.5) < 0.03) // mean ≈ 0.5
+    val uSalted = ids.select(Sampling.hashUniform(col("id"), "v2").as("u"))
+      .collect().map(_.getDouble(0))
+    assert(uSalted.toSeq !== u1.toSeq) // a salt draws an independent uniform
+  }
+
+  test("sample keeps ≈rate of rows and the same rows every run") {
+    val a = Sampling.sample(ids, col("id"), 0.3).collect().map(_.getLong(0)).toSet
+    val b = Sampling.sample(ids.repartition(5), col("id"), 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.04)
+  }
+
+  test("stratified applies per-stratum rates with a default") {
+    val df = ids.withColumn("lang",
+      when(col("id") % 2 === 0, "en").when(col("id") % 5 === 1, "zh").otherwise("es"))
+    val kept = Sampling.stratified(df, col("id"), col("lang"),
+      Map("en" -> 0.9, "zh" -> 0.1), defaultRate = 0.5)
+    val rates = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = df.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(rates("en").toDouble / totals("en") - 0.9) < 0.05)
+    assert(math.abs(rates("zh").toDouble / totals("zh") - 0.1) < 0.08)
+    assert(math.abs(rates("es").toDouble / totals("es") - 0.5) < 0.07)
+  }
+
+  test("split partitions every row into exactly one band at its fraction") {
+    val out = Sampling.split(ids, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.count() === 2000)
+    val byBand = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byBand.keySet === Set("train", "val", "test"))
+    assert(math.abs(byBand("train") / 2000.0 - 0.8) < 0.04)
+    // same key → same split, regardless of partitioning
+    val again = Sampling.split(ids.repartition(9), col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val first = out.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(again === first)
+  }
+
+  test("packBins: bins fill in order per shard; a row spanning the boundary stays put") {
+    val docs = Seq(
+      ("a", 1L, 60L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 50L),
+      ("b", 5L, 250L))
+      .toDF("shard", "id", "tokens")
+    val out = Sampling.packBins(docs, col("shard"), col("id"), col("tokens"), capacity = 100L)
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    // shard a, capacity 100: 60 | 60+30=90 | starts at 90 → bin 0 (overflows) | starts at 120 → bin 1
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+  }
+}
