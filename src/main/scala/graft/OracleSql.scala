@@ -398,6 +398,17 @@ object OracleSql {
       """SELECT doc_id, lang, n_chars,
         |  CAST(floor((sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
         |    ROWS UNBOUNDED PRECEDING) - n_chars) / 4096.0) AS BIGINT) AS bin_id
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the engine's union+window as-of join vs DuckDB's native ASOF JOIN —
+    // two entirely different algorithms, same relation
+    "q41_asof_join" ->
+      """WITH b AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |s AS (SELECT user_id, tus, max(event_id) AS sid FROM b
+        |      WHERE event_type = 'signup' GROUP BY user_id, tus)
+        |SELECT e.event_id, e.user_id, s.sid AS last_signup_id
+        |FROM (SELECT event_id, user_id, tus FROM b) e
+        |ASOF LEFT JOIN s ON e.user_id = s.user_id AND s.tus <= e.tus
+        |ORDER BY e.event_id""".stripMargin
   )
 }

@@ -457,6 +457,23 @@ object SparkEntry {
       .select("doc_id", "lang", "n_chars", "bin_id")
       .orderBy("doc_id")
 
+  // ---- as-of join: latest signup at-or-before each event -----------------
+  // One union + one keyed window pass — never a time-range cross-join.
+  // Oracle: DuckDB's native ASOF LEFT JOIN over the same inputs.
+  private def q41AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val base = T(s, d, "events").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"))
+    // right side unique per (key, time): ties take the max event id
+    val signups = base.filter(col("event_type") === "signup")
+      .groupBy("user_id", "tus").agg(max(col("event_id")).as("sid"))
+    Relational.asofJoin(
+        base.select("event_id", "user_id", "tus"), signups,
+        "user_id", "tus", "tus", Seq("sid"))
+      .select(col("event_id"), col("user_id"), col("asof.sid").as("last_signup_id"))
+      .orderBy("event_id")
+  }
+
   // ---- §2.1 S4 / §2.6 A1 per-table counts --------------------------------
   private val AllTables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
@@ -506,7 +523,8 @@ object SparkEntry {
     "q37_json_serialize" -> (q37JsonSerialize _),
     "q38_embedding_band_lsh" -> (q38EmbeddingBandLsh _),
     "q39_stratified_sample" -> (q39StratifiedSample _),
-    "q40_pack_bins" -> (q40PackBins _)
+    "q40_pack_bins" -> (q40PackBins _),
+    "q41_asof_join" -> (q41AsofJoin _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -135,4 +135,46 @@ object Relational {
     */
   def dedupByKey(df: DataFrame, keys: Seq[String], orderBy: Column): DataFrame =
     topOnePerGroup(df, keys, Seq(orderBy))
+
+  /** As-of join — the time-series operator Spark lacks natively: each left
+    * row gets the LATEST right payload with `rightTime <= leftTime` on the
+    * same key (equal times match). Composed from existing ops, not a range
+    * cross-join: both sides union into one frame, one shuffle on the key,
+    * one `last(_, ignoreNulls)` window pass carries the payload forward —
+    * right rows sort before left rows at equal timestamps so they are
+    * visible to them. Cost is a single sort-shuffle of |L|+|R| thin rows
+    * regardless of time-range width.
+    *
+    * Right rows must be unique per (key, time) — pre-aggregate if not
+    * (ties would otherwise resolve by partition order). Left rows need no
+    * uniqueness: equal-time left rows see the same carried payload.
+    *
+    * Output: the left columns plus `asof` (struct of `payload` columns,
+    * null when no right row precedes).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    val pay = struct(payload.map(col): _*)
+    val payType = right.select(pay.as("__p")).schema("__p").dataType
+    val leftRow = struct(left.columns.map(col): _*)
+    val leftType = left.select(leftRow.as("__l")).schema("__l").dataType
+    val l = left.select(
+      col(key).as("__k"), col(leftTime).as("__t"),
+      lit(null).cast(payType).as("__p"), lit(0).as("__side"), leftRow.as("__l"))
+    val r = right.select(
+      col(key).as("__k"), col(rightTime).as("__t"),
+      pay.as("__p"), lit(1).as("__side"), lit(null).cast(leftType).as("__l"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(col("__l.*"), col("__asof").as("asof"))
+  }
 }

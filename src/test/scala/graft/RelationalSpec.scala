@@ -69,4 +69,21 @@ class RelationalSpec extends SparkSpecBase {
     val out = Relational.dedupByKey(df, Seq("k"), col("o").asc).orderBy("k").collect()
     assert(out.map(_.getString(2)).toSeq === Seq("z", "a"))
   }
+
+  test("asofJoin: latest at-or-before right row wins; no predecessor → null") {
+    val quotes = Seq((1L, 10L, "q10"), (1L, 20L, "q20"), (2L, 50L, "q50"))
+      .toDF("key", "t", "quote")
+    val trades = Seq((1L, 5L, "early"), (1L, 10L, "attime"), (1L, 25L, "late"),
+      (2L, 49L, "before"), (3L, 7L, "nokey"))
+      .toDF("key", "t", "tag")
+    val out = Relational.asofJoin(trades, quotes, "key", "t", "t", Seq("quote"))
+      .select(col("tag"), col("asof.quote").as("q"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      "early" -> null,     // no quote at or before t=5
+      "attime" -> "q10",   // equal timestamp matches
+      "late" -> "q20",     // latest preceding, not first
+      "before" -> null,    // other key's quotes invisible
+      "nokey" -> null))
+  }
 }
