@@ -409,6 +409,14 @@ object OracleSql {
         |SELECT e.event_id, e.user_id, s.sid AS last_signup_id
         |FROM (SELECT event_id, user_id, tus FROM b) e
         |ASOF LEFT JOIN s ON e.user_id = s.user_id AND s.tus <= e.tus
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q42_range_join" ->
+      """WITH b AS (SELECT event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |w AS (SELECT event_id AS err_id, tus AS w_start, tus + 600000000 AS w_end
+        |      FROM b WHERE event_type = 'error')
+        |SELECT w.err_id, count(*) AS n_events_in_window
+        |FROM b e JOIN w ON e.tus >= w.w_start AND e.tus < w.w_end
+        |GROUP BY w.err_id ORDER BY w.err_id""".stripMargin
   )
 }

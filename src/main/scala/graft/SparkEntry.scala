@@ -474,6 +474,24 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  // ---- range join: events inside each error's 10-minute incident window --
+  // Bucketized containment join — the equi-join collides only same-bucket
+  // candidates; DuckDB verifies with a plain inequality join (IEJoin).
+  private def q42RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val base = T(s, d, "events").select(
+      col("event_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val windows = base.filter(col("event_type") === "error").select(
+      col("event_id").as("err_id"),
+      col("tus").as("w_start"),
+      (col("tus") + lit(600000000L)).as("w_end"))
+    Relational.rangeJoin(
+        base.select("event_id", "tus"), "tus", windows, "w_start", "w_end",
+        bucketWidth = 600000000L)
+      .groupBy("err_id")
+      .agg(count(lit(1)).as("n_events_in_window"))
+      .orderBy("err_id")
+  }
+
   // ---- §2.1 S4 / §2.6 A1 per-table counts --------------------------------
   private val AllTables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
@@ -524,7 +542,8 @@ object SparkEntry {
     "q38_embedding_band_lsh" -> (q38EmbeddingBandLsh _),
     "q39_stratified_sample" -> (q39StratifiedSample _),
     "q40_pack_bins" -> (q40PackBins _),
-    "q41_asof_join" -> (q41AsofJoin _)
+    "q41_asof_join" -> (q41AsofJoin _),
+    "q42_range_join" -> (q42RangeJoin _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

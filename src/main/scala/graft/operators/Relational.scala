@@ -152,6 +152,35 @@ object Relational {
     * Output: the left columns plus `asof` (struct of `payload` columns,
     * null when no right row precedes).
     */
+  /** Range join — point-in-interval containment (`leftTime ∈ [start, end)`)
+    * without the cross-join Spark would otherwise plan for an inequality
+    * condition. Both sides discretize onto `bucketWidth`-sized buckets:
+    * points map to one bucket, intervals explode to the buckets they span,
+    * the equi-join on the bucket collides only candidates within one width
+    * of each other, and the exact predicate filters the edges. Work is
+    * |points| + Σ(interval span / width) rows through one hash shuffle —
+    * pick `bucketWidth` near the typical interval length (≈1 bucket per
+    * interval; a too-small width multiplies the explode, a too-large one
+    * the candidates).
+    *
+    * Output: all left columns plus the interval side's columns.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      pointTime: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    val w = lit(bucketWidth)
+    val p = points.withColumn("__bucket", floor(col(pointTime) / w))
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(startCol) / w), floor((col(endCol) - 1) / w))))
+    p.join(iv, Seq("__bucket"))
+      .filter(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
+      .drop("__bucket")
+  }
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,

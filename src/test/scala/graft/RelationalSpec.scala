@@ -70,6 +70,17 @@ class RelationalSpec extends SparkSpecBase {
     assert(out.map(_.getString(2)).toSeq === Seq("z", "a"))
   }
 
+  test("rangeJoin: [start, end) containment, bucket-width independent") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 35L)).toDF("id", "t")
+    val ivs = Seq(("A", 10L, 20L), ("B", 30L, 40L)).toDF("iv", "s", "e")
+    for (width <- Seq(3L, 7L, 100L)) { // incl. deliberately unaligned + oversized
+      val out = Relational.rangeJoin(points, "t", ivs, "s", "e", width)
+        .select("id", "iv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(out === Set((2L, "A"), (3L, "A"), (5L, "B")),
+        s"width=$width") // start inclusive, end exclusive, no cross matches
+    }
+  }
+
   test("asofJoin: latest at-or-before right row wins; no predecessor → null") {
     val quotes = Seq((1L, 10L, "q10"), (1L, 20L, "q20"), (2L, 50L, "q50"))
       .toDF("key", "t", "quote")
