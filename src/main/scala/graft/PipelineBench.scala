@@ -58,10 +58,15 @@ object PipelineBench {
       (col("id") % 97 === 0).as("isDeleted"),
       lit(true).as("isActive"),
       timestamp_micros(lit(1700000000000000L) + col("id") * 1000L).as("createdAt"))
+    // two members per room with DISTINCT users (id%nRooms and id%nRooms+1
+    // would collapse to one user when nRooms divides nUsers — the p2p pair
+    // stage would then emit nothing and bench an empty frame)
     val members = spark.range(nMembers).select(
       concat(lit("b"), col("id")).as("_id"),
       concat(lit("r"), col("id") % nRooms).as("room"),
-      concat(lit("u"), col("id") % nUsers).as("user"),
+      concat(lit("u"),
+        when(col("id") < nRooms, col("id") % nUsers)
+          .otherwise((col("id") * 7 + 1) % nUsers)).as("user"),
       when(col("id") % 11 === 0, "admin").otherwise("member").as("role"),
       timestamp_micros(lit(1700000000000000L)).as("joinedAt"))
 
