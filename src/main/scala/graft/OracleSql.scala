@@ -417,6 +417,12 @@ object OracleSql {
         |      FROM b WHERE event_type = 'error')
         |SELECT w.err_id, count(*) AS n_events_in_window
         |FROM b e JOIN w ON e.tus >= w.w_start AND e.tus < w.w_end
-        |GROUP BY w.err_id ORDER BY w.err_id""".stripMargin
+        |GROUP BY w.err_id ORDER BY w.err_id""".stripMargin,
+
+    // single-phase reference for the engine's salted two-phase aggregation
+    "q43_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -492,6 +492,19 @@ object SparkEntry {
       .orderBy("err_id")
   }
 
+  // ---- skew: salted two-phase aggregation ≡ plain group-by ---------------
+  // The salt spreads each hot key over 16 partial groups; decimal partials
+  // re-merge exactly, so the oracle's single-phase GROUP BY hash-matches.
+  private def q43SaltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew.saltedGroupAgg(
+        T(s, d, "events"),
+        "event_type", "event_id", saltFactor = 16,
+        partialAggs = Seq(count(lit(1)).as("__c"),
+          sum(col("value").cast("decimal(18,6)")).as("__s")),
+        finalAggs = Seq(sum(col("__c")).as("n_events"),
+          sum(col("__s")).cast("double").as("sum_value")))
+      .orderBy("event_type")
+
   // ---- §2.1 S4 / §2.6 A1 per-table counts --------------------------------
   private val AllTables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
@@ -543,7 +556,8 @@ object SparkEntry {
     "q39_stratified_sample" -> (q39StratifiedSample _),
     "q40_pack_bins" -> (q40PackBins _),
     "q41_asof_join" -> (q41AsofJoin _),
-    "q42_range_join" -> (q42RangeJoin _)
+    "q42_range_join" -> (q42RangeJoin _),
+    "q43_salted_agg" -> (q43SaltedAgg _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
