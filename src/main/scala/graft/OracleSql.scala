@@ -423,6 +423,16 @@ object OracleSql {
     "q43_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q44_exact_moments" ->
+      """SELECT event_type, count(value) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value) AS mean,
+        |  CASE WHEN count(value) > 1 THEN
+        |    round((CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+        |      - CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+        |        * CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value))
+        |    / (count(value) - 1), 6) END AS variance
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -505,6 +505,12 @@ object SparkEntry {
           sum(col("__s")).cast("double").as("sum_value")))
       .orderBy("event_type")
 
+  // ---- exact distributed moments (decimal-sum algebraic decomposition) ---
+  private def q44ExactMoments(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sketches.exactMoments(
+        T(s, d, "events"), Seq("event_type"), col("value"))
+      .orderBy("event_type")
+
   // ---- §2.1 S4 / §2.6 A1 per-table counts --------------------------------
   private val AllTables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
@@ -557,7 +563,8 @@ object SparkEntry {
     "q40_pack_bins" -> (q40PackBins _),
     "q41_asof_join" -> (q41AsofJoin _),
     "q42_range_join" -> (q42RangeJoin _),
-    "q43_salted_agg" -> (q43SaltedAgg _)
+    "q43_salted_agg" -> (q43SaltedAgg _),
+    "q44_exact_moments" -> (q44ExactMoments _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -67,4 +67,29 @@ object Sketches {
           .as("raw_estimate"),
         (lit(NumBuckets.toLong) - col("present")).as("zero_buckets"))
   }
+
+  /** Exact distributed moments per group — count, mean, sample variance —
+    * from DECIMAL sums of x and x² (the algebraic decomposition: partials
+    * merge by exact addition, so the result is immune to partition order,
+    * unlike a streaming double accumulator). The final mean/variance
+    * arithmetic runs in double ON the exact sums, so any engine computing
+    * the same formula agrees bit-for-bit. Map-side partial aggregation,
+    * one shuffle, constant state per group.
+    */
+  def exactMoments(df: DataFrame, keys: Seq[String], x: Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(x).as("n"),
+        sum(x.cast("decimal(20,6)")).as("__s"),
+        sum((x * x).cast("decimal(38,12)")).as("__ss"))
+      .withColumn("mean", col("__s").cast("double") / col("n"))
+      // the two-term variance formula leaves ~1 ulp to evaluation order, so
+      // the derived statistic is pinned to 6 dp (the sums it derives from
+      // stay exact)
+      .withColumn("variance",
+        when(col("n") > 1,
+          round((col("__ss").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double") / col("n")) /
+            (col("n") - 1), 6)))
+      .drop("__s", "__ss")
 }

@@ -81,6 +81,16 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("rangeJoin plans an equi-join, never a nested-loop scan") {
+    val points = Seq((1L, 5L)).toDF("id", "t")
+    val ivs = Seq(("A", 0L, 10L)).toDF("iv", "s", "e")
+    val plan = Relational.rangeJoin(points, "t", ivs, "s", "e", 10L)
+      .queryExecution.executedPlan.toString
+    // a raw inequality join would plan BroadcastNestedLoopJoin/Cartesian —
+    // O(|points|·|intervals|) compares; the bucket key must carry the join
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+  }
+
   test("asofJoin: latest at-or-before right row wins; no predecessor → null") {
     val quotes = Seq((1L, 10L, "q10"), (1L, 20L, "q20"), (2L, 50L, "q50"))
       .toDF("key", "t", "quote")

@@ -51,4 +51,19 @@ class SketchesSpec extends SparkSpecBase {
       .orderBy("bucket").collect().map(r => (r.getString(0), r.getInt(1)))
     assert(merged.toSeq === whole.toSeq)
   }
+
+  test("exactMoments: hand-checked values, nulls skipped, repartition-invariant") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None), ("b", Some(5.0))).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.exactMoments(d, Seq("g"), col("v")).orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2), if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    val out = run(df)
+    assert(out(0) === (("a", 3L, 2.0, 1.0))) // var({1,2,3}) = 1, null skipped
+    assert(out(1)._2 === 1L)
+    assert(out(1)._4 === null)               // n=1 → variance undefined
+    // decimal partials ⇒ bit-identical under any partitioning
+    assert(run(df.repartition(7)) === out)
+  }
 }
