@@ -41,6 +41,24 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frameMs.toSeq === Seq(0L, 500L, 1000L, 1500L))
   }
 
+  test("extracted features feed the embedding dedup tier unchanged") {
+    // two assets with identical bytes + one different: the stub features go
+    // straight into embeddingNearDupPairs — same Array[Float] contract as
+    // the embeddings table, so the multimodal and ANN tiers compose
+    val rows = Seq(
+      Row(1L, "image", Array.tabulate[Byte](100)(_.toByte), null),
+      Row(2L, "image", Array.tabulate[Byte](100)(_.toByte), null),
+      Row(3L, "image", Array.tabulate[Byte](100)(i => (i * 7 + 1).toByte), null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.MediaSchema)
+    val feats = Multimodal.extractFeatures(df, dim = 8)
+    val pairs = graft.operators.Dedup
+      .embeddingNearDupPairs(feats, "media_id", "feature", signBits = 2, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("mediaStats never touches the blob column (pruned scan)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
     media().write.mode("overwrite").parquet(tmp)
