@@ -433,6 +433,31 @@ object OracleSql {
         |      - CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
         |        * CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / count(value))
         |    / (count(value) - 1), 6) END AS variance
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q17's pair generation + a recursive-CTE transitive closure: min
+    // reachable id per node ≡ the engine's min-label propagation fixpoint
+    "q45_dedup_components" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(ws)-1, 1)),
+        |  i -> array_to_string(ws[i:i+1], ' '))) AS s FROM w),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 7),
+        |  k -> list_aggregate(list_transform(s, x -> md5(concat(k, ':', x))), 'min')) AS g FROM sh),
+        |bands AS (SELECT doc_id, list_transform(generate_series(0, 3),
+        |  b -> md5(array_to_string(g[b*2+1:b*2+2], '|'))) AS bl FROM sig),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(generate_series(1, 4), i -> a.bl[i] = b.bl[i])) > 0),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+        |r(src, dst) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.dst
+        |)
+        |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+        |FROM documents d LEFT JOIN (SELECT src AS id, min(dst) AS comp FROM r GROUP BY src) c
+        |  ON c.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -511,6 +511,20 @@ object SparkEntry {
         T(s, d, "events"), Seq("event_type"), col("value"))
       .orderBy("event_type")
 
+  // ---- dedup: components over the near-dup pair graph --------------------
+  // Same pair generation as q17; min-label propagation vs the oracle's
+  // recursive-CTE transitive closure. Docs with no pairs are singletons.
+  private def q45DedupComponents(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      shingleLen = 2, bands = 4, rowsPerBand = 2)
+    val comp = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      .orderBy("doc_id")
+  }
+
   // ---- §2.1 S4 / §2.6 A1 per-table counts --------------------------------
   private val AllTables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
@@ -564,7 +578,8 @@ object SparkEntry {
     "q41_asof_join" -> (q41AsofJoin _),
     "q42_range_join" -> (q42RangeJoin _),
     "q43_salted_agg" -> (q43SaltedAgg _),
-    "q44_exact_moments" -> (q44ExactMoments _)
+    "q44_exact_moments" -> (q44ExactMoments _),
+    "q45_dedup_components" -> (q45DedupComponents _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -191,6 +191,47 @@ object Dedup {
       .select("id1", "id2")
   }
 
+  /** Connected components over a near-duplicate pair graph: pairs become
+    * clusters, so a cluster keeps exactly one survivor (its min id) — the
+    * transitive step that per-pair removal only approximates (a~b, b~c
+    * must eliminate two of the three even when a~c was never emitted).
+    *
+    * Iterative min-label propagation: label(v) ← min(label(v), neighbors'
+    * labels) until fixpoint — O(graph diameter) rounds of one join + one
+    * map-side-combined groupBy; near-dup clusters are dense and shallow so
+    * a handful of rounds converges. `localCheckpoint` truncates lineage per
+    * round (the same pattern as iterative [[Hierarchy]] resolution).
+    *
+    * Returns (id, comp) for every node that appears in `pairs`; nodes with
+    * no pairs are their own singleton component (left-join + coalesce at
+    * the call site).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("comp")), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("comp")).as("nbr"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Banded hyperplane LSH near-duplicate pairs — the recall-controlled
     * variant (multi-band, like [[minHashLshPairs]] for text): band b's key
     * is the sign pattern of coordinates [b·r, (b+1)·r); two vectors are

@@ -97,6 +97,14 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.autoSignBits(300) === 3)
   }
 
+  test("connectedComponents: chains collapse transitively to the min id") {
+    // a-b, b-c chain (a~c never emitted) + separate pair (10,11)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("embeddingLshBandPairs: any-band collision finds near-dups, gates the rest") {
     val base = (0 until 32).map(i => if (i % 2 == 0) 1.0f else -1.0f).toArray
     val near = base.clone(); near(0) = 0.9f          // tiny perturbation
