@@ -212,24 +212,42 @@ object Dedup {
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("comp")), Seq("b"))
-        .groupBy(col("a").as("id"))
-        .agg(min(col("comp")).as("nbr"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .filter(col("comp") =!= col("prev")).count()
-      labels = next
-      iter += 1
-    }
-    labels
+    // convergence detection rides the checkpoint action as an observed
+    // metric — a separate changed-count join would double the actions per
+    // round (an iterative operator's cost is dominated by per-round jobs)
+    val mc = new graft.run.MetricsCollector(labels.sparkSession)
+    try {
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("b"), col("comp")), Seq("b"))
+          .groupBy(col("a").as("id"))
+          .agg(min(col("comp")).as("nbr"))
+        val name = s"cc_changed_$iter"
+        // two contractions per round: neighbor-min, then a pointer jump
+        // through the previous labels (comp ← label(comp)) — labels only
+        // shrink (comp ≤ id invariant), so the jump is a pure accelerator
+        // taking chain convergence from O(diameter) to O(log diameter)
+        val next = labels
+          .join(nbrMin, Seq("id"), "left")
+          .withColumn("__m", least(col("comp"), coalesce(col("nbr"), col("comp"))))
+          .join(labels.select(col("comp").as("__jump"), col("id").as("__m")),
+            Seq("__m"), "left")
+          .withColumn("__next", coalesce(col("__jump"), col("__m")))
+          .observe(name, sum(when(col("__next") =!= col("comp"), 1L).otherwise(0L))
+            .as("changed"))
+          .select(col("id"), col("__next").as("comp"))
+          .localCheckpoint(true)
+        changed = mc.await(name).map(_("changed")) match {
+          case Some(l: Long) => l
+          case _ => 0L // null sum ⇔ zero rows ⇔ nothing left to change
+        }
+        labels = next
+        iter += 1
+      }
+      labels
+    } finally mc.close()
   }
 
   /** Banded hyperplane LSH near-duplicate pairs — the recall-controlled
