@@ -458,6 +458,19 @@ object OracleSql {
         |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
         |FROM documents d LEFT JOIN (SELECT src AS id, min(dst) AS comp FROM r GROUP BY src) c
         |  ON c.id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q46_top_words" ->
+      """WITH words AS (
+        |  SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang, word, count(*) AS n FROM words WHERE word <> '' GROUP BY lang, word),
+        |ranked AS (
+        |  SELECT lang, word, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rnk
+        |  FROM counts)
+        |SELECT lang, rnk, word, n FROM ranked WHERE rnk <= 3
+        |ORDER BY lang, rnk""".stripMargin
   )
 }

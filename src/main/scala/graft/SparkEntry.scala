@@ -525,6 +525,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---- corpus stats: top-k frequent words per language -------------------
+  // Explode → two-level aggregation (map-side combine on (lang, word)) →
+  // per-group top-k via WindowGroupLimit; ties break on the word itself so
+  // both engines rank identically.
+  private def q46TopWords(s: SparkSession, d: String): DataFrame = {
+    val words = T(s, d, "documents")
+      .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("word").asc)
+    words.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("lang", "rnk", "word", "n")
+      .orderBy("lang", "rnk")
+  }
+
   // ---- §2.1 S4 / §2.6 A1 per-table counts --------------------------------
   private val AllTables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
@@ -579,7 +596,8 @@ object SparkEntry {
     "q42_range_join" -> (q42RangeJoin _),
     "q43_salted_agg" -> (q43SaltedAgg _),
     "q44_exact_moments" -> (q44ExactMoments _),
-    "q45_dedup_components" -> (q45DedupComponents _)
+    "q45_dedup_components" -> (q45DedupComponents _),
+    "q46_top_words" -> (q46TopWords _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
