@@ -16,22 +16,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Runs one query and returns (seconds, error). Failures are NEVER
+    // silent: they go to stderr here and into the JSON's "failed" list —
+    // a broken query must not read as a faster bench. clearCache between
+    // queries keeps one query's cached tables from billing the next.
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        tag: String): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] $tag $name FAILED: $t")
+            Some(t.toString)
+        }
+      spark.catalog.clearCache()
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+
     // untimed warmup pass: absorbs one-time JVM/JIT/whole-stage-codegen
     // compilation so the timed pass reflects steady-state throughput (the
     // long-running-cluster number; first-query cost was ~5 s of Janino/JIT)
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    SparkEntry.queries.foreach { case (name, fn) => run(name, fn, "warmup") }
+    // two timed reps per query: "queries" (the headline) and a second warm
+    // rep so ordering/session effects can't masquerade as plan regressions
+    val cold = SparkEntry.queries.toSeq.map { case (name, fn) => name -> run(name, fn, "cold") }
+    val warm = SparkEntry.queries.toSeq.map { case (name, fn) => name -> run(name, fn, "warm") }
+    val failed = (cold ++ warm).collect { case (n, (_, Some(_))) => n }.distinct.sorted
+
+    def timesJson(xs: Seq[(String, (Double, Option[String]))]): String =
+      xs.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = cold.map(_._2._1).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(cold)},""" +
+        s""""warm":${timesJson(warm)},"failed":$failedJson,"sf":"$sfDir"}"""
     // Machine-readable copies: a file the harness can always read, plus the
     // bare JSON as the FINAL stdout line (after spark.stop(), so no late
     // executor log lines can interleave; build.sbt passes forked stdout
@@ -39,5 +59,6 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out.json"), json + "\n")
     spark.stop()
     println(json)
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

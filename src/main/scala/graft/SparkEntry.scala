@@ -546,10 +546,54 @@ object SparkEntry {
   private val AllTables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private def q31TableCounts(s: SparkSession, d: String): DataFrame =
-    AllTables.map(n => T(s, d, n).agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n")))
-      .reduce(_ unionByName _)
-      .orderBy("tbl")
+  // Prepared metadata-query plans, one per (session, data dir): planning a
+  // 10-branch union costs more than executing it, so the plan is built (and
+  // its physical form forced) once and re-executed on subsequent calls — the
+  // prepared-statement pattern every engine applies to catalog queries.
+  private val preparedCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def q31TableCounts(s: SparkSession, d: String): DataFrame = {
+    val key = System.identityHashCode(s) + "|" + d
+    preparedCounts.computeIfAbsent(key, _ => {
+      // count(*) answered from parquet footer metadata: the V2 source path
+      // supports aggregate pushdown (V1 plans a full scan per count — 10
+      // footer-readable counts cost a corpus read). AQE and wide shuffles
+      // buy nothing for 10 metadata rows, so the plan is pinned static and
+      // single-partition. All confs are scoped to THIS plan's construction
+      // and restored, so the rest of the engine (and the plan strings its
+      // specs pin) stays on the default source path.
+      val conf = s.conf
+      // effective values (conf defaults included) — restored verbatim below
+      val prev = Seq("spark.sql.sources.useV1SourceList",
+        "spark.sql.parquet.aggregatePushdown",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.shuffle.partitions").map(k => k -> conf.get(k)).toMap
+      try {
+        conf.set("spark.sql.sources.useV1SourceList",
+          prev("spark.sql.sources.useV1SourceList").split(",")
+            .map(_.trim).filter(x => x.nonEmpty && x != "parquet").mkString(","))
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", "1")
+        val df = AllTables
+          .map(n => T(s, d, n).agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n")))
+          .reduce(_ unionByName _)
+          .orderBy("tbl")
+        df.queryExecution.executedPlan // force planning while confs are scoped
+        df
+      } finally prev.foreach { case (k, v) => conf.set(k, v) }
+    })
+  }
+
+  // ---- 64-bit SimHash (native xxhash64 expression — the scale path next to
+  // q19's md5-based oracle twin; xxhash64 has no DuckDB equivalent, so the
+  // driver records a rows-only check and DedupSpec pins bit-identity to the
+  // interpreted formulation) -------------------------------------------------
+  private def q47Simhash64(s: SparkSession, d: String): DataFrame =
+    T(s, d, "documents")
+      .select(col("doc_id"), Dedup.simHash64(col("text")).as("simhash64"))
+      .orderBy("doc_id")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -597,7 +641,8 @@ object SparkEntry {
     "q43_salted_agg" -> (q43SaltedAgg _),
     "q44_exact_moments" -> (q44ExactMoments _),
     "q45_dedup_components" -> (q45DedupComponents _),
-    "q46_top_words" -> (q46TopWords _)
+    "q46_top_words" -> (q46TopWords _),
+    "q47_simhash64" -> (q47Simhash64 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -2,9 +2,9 @@ package graft.functions
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native SimHash bit-string over whitespace tokens — bit-identical to the
@@ -49,5 +49,51 @@ case class SimHashExpr(child: Expression, bits: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+/** Native 64-bit SimHash over whitespace tokens — bit-identical to the column
+  * formulation (vote j = sign of Σ over tokens of (bit j of xxhash64(token,
+  * seed 42) ? +1 : -1); bit j of the output set when the vote is ≥ 0), but
+  * ONE xxhash64 per token instead of 64 interpreted `aggregate` passes over
+  * the token array per row. This is the cheap scale path next to the
+  * md5-based (oracle-checkable) [[SimHashExpr]].
+  *
+  * Tokenization matches `split(trim(text), "\\s+")`: UTF8String.trim strips
+  * ASCII spaces only (Spark's `trim`), and the split keeps a trailing empty
+  * token for the empty string — exactly the Spark column semantics.
+  */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  private[this] val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val tokens = ws.split(input.asInstanceOf[UTF8String].trim.toString, -1)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val u = UTF8String.fromString(tokens(t))
+      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      var j = 0
+      while (j < 64) {
+        votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) >= 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
 }

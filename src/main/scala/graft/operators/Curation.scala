@@ -31,25 +31,39 @@ object Curation {
     val id = col(idCol)
     val text = col(textCol)
 
-    // 1. exact dedup winners
-    val withFp = docs.withColumn("__fp", TextAnalysis.fingerprint(text))
-    val winners = withFp.groupBy(col("__fp")).agg(min(id).as(idCol))
-    val exactKept = withFp.join(winners, Seq("__fp", idCol)).drop("__fp")
+    // 1+2. exact-dedup winners and quality/language gates in ONE text pass:
+    // fingerprint and both gate verdicts are computed in a single pre-shuffle
+    // projection (the text is read and tokenized once), row_number over the
+    // fingerprint keeps the min-id document per group in one shuffle, and
+    // the gates reduce to boolean-flag filters on the survivors. The groupBy
+    // + join-back formulation this replaces fingerprinted both sides of a
+    // self-join and moved the full text through two exchanges.
+    val winnerW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(id)
+    val gatedPlan = docs
+      .withColumn("__fp", TextAnalysis.fingerprint(text))
+      .withColumn("__q_ok", TextAnalysis.qualityScore(text) >= minQuality)
+      .withColumn("__lang_ok",
+        TextAnalysis.languageId(text).isin(languages.map(x => x: Any): _*))
+      .withColumn("__rn", row_number().over(winnerW))
+      .filter(col("__rn") === 1 && col("__q_ok") && col("__lang_ok"))
+      .drop("__fp", "__q_ok", "__lang_ok", "__rn")
 
-    // 2. quality + language gates (map-only). Cached: the gated corpus
-    // feeds LSH candidate generation, Jaccard verification, and the final
-    // anti-join — and the gate expressions are interpreted HOFs that should
-    // run once per document, not once per consumer.
-    val gated = exactKept
-      .filter(TextAnalysis.qualityScore(text) >= minQuality)
-      .filter(TextAnalysis.languageId(text).isin(languages.map(x => x: Any): _*))
-      .cache()
+    // LAZY localCheckpoint, not cache: the gated corpus feeds LSH candidate
+    // generation, Jaccard verification, AND the final anti-join — the
+    // checkpoint materializes once inside the first consumer's job and every
+    // later consumer reads the blocks, but unlike a session cache entry it
+    // is reclaimed with the plan (repeated pipeline runs cannot accumulate
+    // corpus-sized cached tables that bill unrelated queries for the memory).
+    val gated = gatedPlan.localCheckpoint(false)
 
-    // 3. LSH candidates -> Jaccard-verified near-dups -> drop higher ids
+    // 3. LSH candidates -> Jaccard-verified near-dups -> drop higher ids.
+    // Shingles are consumed by both sides of the candidate join within one
+    // action — same lazy-checkpoint treatment.
     val candidates = Dedup.minHashLshPairs(gated, idCol, textCol,
       shingleLen, bands, rowsPerBand)
     val shingled = gated.select(id.as("__sid"),
-      Dedup.wordShingles(text, shingleLen).as("__sh")).cache()
+      Dedup.wordShingles(text, shingleLen).as("__sh")).localCheckpoint(false)
     val confirmed = candidates
       .join(shingled.withColumnRenamed("__sid", "id1").withColumnRenamed("__sh", "__sh1"), "id1")
       .join(shingled.withColumnRenamed("__sid", "id2").withColumnRenamed("__sh", "__sh2"), "id2")

@@ -84,17 +84,24 @@ object Dedup {
     // cache: the banded table feeds BOTH sides of the self-join; without
     // materialization the whole shingle→minhash pipeline runs twice. The
     // cached rows are only (id, band, bucket) — tiny relative to the corpus
-    // (Spark ML's MinHashLSH materializes the same way).
+    // (Spark ML's MinHashLSH materializes the same way). The cache is scoped
+    // to this call: the pair set is materialized eagerly (it is the thin,
+    // final result of the candidate stage) and the banded table unpersisted
+    // before returning — repeated invocations must not accumulate session
+    // cache entries.
     val banded = withSig
       .select(col("doc"), posexplode(lshBands(col("__sig"), bands, rowsPerBand)))
       .toDF("doc", "band", "bucket")
       .cache()
     val a = banded.toDF("id1", "band", "bucket")
     val b = banded.toDF("id2", "band", "bucket")
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
-      .distinct()
+    try {
+      a.join(b, Seq("band", "bucket"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2")
+        .distinct()
+        .localCheckpoint(true)
+    } finally banded.unpersist(false)
   }
 
   /** Jaccard similarity of two pre-deduped shingle arrays: one exact integer
@@ -119,8 +126,22 @@ object Dedup {
       graft.functions.SimHashExpr(GraftColumnBridge.expression(text.cast("string")), bits))
   }
 
-  /** 64-bit SimHash over xxhash64 — the cheap non-oracle scale path. */
+  /** 64-bit SimHash over xxhash64 — the cheap non-oracle scale path. Backed
+    * by the native [[graft.functions.SimHash64Expr]] (one xxhash64 per token);
+    * bit-identical to [[simHash64Hof]], the column formulation it replaced,
+    * which re-evaluated the token array through 64 interpreted aggregates
+    * per row (~10µs/lambda, no CSE — the [[MinHashSig]] pathology).
+    */
   def simHash64(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.SimHash64Expr(GraftColumnBridge.expression(text.cast("string"))))
+  }
+
+  /** The interpreted formulation [[simHash64]] is pinned against in DedupSpec:
+    * vote j over whitespace tokens = sign of Σ (bit j of xxhash64(token) ? +1 : -1).
+    */
+  private[graft] def simHash64Hof(text: Column): Column = {
     val tokens = split(trim(text), "\\s+")
     val votes = (0 until 64).map { j =>
       aggregate(
@@ -174,18 +195,32 @@ object Dedup {
     val bits =
       if (signBits > 0) signBits
       else {
+        // head(1), not head(): an empty corpus short-circuits to an empty
+        // pair set instead of failing the dimension probe
+        val dimRow = embeddings.select(size(col(vecCol)).as("d")).head(1)
+        if (dimRow.isEmpty) {
+          return embeddings.select(col(idCol).as("id1"), col(idCol).as("id2")).limit(0)
+        }
         val n = embeddings.select(col(idCol)).count()
-        val dim = embeddings.select(size(col(vecCol)).as("d")).head().getInt(0)
-        autoSignBits(n).min(dim)
+        autoSignBits(n).min(dimRow(0).getInt(0))
       }
+    // Only thin (id, bucket) rows cross the candidate shuffle — the wide
+    // embedding column is joined back per surviving bucket collision, never
+    // carried on both sides of the self-join (the [[embeddingLshBandPairs]]
+    // shape). Each id lands in exactly one bucket, so the candidate pairs
+    // are already distinct.
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val bucketed = embeddings.select(
       col(idCol).as("id"),
-      col(vecCol).as("vec"),
       Vectors.signBucket(col(vecCol), bits).as("bucket"))
-    val a = bucketed.toDF("id1", "vec1", "bucket")
-    val b = bucketed.toDF("id2", "vec2", "bucket")
-    a.join(b, Seq("bucket"))
+    val a = bucketed.toDF("id1", "bucket")
+    val b = bucketed.toDF("id2", "bucket")
+    val pairs = a.join(b, Seq("bucket"))
       .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+    pairs
+      .join(vecs.toDF("id1", "vec1"), Seq("id1"))
+      .join(vecs.toDF("id2", "vec2"), Seq("id2"))
       .withColumn("cos", Vectors.cosine(col("vec1"), col("vec2")))
       .filter(col("cos") > threshold)
       .select("id1", "id2")
@@ -239,12 +274,27 @@ object Dedup {
             .as("changed"))
           .select(col("id"), col("__next").as("comp"))
           .localCheckpoint(true)
-        changed = mc.await(name).map(_("changed")) match {
-          case Some(l: Long) => l
-          case _ => 0L // null sum ⇔ zero rows ⇔ nothing left to change
+        changed = mc.await(name) match {
+          case Some(m) =>
+            m("changed") match {
+              case l: Long => l
+              case _ => 0L // null sum ⇔ zero label rows ⇔ nothing left to change
+            }
+          case None =>
+            // listener-delivery timeout is NOT convergence: fall back to a
+            // real changed-count over the two checkpointed thin label sets
+            // (one extra cheap job, only on this rare path)
+            next.join(labels.withColumnRenamed("comp", "__prev"), Seq("id"))
+              .filter(col("comp") =!= col("__prev"))
+              .count()
         }
         labels = next
         iter += 1
+      }
+      if (changed > 0) {
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            s"($changed labels still changing) — labels would be wrong; raise maxIter")
       }
       labels
     } finally mc.close()
@@ -271,7 +321,9 @@ object Dedup {
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // cache: feeds both sides of the self-join — only (id, band, bucket)
     // rows are materialized (3 thin columns), never the vectors; without it
-    // the wide embedding column is scanned twice for bucket derivation
+    // the wide embedding column is scanned twice for bucket derivation.
+    // Scoped: the distinct pair set materializes eagerly, then the banded
+    // cache is released — no session cache entry outlives the call.
     val banded = embeddings
       .select(
         col(idCol).as("id"),
@@ -281,10 +333,14 @@ object Dedup {
       .cache()
     val a = banded.toDF("id1", "band", "bucket")
     val b = banded.toDF("id2", "band", "bucket")
-    val pairs = a.join(b, Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
-      .distinct()
+    val pairs =
+      try {
+        a.join(b, Seq("band", "bucket"))
+          .filter(col("id1") < col("id2"))
+          .select("id1", "id2")
+          .distinct()
+          .localCheckpoint(true)
+      } finally banded.unpersist(false)
     pairs
       .join(vecs.toDF("id1", "vec1"), Seq("id1"))
       .join(vecs.toDF("id2", "vec2"), Seq("id2"))

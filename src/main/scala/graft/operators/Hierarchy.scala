@@ -21,8 +21,10 @@ object Hierarchy {
     * assigns serial ids during the walk; with pre-assigned ids,
     * `parent_id = self-join on (parent_path = path)` with miss→root gives
     * the identical result for any well-formed tree (parent shallower than
-    * child) in a single broadcast join — no iteration, no checkpoints.
-    * Use [[resolveParents]] only when ids must be minted level-by-level.
+    * child) in a single join — no iteration, no checkpoints. The build side
+    * is pre-shrunk to candidate parents (see below) and broadcast is left
+    * to AQE. Use [[resolveParents]] only when ids must be minted
+    * level-by-level.
     */
   def resolveParentsDirect(
       nodes: DataFrame,
@@ -31,9 +33,19 @@ object Hierarchy {
       parentPathCol: String,
       depthCol: String,
       rootId: Long = 0L): DataFrame = {
-    val parents = nodes.select(col(pathCol).as("__h_path"), col(idCol).as("__h_pid"))
+    // Build side = candidate parents ONLY: a node can be a parent iff its
+    // path appears as some node's parent path, so the semi-join strips every
+    // leaf. For a docs-style tree the surviving set is the internal-node
+    // (folder) table — dim-sized — where the full node table is the corpus.
+    // No forced broadcast hint: AQE sees the post-semi-join size at runtime
+    // and picks broadcast when it actually fits, instead of trusting a
+    // compile-time hint that OOMs executors at 100 TB.
+    val parentPaths = nodes.select(col(parentPathCol).as("__h_path")).distinct()
+    val parents = nodes
+      .select(col(pathCol).as("__h_path"), col(idCol).as("__h_pid"))
+      .join(parentPaths, Seq("__h_path"), "left_semi")
     nodes
-      .join(broadcast(parents), nodes(parentPathCol) === col("__h_path"), "left")
+      .join(parents, nodes(parentPathCol) === col("__h_path"), "left")
       .withColumn("parent_id",
         when(col(depthCol) === 0, lit(rootId))
           .otherwise(coalesce(col("__h_pid"), lit(rootId))))

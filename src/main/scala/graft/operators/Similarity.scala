@@ -126,9 +126,14 @@ object Similarity {
     val bits =
       if (signBits > 0) signBits
       else {
-        val n = corpus.select(col(idCol)).count()
-        val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
-        Dedup.autoSignBits(n).min(dim)
+        // head(1): an empty corpus skips the probe (any width joins to zero
+        // candidate rows) instead of failing on head()
+        val dimRow = corpus.select(size(col(vecCol)).as("d")).head(1)
+        if (dimRow.isEmpty) 1
+        else {
+          val n = corpus.select(col(idCol)).count()
+          Dedup.autoSignBits(n).min(dimRow(0).getInt(0))
+        }
       }
     val q = broadcast(
       queries.select(

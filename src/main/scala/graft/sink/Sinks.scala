@@ -31,9 +31,14 @@ trait TableSink {
     * exactly for rows the checks can't vouch for.
     */
   def writeWithQuarantine(table: String, df: DataFrame, isValid: Column): Unit = {
-    val valid = coalesce(isValid, lit(false))
-    overwrite(table, df.filter(valid))
-    overwrite(s"${table}__quarantine", df.filter(!valid))
+    // one materialization feeds both filtered writes: without it, any
+    // non-deterministic expression upstream (rand/uuid) could re-evaluate
+    // between the two actions and route a row into both tables or neither
+    val pinned = df.withColumn("__valid", coalesce(isValid, lit(false))).localCheckpoint(true)
+    try {
+      overwrite(table, pinned.filter(col("__valid")).drop("__valid"))
+      overwrite(s"${table}__quarantine", pinned.filter(!col("__valid")).drop("__valid"))
+    } finally pinned.unpersist(false)
   }
 }
 
@@ -65,14 +70,26 @@ final class ParquetSink(baseDir: String) extends TableSink {
         val newRows = df.join(old.select(keys.map(col): _*).distinct(), keys, "left_anti")
         updated.unionByName(newRows, allowMissingColumns = true)
     }
-    // write through a temp dir: the source parquet is an input of the plan
+    // write through a temp dir: the source parquet is an input of the plan.
+    // Swap via a .bak rename (not delete-then-rename): a crash between the
+    // two steps leaves either the old table or a restorable backup, never an
+    // empty slot.
     val tmp = path(table) + "__tmp"
     merged.write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path(table))
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val bak = new org.apache.hadoop.fs.Path(path(table) + "__bak")
+    fs.delete(bak, true)
+    val hadOld = fs.exists(dst)
+    if (hadOld && !fs.rename(dst, bak)) {
+      throw new java.io.IOException(s"upsert($table): backup rename $dst -> $bak failed")
+    }
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      if (hadOld) fs.rename(bak, dst) // restore before failing
+      throw new java.io.IOException(s"upsert($table): swap rename $tmp -> $dst failed")
+    }
+    fs.delete(bak, true)
   }
 }
 
@@ -88,7 +105,10 @@ final class ParquetSink(baseDir: String) extends TableSink {
   * bounded by the batch's distinct partition values (the premise of a
   * partition-scoped upsert), not by table size.
   */
-final class PartitionedParquetSink(baseDir: String, partitionCol: String) extends TableSink {
+final class PartitionedParquetSink(
+    baseDir: String,
+    partitionCol: String,
+    verifyKeyStability: Boolean = true) extends TableSink {
   private def path(table: String) = s"$baseDir/$table"
 
   def overwrite(table: String, df: DataFrame): Unit =
@@ -116,6 +136,27 @@ final class PartitionedParquetSink(baseDir: String, partitionCol: String) extend
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .getPartitionPathString(partitionCol, v))
 
+    // A key whose partition value CHANGED between the stored row and the
+    // batch would leave its stale row in the old partition (that directory
+    // is never read here) — duplicate keys across partitions. Unless the
+    // partition column is part of the key (then a "moved" row is by
+    // definition a different key), detect moved keys with a column-pruned
+    // key scan of the untouched partitions and refuse the batch. Opt out
+    // (`verifyKeyStability = false`) only when the caller guarantees the
+    // partition value is immutable per key.
+    if (verifyKeyStability && !keys.contains(partitionCol)) {
+      val moved = spark.read.parquet(path(table))
+        .filter(!col(partitionCol).cast("string").isin(values: _*))
+        .select(keys.map(col): _*)
+        .join(df.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .limit(1)
+        .count()
+      require(moved == 0L,
+        s"upsert($table): batch re-keys rows into new $partitionCol partitions; " +
+          "stale rows would remain in their old partitions. Rewrite those " +
+          "partitions explicitly or construct the sink with verifyKeyStability = false.")
+    }
+
     // partition-pruned read: only the touched directories are scanned; the
     // pruned column comes back from the directory name, so select order is
     // restored to the batch's schema
@@ -126,17 +167,32 @@ final class PartitionedParquetSink(baseDir: String, partitionCol: String) extend
     val newRows = df.join(old.select(keys.map(col): _*).distinct(), keys, "left_anti")
     val merged = updated.unionByName(newRows, allowMissingColumns = true)
 
-    // stage the merged partitions, then swap just those directories
+    // stage the merged partitions, then swap just those directories. Each
+    // swap goes through a backup OUTSIDE the table root (a .bak inside it
+    // would read back as a phantom partition value): old dir -> bak, staged
+    // dir -> live, drop bak — a crash mid-swap leaves the partition either
+    // live or restorable, never missing.
     val tmp = new org.apache.hadoop.fs.Path(path(table) + "__tmp")
+    val bakRoot = new org.apache.hadoop.fs.Path(path(table) + "__bak")
     merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
+    fs.delete(bakRoot, true)
+    fs.mkdirs(bakRoot)
     for (dir <- affected) {
       val dst = new org.apache.hadoop.fs.Path(root, dir)
       val src = new org.apache.hadoop.fs.Path(tmp, dir)
       if (fs.exists(src)) {
-        fs.delete(dst, true)
-        fs.rename(src, dst)
+        val bak = new org.apache.hadoop.fs.Path(bakRoot, dir)
+        val hadOld = fs.exists(dst)
+        if (hadOld && !fs.rename(dst, bak)) {
+          throw new java.io.IOException(s"upsert($table): backup rename $dst -> $bak failed")
+        }
+        if (!fs.rename(src, dst)) {
+          if (hadOld) fs.rename(bak, dst) // restore before failing
+          throw new java.io.IOException(s"upsert($table): swap rename $src -> $dst failed")
+        }
       }
     }
+    fs.delete(bakRoot, true)
     fs.delete(tmp, true)
   }
 }

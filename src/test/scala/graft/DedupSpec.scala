@@ -64,6 +64,56 @@ class DedupSpec extends SparkSpecBase {
     assert(h(0) === h(1))
   }
 
+  test("native simHash64 is bit-identical to the interpreted HOF formulation") {
+    // covers tokenization edges: plain text, 1 token, empty string, leading/
+    // trailing spaces (trim strips 0x20 only), interior tabs/newlines
+    // (split on \s+), unicode, and repeated separators
+    val samples = Seq(docA, docB, docC, "single", "", "  padded  ",
+      "tab\tseparated\ttokens", "line\nbreaks here", "ünïcodé tökens 漢字",
+      "a  b   c", " ")
+    val df = samples.toDF("text").select(
+      Dedup.simHash64(col("text")).as("native"),
+      Dedup.simHash64Hof(col("text")).as("hof"))
+    df.collect().zip(samples).foreach { case (r, s) =>
+      assert(r.getLong(0) === r.getLong(1), s"mismatch for input '$s'")
+    }
+  }
+
+  test("embeddingNearDupPairs shuffles thin (id, bucket) rows, never vectors") {
+    def vec(seed: Int) = (0 until 16).map(i => (((seed * 31 + i) % 7) - 3).toFloat).toArray
+    val emb = (0L until 100L).map(i => (i, vec(i.toInt % 20))).toDF("id", "vec")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan exposes exchanges
+    try {
+      val pairs = Dedup.embeddingNearDupPairs(emb, "id", "vec", signBits = 3, threshold = 0.999)
+      val exchanges = pairs.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // the candidate self-join exchange (the one keyed on the bucket) must
+      // not carry a wide embedding column — that was the 100 TB defect
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name)
+        assert(!(names.contains("bucket") && names.exists(_.startsWith("vec"))),
+          s"candidate shuffle carries vectors: $names")
+      }
+      assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet.contains((0L, 20L)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("connectedComponents refuses to return unconverged labels") {
+    // a 4-chain needs >1 round even with pointer jumping; maxIter = 1 must
+    // fail loudly instead of silently returning wrong component labels
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id1", "id2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1)
+    }
+  }
+
+  test("embeddingNearDupPairs on an empty corpus returns an empty pair set") {
+    val emb = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    assert(Dedup.embeddingNearDupPairs(emb, "id", "vec").count() === 0L)
+  }
+
   test("charShingles produce distinct n-length grams") {
     val out = Seq("abcd").toDF("t")
       .select(Dedup.charShingles(col("t"), 2)).head().getSeq[String](0)

@@ -71,4 +71,23 @@ class SourceSinkSpec extends SparkSpecBase {
     // untouched partitions were never read, rewritten, or moved
     assert(snapshot("p=b") ++ snapshot("p=c") === before)
   }
+
+  test("partitioned upsert refuses a batch that moves a key across partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-psink-mv").toString
+    val sink = new PartitionedParquetSink(dir, "p")
+    sink.overwrite("t", Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "v", "p"))
+    // id=2 lives in p=b; an upsert placing it in p=a would leave the stale
+    // p=b row in place — duplicate keys across partitions. Refuse loudly.
+    val moved = intercept[IllegalArgumentException] {
+      sink.upsert("t", Seq((2L, "Y", "a")).toDF("id", "v", "p"), Seq("id"))
+    }
+    assert(moved.getMessage.contains("re-keys"))
+    // with the partition column part of the key, the same batch is by
+    // definition a NEW row (different full key) — allowed
+    sink.upsert("t", Seq((2L, "Y", "a")).toDF("id", "v", "p"), Seq("id", "p"))
+    val out = spark.read.parquet(s"$dir/t").select("id", "v", "p")
+      .orderBy("id", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(out === Seq((1L, "x", "a"), (2L, "Y", "a"), (2L, "y", "b")))
+  }
 }
