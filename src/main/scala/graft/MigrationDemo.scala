@@ -24,12 +24,8 @@ object MigrationDemo {
     val spark = Engine.session(master = "local[4]", shufflePartitions = 4, appName = "demo")
     import spark.implicits._
 
-    def docs(json: String*): DataFrame = {
-      var df = spark.read.json(json.toDS)
-      for (c <- Seq("createdAt", "updatedAt", "joinedAt", "deletedAt"))
-        if (df.schema.fieldNames.contains(c)) df = df.withColumn(c, to_timestamp(col(c)))
-      df
-    }
+    def docs(json: String*): DataFrame =
+      graft.run.EntityStages.normalizeTimestamps(spark.read.json(json.toDS))
 
     val enc = ReEncrypt.encryptSalsa20("mensaje secreto", Rules.LegacyKey)
     val sources: Map[String, DataFrame] = Map(
@@ -83,79 +79,8 @@ object MigrationDemo {
         """{"_id":"b2","room":"r1","user":"u2","role":"admin"}""",
         """{"_id":"b3","room":"r2","user":"u1","role":"member"}"""))
 
-    def userDimOf(dims: Map[String, DataFrame]) =
-      dims("user:cassandra").select(col("mongo_id"), col("user_id"))
-
     val pipe = new Pipeline(spark, sources(_), Pipeline.parquetSink(out))
-    val results = pipe.run(Map(
-      "roles" -> ((src, _) => Map(
-        Destination.Postgres -> Relational.sequentialIds(
-          Projections.rolesPostgres(src), "mongo_id", "id"),
-        Destination.Cassandra -> Relational.sequentialIds(
-          Projections.rolesCassandra(src), "mongo_id", "id"))),
-      "province" -> ((src, _) => Map(Destination.Postgres ->
-        Relational.sequentialIds(
-          Rules.geoRules(Projections.geoPostgres(src, withProvince = false,
-            withMunicipality = false)), "mongo_id", "id"))),
-      "municipality" -> ((src, dims) => Map(Destination.Postgres ->
-        Relational.sequentialIds(
-          Rules.geoRules(Projections.geoPostgres(src, withProvince = true,
-            withMunicipality = false), provinceDim = Some(dims("province"))),
-          "mongo_id", "id"))),
-      "parroquia" -> ((src, dims) => Map(Destination.Postgres ->
-        Relational.sequentialIds(
-          Rules.geoRules(Projections.geoPostgres(src, withProvince = true,
-            withMunicipality = true), provinceDim = Some(dims("province")),
-            municipalityDim = Some(dims("municipality"))),
-          "mongo_id", "id"))),
-      "profession" -> ((src, _) => Map(Destination.Postgres ->
-        Relational.sequentialIds(Projections.professionPostgres(src), "mongo_id", "id"))),
-      "entity" -> ((src, _) => Map(Destination.Postgres ->
-        Relational.sequentialIds(Projections.entityPostgres(src), "mongo_id", "id"))),
-      "user" -> ((src, dims) => Map(
-        Destination.Postgres -> Relational.sequentialIds(
-          Rules.userRules(Projections.userPostgres(src), Destination.Postgres,
-            provinceDim = Some(dims("province")),
-            municipalityDim = Some(dims("municipality")),
-            parroquiaDim = Some(dims("parroquia")),
-            roleDim = Some(dims("roles"))),
-          "mongo_id", "id"),
-        Destination.Cassandra -> Relational.sequentialIds(
-          Rules.userRules(Projections.userCassandra(src), Destination.Cassandra),
-          "mongo_id", "user_id"))),
-      "channel" -> ((src, dims) => Map(Destination.Postgres ->
-        Relational.sequentialIds(
-          Rules.channelRules(Projections.channelPostgres(src),
-            userDim = Some(dims("user").select(col("mongo_id"), col("id")))),
-          "mongo_id", "id"))),
-      "docs" -> ((src, dims) => Map(Destination.Postgres ->
-        DocsHierarchy.resolve(
-          Rules.docsRules(Projections.docsPostgres(src),
-            userDim = Some(dims("user").select(col("mongo_id"), col("id"))),
-            roleDim = Some(dims("roles").select(col("mongo_id"), col("id"))))).docs)),
-      "live" -> ((src, dims) => Map(Destination.Postgres ->
-        Relational.sequentialIds(
-          Rules.liveRules(Projections.livePostgres(src),
-            channelDim = Some(dims("channel").select(col("mongo_id"), col("id"))),
-            userDim = Some(dims("user").select(col("mongo_id"), col("id")))),
-          "mongo_id", "id"))),
-      "room" -> ((src, _) => Map(Destination.Cassandra ->
-        Rules.roomRules(Projections.roomCassandra(src)))),
-      "message" -> ((src, dims) => Map(Destination.Cassandra ->
-        Rules.messageRules(
-          Rules.messageExtractFilter(Projections.messageCassandra(src)),
-          Destination.Cassandra, userDim = Some(userDimOf(dims))))),
-      "room_member" -> ((src, dims) => Map(Destination.Cassandra ->
-        Rules.roomMemberRules(Projections.roomMemberCassandra(src),
-          userDim = Some(userDimOf(dims))))),
-      "profession_user" -> ((src, dims) => Map(Destination.Postgres ->
-        Rules.manyToMany(src, "profession",
-          dims("user").select(col("mongo_id"), col("id")),
-          dims("profession").select(col("mongo_id"), col("id"))))),
-      "entities_user" -> ((src, dims) => Map(Destination.Postgres ->
-        Rules.manyToMany(src, "entities",
-          dims("user").select(col("mongo_id"), col("id")),
-          dims("entity").select(col("mongo_id"), col("id")))))))
+    val results = pipe.run(graft.run.EntityStages.all)
 
     // post-migration denormalization (J8-J10 + S12 lookups)
     val rooms = results(("room", Destination.Cassandra))
@@ -183,6 +108,27 @@ object MigrationDemo {
         roleDim = Some(results(("roles", Destination.Postgres)).select(col("mongo_id"), col("id")))))
       .docsRoles
     docsRoles.write.mode("overwrite").parquet(s"$out/postgres/docs_roles")
+
+    // CQL physical layouts (`create_scylla_database.cql`): every Cassandra
+    // target table the demo produces is ALSO written partition-key +
+    // clustering-order laid out, and the clustering order is validated on
+    // read-back below (the storage property the reference gets from Scylla)
+    val layoutDir = s"$out/cassandra_layout"
+    val layoutTables: Seq[(String, DataFrame)] = Seq(
+      "messages_by_room" -> messages,
+      "room_details" -> rooms,
+      "participants_by_room" -> participants,
+      "rooms_by_user" -> rbu,
+      "p2p_room_by_users" -> p2p.select(col("user_id").as("user1_id"),
+        col("other_user_id").as("user2_id"), col("room_id")),
+      "room_membership_lookup" -> lookup,
+      "rooms_by_mongo" -> Denormalize.roomsByMongo(rooms),
+      "room_by_message" -> Denormalize.roomByMessage(messages),
+      "organizations" -> Rules.organizations(rooms),
+      "users" -> cassUsers,
+      "role" -> results(("roles", Destination.Cassandra)))
+    layoutTables.foreach { case (t, df) => graft.sink.CqlLayouts.write(df, layoutDir, t) }
+    def layoutClustering(t: String) = graft.sink.CqlLayouts.all(t).clustering
 
     // validation suite (§3.3), incl. hierarchy + m2m + FK invariants
     val pgUsers = results(("user", Destination.Postgres))
@@ -231,7 +177,18 @@ object MigrationDemo {
       Checks.cardinalityEquals("room_by_message=messages",
         spark.read.parquet(s"$out/cassandra/room_by_message").count(), messages.count()),
       Checks.cardinalityEquals("docs_roles=special-role-docs",
-        docsRoles.count(), pgDocs.filter(col("special_role_id").isNotNull).count()))
+        docsRoles.count(), pgDocs.filter(col("special_role_id").isNotNull).count()),
+      Checks.clusteringOrder("messages-clustering-desc",
+        spark.read.parquet(s"$layoutDir/messages_by_room"),
+        layoutClustering("messages_by_room")),
+      Checks.clusteringOrder("rbu-clustering",
+        spark.read.parquet(s"$layoutDir/rooms_by_user"),
+        layoutClustering("rooms_by_user")),
+      Checks.clusteringOrder("participants-clustering",
+        spark.read.parquet(s"$layoutDir/participants_by_room"),
+        layoutClustering("participants_by_room")),
+      Checks.cardinalityEquals("layout-messages=messages",
+        spark.read.parquet(s"$layoutDir/messages_by_room").count(), messages.count()))
     val (ok, summary) = Checks.verdict(checks,
       critical = Set("room-uuid5", "msg-rooms⊆rooms", "docs-folders"))
     println(summary)

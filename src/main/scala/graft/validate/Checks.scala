@@ -150,6 +150,46 @@ object Checks {
     CheckResult(name, ok == total, s"$ok/$total sampled rows conform")
   }
 
+  /** Layout check — within-partition clustering order
+    * (`backups/create_scylla_database.cql` WITH CLUSTERING ORDER clauses):
+    * reading a [[graft.sink.CqlLayouts]]-written table back file-by-file,
+    * every file's rows must already be in the declared clustering order —
+    * the property Cassandra's storage engine guarantees per partition.
+    *
+    * Mechanics: parquet scans preserve row order within a file, and
+    * `monotonically_increasing_id` is increasing in read order inside each
+    * scan partition, so a lag-comparison partitioned by file name counts
+    * order violations. `clustering` is (column, ascending), lexicographic.
+    */
+  def clusteringOrder(
+      name: String,
+      df: DataFrame,
+      clustering: Seq[(String, Boolean)]): CheckResult = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__file")).orderBy(col("__pos"))
+    val keys = clustering.map(_._1)
+    val withPrev = df
+      .select(input_file_name().as("__file"),
+        monotonically_increasing_id().as("__pos"),
+        struct(keys.map(col): _*).as("__k"))
+      .withColumn("__prev", lag(col("__k"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+    // lexicographic "prev comes no later than current" under the per-column
+    // directions: prev must not sort strictly after cur
+    val violated = clustering.indices.map { i =>
+      val earlier = clustering.take(i).map { case (c, _) =>
+        col(s"__prev.$c") <=> col(s"__k.$c") }
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val (c, ascending) = clustering(i)
+      val outOfOrder =
+        if (ascending) col(s"__prev.$c") > col(s"__k.$c")
+        else col(s"__prev.$c") < col(s"__k.$c")
+      earlier && outOfOrder
+    }.reduce(_ || _)
+    val bad = withPrev.filter(violated).count()
+    CheckResult(name, bad == 0, s"$bad clustering-order violations")
+  }
+
   /** Check 14 — weighted verdict (`validate_migration.py:988-1043`): the
     * suite passes when every critical check passes and the overall pass
     * rate clears the bar.

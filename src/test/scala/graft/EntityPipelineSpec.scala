@@ -253,6 +253,48 @@ class EntityPipelineSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$tmp/postgres/user").count() === 1L)
   }
 
+  test("CLI path: partial dry run auto-includes FK parents, target filters loads") {
+    // jsonl fixture dir, the CLI's mongo-document source shape
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-etl-src")
+    def jsonl(name: String, lines: String*): Unit =
+      java.nio.file.Files.writeString(srcDir.resolve(s"$name.jsonl"),
+        lines.mkString("", "\n", "\n"))
+    jsonl("roles", """{"_id":"ro1","name":"USER","type":"app"}""")
+    jsonl("provinces", """{"_id":"p1","name":"Zulia","key":"ZU","isActive":true}""")
+    jsonl("municipalities",
+      """{"_id":"mu1","name":"Maracaibo","province":"p1","isActive":true}""")
+
+    // --entity municipality --dry-run: the province dependency must be
+    // auto-included (closure), and NOTHING may be written
+    val outDir = java.nio.file.Files.createTempDirectory("graft-etl-out").toString
+    val dry = RunEtl.parse(Seq("--source", srcDir.toString, "--out", outDir,
+      "--entity", "municipality", "--dry-run"))
+    val (okDry, dryReport) = RunEtl.execute(spark, dry)
+    assert(okDry)
+    assert(dryReport === Map("province/postgres" -> 1L, "municipality/postgres" -> 1L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "postgres")))
+
+    // real partial run, postgres target only: the dual-destination roles
+    // entity computes both frames but loads only the postgres one
+    val real = RunEtl.parse(Seq("--source", srcDir.toString, "--out", outDir,
+      "--entities", "roles,province", "--target", "postgres"))
+    val (okReal, realReport) = RunEtl.execute(spark, real)
+    assert(okReal)
+    assert(realReport.keySet ===
+      Set("roles/postgres", "roles/cassandra", "province/postgres"))
+    assert(spark.read.parquet(s"$outDir/postgres/roles").count() === 1L)
+    assert(spark.read.parquet(s"$outDir/postgres/province").count() === 1L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "cassandra")))
+
+    // --validate flags an unreadable collection for the selection
+    val (okVal, _) = RunEtl.execute(spark,
+      RunEtl.parse(Seq("--source", srcDir.toString, "--entity", "province", "--validate")))
+    assert(okVal)
+    val (okBad, _) = RunEtl.execute(spark,
+      RunEtl.parse(Seq("--source", srcDir.toString, "--entity", "room", "--validate")))
+    assert(!okBad, "--validate must fail when a selected source collection is missing")
+  }
+
   test("validation checks: count parity bands, uuid5 oracle, url sweep") {
     assert(Checks.countParity("msgs", 100, 96, 0.95).passed)
     assert(!Checks.countParity("docs", 100, 85, 0.90).passed)

@@ -34,6 +34,32 @@ class LayoutSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("CQL layout write yields within-partition clustering order; the check has teeth") {
+    import graft.sink.CqlLayouts
+    import graft.validate.Checks
+    val dir = java.nio.file.Files.createTempDirectory("graft-cql").toString
+    // enough rooms × messages to span several write tasks, deliberately
+    // shuffled input order — the layout write must still produce every
+    // partition directory fully message_id-DESC sorted
+    val msgs = (1 to 40).flatMap(r => (1 to 25).map(m =>
+        (s"room$r", (m * 2654435761L) % 1000 + m, s"msg-$r-$m")))
+      .toDF("room_id", "message_id", "content")
+      .orderBy(rand(7)) // scramble
+    CqlLayouts.write(msgs, dir, "messages_by_room")
+    val back = spark.read.parquet(s"$dir/messages_by_room")
+    assert(back.count() === 1000)
+    val ordered = Checks.clusteringOrder("layout-ok", back,
+      CqlLayouts.all("messages_by_room").clustering)
+    assert(ordered.passed, ordered.detail)
+    // teeth: a plain partitioned write of the scrambled input (no clustering
+    // sort) must FAIL the same check
+    msgs.write.mode("overwrite").partitionBy("room_id").parquet(s"$dir/unsorted")
+    val unsorted = Checks.clusteringOrder("layout-bad",
+      spark.read.parquet(s"$dir/unsorted"),
+      CqlLayouts.all("messages_by_room").clustering)
+    assert(!unsorted.passed, "an unsorted layout must not pass the clustering check")
+  }
+
   test("partitioned parquet prunes directories via PartitionFilters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     val events = Seq((1L, "click"), (2L, "view"), (3L, "click"), (4L, "error"))
