@@ -79,6 +79,11 @@ object MigrationDemo {
         """{"_id":"b2","room":"r1","user":"u2","role":"admin"}""",
         """{"_id":"b3","room":"r2","user":"u1","role":"member"}"""))
 
+    // the source collections ride along as jsonl so the standalone
+    // `graft.Validate` can recompute source-vs-target parity later
+    for ((name, df) <- sources)
+      df.toJSON.coalesce(1).write.mode("overwrite").text(s"$out/sources/$name")
+
     val pipe = new Pipeline(spark, sources(_), Pipeline.parquetSink(out))
     val results = pipe.run(graft.run.EntityStages.all)
 

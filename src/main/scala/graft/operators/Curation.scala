@@ -58,12 +58,14 @@ object Curation {
     val gated = gatedPlan.localCheckpoint(false)
 
     // 3. LSH candidates -> Jaccard-verified near-dups -> drop higher ids.
-    // Shingles are consumed by both sides of the candidate join within one
-    // action — same lazy-checkpoint treatment.
-    val candidates = Dedup.minHashLshPairs(gated, idCol, textCol,
-      shingleLen, bands, rowsPerBand)
+    // The corpus is shingled ONCE (lazy checkpoint): the same shingle arrays
+    // feed MinHash candidate generation and both sides of the Jaccard
+    // verification join, so the whole pipeline is a single action with every
+    // intermediate materialized exactly once.
     val shingled = gated.select(id.as("__sid"),
       Dedup.wordShingles(text, shingleLen).as("__sh")).localCheckpoint(false)
+    val candidates = Dedup.minHashLshPairsFromShingles(shingled, "__sid", "__sh",
+      bands, rowsPerBand)
     val confirmed = candidates
       .join(shingled.withColumnRenamed("__sid", "id1").withColumnRenamed("__sh", "__sh1"), "id1")
       .join(shingled.withColumnRenamed("__sid", "id2").withColumnRenamed("__sh", "__sh2"), "id2")

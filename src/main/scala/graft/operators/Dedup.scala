@@ -74,34 +74,47 @@ object Dedup {
       textCol: String,
       shingleLen: Int = 3,
       bands: Int = 8,
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2): DataFrame =
+    minHashLshPairsFromShingles(
+      docs.select(col(idCol).as("__mh_id"),
+        wordShingles(col(textCol), shingleLen).as("__mh_sh")),
+      "__mh_id", "__mh_sh", bands, rowsPerBand)
+
+  /** [[minHashLshPairs]] over pre-computed shingle arrays — lets a composed
+    * pipeline ([[Curation.pipeline]]) shingle the corpus ONCE and feed both
+    * candidate generation and Jaccard verification from the same pass.
+    *
+    * The banded (id, band, bucket) table feeds BOTH sides of the self-join;
+    * a LAZY localCheckpoint materializes it once inside whatever action
+    * consumes the pairs (no extra barrier job, nothing eager) and its thin
+    * blocks are reclaimed with the plan — unlike a session cache entry,
+    * repeated invocations cannot accumulate state that bills later queries.
+    * (On a churn-prone cluster, swap for cache + explicit unpersist: a local
+    * checkpoint truncates lineage, trading executor-loss recovery for the
+    * deterministic cleanup.)
+    */
+  def minHashLshPairsFromShingles(
+      shingled: DataFrame,
+      idCol: String,
+      shingleCol: String,
+      bands: Int,
+      rowsPerBand: Int): DataFrame = {
     // Stage 1 in its own projection so the signature is evaluated once per
     // row — lshBands references it `bands` times, and interpreted
     // expressions get no common-subexpression elimination.
-    val withSig = docs.select(
+    val withSig = shingled.select(
       col(idCol).as("doc"),
-      minHashSignature(wordShingles(col(textCol), shingleLen), bands * rowsPerBand).as("__sig"))
-    // cache: the banded table feeds BOTH sides of the self-join; without
-    // materialization the whole shingle→minhash pipeline runs twice. The
-    // cached rows are only (id, band, bucket) — tiny relative to the corpus
-    // (Spark ML's MinHashLSH materializes the same way). The cache is scoped
-    // to this call: the pair set is materialized eagerly (it is the thin,
-    // final result of the candidate stage) and the banded table unpersisted
-    // before returning — repeated invocations must not accumulate session
-    // cache entries.
+      minHashSignature(col(shingleCol), bands * rowsPerBand).as("__sig"))
     val banded = withSig
       .select(col("doc"), posexplode(lshBands(col("__sig"), bands, rowsPerBand)))
       .toDF("doc", "band", "bucket")
-      .cache()
+      .localCheckpoint(false)
     val a = banded.toDF("id1", "band", "bucket")
     val b = banded.toDF("id2", "band", "bucket")
-    try {
-      a.join(b, Seq("band", "bucket"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2")
-        .distinct()
-        .localCheckpoint(true)
-    } finally banded.unpersist(false)
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
   }
 
   /** Jaccard similarity of two pre-deduped shingle arrays: one exact integer
@@ -319,28 +332,23 @@ object Dedup {
       threshold: Double = 0.95): DataFrame = {
     import graft.functions.Vectors
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    // cache: feeds both sides of the self-join — only (id, band, bucket)
-    // rows are materialized (3 thin columns), never the vectors; without it
-    // the wide embedding column is scanned twice for bucket derivation.
-    // Scoped: the distinct pair set materializes eagerly, then the banded
-    // cache is released — no session cache entry outlives the call.
+    // lazy localCheckpoint: the banded table feeds both sides of the
+    // self-join — only (id, band, bucket) rows materialize (3 thin columns,
+    // never the vectors), once, inside the consuming action; blocks are
+    // reclaimed with the plan instead of accumulating as session cache
     val banded = embeddings
       .select(
         col(idCol).as("id"),
         posexplode(array((0 until bands).map(b =>
           Vectors.signBucket(col(vecCol), rowsPerBand, b * rowsPerBand)): _*)))
       .toDF("id", "band", "bucket")
-      .cache()
+      .localCheckpoint(false)
     val a = banded.toDF("id1", "band", "bucket")
     val b = banded.toDF("id2", "band", "bucket")
-    val pairs =
-      try {
-        a.join(b, Seq("band", "bucket"))
-          .filter(col("id1") < col("id2"))
-          .select("id1", "id2")
-          .distinct()
-          .localCheckpoint(true)
-      } finally banded.unpersist(false)
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
     pairs
       .join(vecs.toDF("id1", "vec1"), Seq("id1"))
       .join(vecs.toDF("id2", "vec2"), Seq("id2"))
