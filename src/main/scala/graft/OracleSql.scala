@@ -471,6 +471,39 @@ object OracleSql {
         |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rnk
         |  FROM counts)
         |SELECT lang, rnk, word, n FROM ranked WHERE rnk <= 3
-        |ORDER BY lang, rnk""".stripMargin
+        |ORDER BY lang, rnk""".stripMargin,
+
+    "q48_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |s AS (SELECT doc_id, len(ws) AS word_cnt, len(list_distinct(ws)) AS dc FROM w),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> array_to_string(ws[i:i+1], ' '))) AS gram
+        |  FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram),
+        |t AS (SELECT doc_id, max(n) AS top_ngram_cnt FROM c GROUP BY doc_id)
+        |SELECT s.doc_id, word_cnt,
+        |  round(1 - dc / CAST(word_cnt AS DOUBLE), 6) AS dup_word_frac,
+        |  coalesce(top_ngram_cnt, 0) AS top_ngram_cnt,
+        |  round(coalesce(top_ngram_cnt, 0) * 2 / CAST(word_cnt AS DOUBLE), 6)
+        |    AS top_ngram_frac
+        |FROM s LEFT JOIN t ON s.doc_id = t.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "q49_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(ws) - 3, 1)),
+        |      i -> array_to_string(ws[i:i+3], ' ')))) AS gram
+        |  FROM w),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT DISTINCT doc_id FROM g
+        |WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM b)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -595,6 +595,20 @@ object SparkEntry {
       .select(col("doc_id"), Dedup.simHash64(col("text")).as("simhash64"))
       .orderBy("doc_id")
 
+  // ---- Gopher-style repetition signals (boilerplate/spam gates) ----------
+  private def q48Repetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionSignals(T(s, d, "documents"), "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+
+  // ---- test-set decontamination (n-gram overlap vs a benchmark slice) ----
+  private def q49Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val benchmark = docs.filter(col("doc_id") % 97 === 0)
+    Dedup.contaminatedIds(docs.filter(col("doc_id") % 97 =!= 0), benchmark,
+        "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filtered_scan" -> (q02FilteredScan _),
@@ -642,7 +656,9 @@ object SparkEntry {
     "q44_exact_moments" -> (q44ExactMoments _),
     "q45_dedup_components" -> (q45DedupComponents _),
     "q46_top_words" -> (q46TopWords _),
-    "q47_simhash64" -> (q47Simhash64 _)
+    "q47_simhash64" -> (q47Simhash64 _),
+    "q48_repetition" -> (q48Repetition _),
+    "q49_decontaminate" -> (q49Decontaminate _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -117,6 +117,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Test-set decontamination: ids of documents sharing ANY word n-gram with
+    * the benchmark corpus (the GPT-3/PaLM n-gram-overlap rule — a training
+    * document that contains an eval n-gram leaks the benchmark).
+    *
+    * Shape: the benchmark's distinct n-grams are eval-set-sized (dims by
+    * nature) and broadcast; the corpus side explodes its shingles and
+    * semi-joins WITHOUT shuffling — at 100 TB the corpus n-grams never move,
+    * only the contaminated id set comes back. Distinct shingles suffice
+    * (membership, not frequency).
+    */
+  def contaminatedIds(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(wordShingles(col(textCol), n)).as("__g"))
+      .distinct()
+    docs
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+  }
+
   /** Jaccard similarity of two pre-deduped shingle arrays: one exact integer
     * intersection/union and a single double division (engine-portable).
     */
@@ -258,8 +284,14 @@ object Dedup {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    // seed labels with min(id, min(neighbor)) — the exact output of the
+    // first propagation round against identity labels, for one groupBy
+    // instead of a join+groupBy round (edges are symmetrized, so every
+    // node appears on the `a` side)
+    var labels = edges.groupBy(col("a").as("id"))
+      .agg(min(col("b")).as("__nbr0"))
+      .select(col("id"), least(col("id"), col("__nbr0")).as("comp"))
+      .localCheckpoint(true)
     // convergence detection rides the checkpoint action as an observed
     // metric — a separate changed-count join would double the actions per
     // round (an iterative operator's cost is dominated by per-round jobs)

@@ -88,6 +88,51 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Gopher-style repetition signals, per document: word count, duplicate-
+    * word fraction (1 − distinct/total), and the share of the document
+    * covered by its single most frequent word n-gram. High values on any of
+    * them mark boilerplate/spam for the curation gates.
+    *
+    * Shape: one explode → two-level aggregate (per-(doc, gram) counts
+    * map-side combine before the doc-level max) — the q46 top-k shape, linear
+    * in corpus size, no per-row quadratic work. Returns
+    * (id, word_cnt, dup_word_frac, top_ngram_cnt, top_ngram_frac).
+    */
+  def repetitionSignals(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val base = docs.select(id, split(trim(col(textCol)), "\\s+").as("__w"))
+    val stats = base.select(
+      id,
+      size(col("__w")).as("word_cnt"),
+      size(array_distinct(col("__w"))).as("__dc"))
+    // contiguous n-grams WITH multiplicity (unlike the distinct shingles of
+    // Dedup.wordShingles — frequency is the signal here); sequence() with
+    // start > stop counts DOWN in Spark, so short docs short-circuit
+    val grams = base.select(
+      id,
+      explode(
+        when(size(col("__w")) >= n,
+          transform(sequence(lit(1), size(col("__w")) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k => element_at(col("__w"), i + k)): _*)))
+          .otherwise(array())).as("__g"))
+    val top = grams
+      .groupBy(id, col("__g")).agg(count(lit(1)).as("__n"))
+      .groupBy(id).agg(max(col("__n")).as("top_ngram_cnt"))
+    stats.join(top, Seq(idCol), "left")
+      .select(
+        id,
+        col("word_cnt"),
+        round(lit(1.0) - col("__dc").cast("double") / col("word_cnt").cast("double"), 6)
+          .as("dup_word_frac"),
+        coalesce(col("top_ngram_cnt"), lit(0L)).as("top_ngram_cnt"),
+        round(coalesce(col("top_ngram_cnt"), lit(0L)).cast("double") * n /
+          col("word_cnt").cast("double"), 6).as("top_ngram_frac"))
+  }
+
   /** Karp-Rabin rolling hash over words (polynomial accumulate) — cheap
     * order-sensitive fingerprint for shift detection; xxhash64-based
     * (scale path, not oracle-portable). The accumulator lives in Z_2^31 and

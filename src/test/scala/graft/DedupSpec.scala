@@ -114,6 +114,17 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.embeddingNearDupPairs(emb, "id", "vec").count() === 0L)
   }
 
+  test("decontamination flags exactly the docs sharing a benchmark n-gram") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix alpha beta gamma delta suffix"), // contains the 4-gram
+      (2L, "alpha beta delta gamma reordered here"), // same words, no 4-gram
+      (3L, "completely different content entirely")).toDF("doc_id", "text")
+    val hit = Dedup.contaminatedIds(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(hit === Set(1L))
+  }
+
   test("charShingles produce distinct n-length grams") {
     val out = Seq("abcd").toDF("t")
       .select(Dedup.charShingles(col("t"), 2)).head().getSeq[String](0)

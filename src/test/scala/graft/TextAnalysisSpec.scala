@@ -52,4 +52,26 @@ class TextAnalysisSpec extends SparkSpecBase {
     val h2 = one[Long]("c b a", TextAnalysis.rollingHash(col("text")))
     assert(h1 !== h2)
   }
+
+  test("repetition signals: boilerplate scores high, varied text low") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"), // 1 distinct word, 1 bigram repeated 5×
+      (2L, "one two three four five six"),   // all distinct, every bigram unique
+      (3L, "solo")                            // shorter than the n-gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    val spam = out(0)
+    assert(spam.getAs[Int]("word_cnt") === 6)
+    assert(spam.getAs[Double]("dup_word_frac") > 0.8)
+    assert(spam.getAs[Long]("top_ngram_cnt") === 5L)
+    assert(spam.getAs[Double]("top_ngram_frac") > 1.0) // overlapping grams can exceed 1
+    val varied = out(1)
+    assert(varied.getAs[Double]("dup_word_frac") === 0.0)
+    assert(varied.getAs[Long]("top_ngram_cnt") === 1L)
+    val solo = out(2)
+    assert(solo.getAs[Int]("word_cnt") === 1)
+    assert(solo.getAs[Long]("top_ngram_cnt") === 0L)
+  }
 }
