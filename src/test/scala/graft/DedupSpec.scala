@@ -68,9 +68,13 @@ class DedupSpec extends SparkSpecBase {
     // covers tokenization edges: plain text, 1 token, empty string, leading/
     // trailing spaces (trim strips 0x20 only), interior tabs/newlines
     // (split on \s+), unicode, and repeated separators
+    val rng = new scala.util.Random(42)
+    val alphabet = "ab \t\n€字e " // whitespace-rich, multi-byte
+    val fuzz = Seq.fill(50)(
+      Seq.fill(rng.nextInt(30))(alphabet(rng.nextInt(alphabet.length))).mkString)
     val samples = Seq(docA, docB, docC, "single", "", "  padded  ",
       "tab\tseparated\ttokens", "line\nbreaks here", "ünïcodé tökens 漢字",
-      "a  b   c", " ")
+      "a  b   c", " ") ++ fuzz
     val df = samples.toDF("text").select(
       Dedup.simHash64(col("text")).as("native"),
       Dedup.simHash64Hof(col("text")).as("hof"))
@@ -120,9 +124,14 @@ class DedupSpec extends SparkSpecBase {
       (1L, "prefix alpha beta gamma delta suffix"), // contains the 4-gram
       (2L, "alpha beta delta gamma reordered here"), // same words, no 4-gram
       (3L, "completely different content entirely")).toDF("doc_id", "text")
-    val hit = Dedup.contaminatedIds(corpus, bench, "doc_id", "text", n = 4)
-      .collect().map(_.getLong(0)).toSet
+    val result = Dedup.contaminatedIds(corpus, bench, "doc_id", "text", n = 4)
+    val hit = result.collect().map(_.getLong(0)).toSet
     assert(hit === Set(1L))
+    // scale shape: the corpus grams must reach the semi-join WITHOUT a
+    // shuffle — benchmark grams broadcast (eval sets are dims by nature)
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark grams must broadcast into a semi-join:\n$plan")
   }
 
   test("charShingles produce distinct n-length grams") {
