@@ -139,6 +139,92 @@ object SessionizeStream {
   }
 }
 
+/** One banded document arrival (input to the stateful LSH dedup). */
+final case class BandedDoc(doc: Long, band: Int, bucket: String, ts: java.sql.Timestamp)
+
+/** Doc ids seen in one (band, bucket), most recent event time last. */
+final case class BucketState(ids: List[Long], lastTs: Long)
+
+/** A near-duplicate candidate pair (id1 < id2). */
+final case class CandidatePair(id1: Long, id2: Long)
+
+/** Streaming MinHash-LSH near-duplicate detection — the continuous-ingest
+  * counterpart of [[graft.operators.Dedup.minHashLshPairs]]: each arriving
+  * document is shingled, MinHash-signed, and banded with the SAME column
+  * pipeline as the batch operator; per-(band, bucket) state remembers the
+  * ids already seen, so an arrival emits a candidate pair against every
+  * prior member of any matching bucket — including matches ACROSS
+  * micro-batches, which a per-batch `foreachBatch` dedup cannot see.
+  *
+  * State is bounded two ways: an event-time timeout expires buckets idle
+  * past `idleTimeout` (watermark-driven, like the reference-shaped
+  * sessionization above), and `maxBucket` caps members per bucket (an LSH
+  * bucket that keeps growing is a degenerate band — at that point its pairs
+  * are no longer "near duplicates" but a hash collision flood).
+  *
+  * A pair colliding in several bands is emitted once PER band (the batch
+  * operator's `.distinct()` would need a second stateful op here) —
+  * downstream consumers dedup, e.g. [[EventStreams.dedupWithinWatermark]]
+  * on (id1, id2) or an idempotent upsert sink.
+  */
+object StreamingLshDedup {
+  import org.apache.spark.sql.{Dataset, Encoders}
+
+  def nearDupCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      shingleLen: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      lateness: String = "10 minutes",
+      idleTimeoutMs: Long = 3600L * 1000,
+      maxBucket: Int = 64): Dataset[CandidatePair] = {
+    import graft.operators.Dedup
+    implicit val bandedEnc = Encoders.product[BandedDoc]
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val outEnc = Encoders.product[CandidatePair]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+
+    val sig = Dedup.minHashSignature(
+      Dedup.wordShingles(col(textCol), shingleLen), bands * rowsPerBand)
+    val banded = docs
+      .withWatermark(tsCol, lateness)
+      .select(col(idCol).as("doc"), col(tsCol).as("ts"), posexplode(
+        Dedup.lshBands(sig, bands, rowsPerBand)))
+      .toDF("doc", "ts", "band", "bucket")
+      .select("doc", "band", "bucket", "ts")
+      .as[BandedDoc]
+
+    banded
+      .groupByKey(b => (b.band, b.bucket))
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, arrivals: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BucketState(Nil, 0L))
+            val out = List.newBuilder[CandidatePair]
+            for (a <- arrivals.toSeq.sortBy(b => (b.ts.getTime, b.doc))) {
+              if (!st.ids.contains(a.doc)) {
+                for (other <- st.ids)
+                  out += (if (a.doc < other) CandidatePair(a.doc, other)
+                  else CandidatePair(other, a.doc))
+                st = BucketState((a.doc :: st.ids).take(maxBucket),
+                  math.max(st.lastTs, a.ts.getTime))
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastTs + idleTimeoutMs)
+            out.result().iterator
+          }
+      }
+  }
+}
+
 /** Incremental-migration extension (SURVEY.md §2.10): the batch transform
   * stages are pure `DataFrame => DataFrame`, so a change-stream source can
   * reuse them unchanged inside `foreachBatch` with idempotent upsert-shaped

@@ -147,4 +147,37 @@ class StreamingSpec extends SparkSpecBase {
       assert(first.getAs[Timestamp]("session_end") === ts(2))
     } finally q.stop()
   }
+
+  test("streaming LSH dedup pairs near-duplicates ACROSS micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val docA = "the quick brown fox jumps over the lazy dog again and again"
+    val docB = "the quick brown fox jumps over the lazy cat again and again"
+    val docC = "completely unrelated content about spark query engines at scale"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val pairs = graft.streaming.StreamingLshDedup.nearDupCandidates(
+      input.toDF.toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+      shingleLen = 2, bands = 8, rowsPerBand = 2, lateness = "1 minute")
+    val q = pairs.writeStream.format("memory").queryName("lsh_pairs")
+      .outputMode("append").start()
+    try {
+      // batch 1: one doc + an unrelated one — nothing can pair yet
+      input.addData((1L, docA, ts(0)), (3L, docC, ts(0)))
+      q.processAllAvailable()
+      assert(spark.table("lsh_pairs").count() === 0)
+      // batch 2: the near-duplicate arrives LATER — state must remember
+      // batch 1's bucket members to emit the cross-batch candidate
+      input.addData((2L, docB, ts(1)))
+      q.processAllAvailable()
+      val got = spark.table("lsh_pairs").select("id1", "id2").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 2L)), s"cross-batch near-dup not found: $got")
+      assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+        "unrelated doc must not pair")
+      // re-delivery of an already-seen id emits nothing new
+      val before = spark.table("lsh_pairs").count()
+      input.addData((2L, docB, ts(2)))
+      q.processAllAvailable()
+      assert(spark.table("lsh_pairs").count() === before)
+    } finally q.stop()
+  }
 }
