@@ -504,6 +504,32 @@ object OracleSql {
         |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
         |SELECT DISTINCT doc_id FROM g
         |WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM b)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q50_quantized_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(
+        |      CAST(x AS DOUBLE) /
+        |      (greatest(list_max(list_transform(embedding,
+        |         y -> abs(CAST(y AS DOUBLE)))), 1e-30) / 127.0) + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, qv AS qa FROM e WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, qv AS qb FROM e),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(CASE WHEN list_sum(list_transform(qa, x -> x * x)) = 0
+        |            OR list_sum(list_transform(qb, x -> x * x)) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(generate_series(1, len(qa)),
+        |             i -> qa[i] * qb[i])) AS DOUBLE) /
+        |        (sqrt(CAST(list_sum(list_transform(qa, x -> x * x)) AS DOUBLE)) *
+        |         sqrt(CAST(list_sum(list_transform(qb, x -> x * x)) AS DOUBLE)))
+        |      END, 6) AS cos
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, neighbor_id FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin
   )
 }

@@ -600,6 +600,25 @@ object SparkEntry {
     TextAnalysis.repetitionSignals(T(s, d, "documents"), "doc_id", "text", n = 2)
       .orderBy("doc_id")
 
+  // ---- int8-quantized ANN: 4× fewer shuffle bytes, scales cancel in
+  // cosine so ranking runs on exact integer arithmetic -------------------
+  private def q50QuantizedTopk(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings")
+      .select(col("vec_id"), Vectors.quantizeI8(col("embedding")).as("qv"))
+    val q = broadcast(e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa")))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(Vectors.cosineLong(col("qa"), col("qb")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "rnk", "neighbor_id")
+      .orderBy("query_id", "rnk")
+  }
+
   // ---- test-set decontamination (n-gram overlap vs a benchmark slice) ----
   private def q49Decontaminate(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents")
@@ -658,7 +677,8 @@ object SparkEntry {
     "q46_top_words" -> (q46TopWords _),
     "q47_simhash64" -> (q47Simhash64 _),
     "q48_repetition" -> (q48Repetition _),
-    "q49_decontaminate" -> (q49Decontaminate _)
+    "q49_decontaminate" -> (q49Decontaminate _),
+    "q50_quantized_topk" -> (q50QuantizedTopk _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

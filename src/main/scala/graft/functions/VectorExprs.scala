@@ -48,3 +48,42 @@ case class CosineSim(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native cosine over two `array<long>` (int8-quantized) vectors —
+  * bit-identical to [[Vectors.cosineLong]]'s column formulation (integer
+  * products accumulated one-by-one in double; |qᵢ| ≤ 127 keeps every partial
+  * sum exactly representable, so accumulation order cannot matter), zero
+  * when either norm is zero. One tight loop instead of three interpreted
+  * lambda pipelines.
+  */
+case class CosineSimLong(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += (x.getLong(i) * y.getLong(i)).toDouble
+      i += 1
+    }
+    var nx = 0.0
+    i = 0
+    val xn = x.numElements()
+    while (i < xn) { val v = x.getLong(i); nx += (v * v).toDouble; i += 1 }
+    var ny = 0.0
+    i = 0
+    val yn = y.numElements()
+    while (i < yn) { val v = y.getLong(i); ny += (v * v).toDouble; i += 1 }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimLong =
+    copy(left = newLeft, right = newRight)
+}

@@ -34,6 +34,47 @@ object Vectors {
       CosineSim(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 
+  /** Int8 scalar quantization: element i ↦ floor(vᵢ / scale + 0.5) with
+    * scale = max|v| / 127 — the standard symmetric per-vector quantizer.
+    * At 100 TB this is the ANN tier's byte lever: a float32 embedding
+    * column shrinks 4× before it is shuffled, cached, or joined, and
+    * COSINE NEEDS NO DEQUANTIZATION — the per-vector scales cancel in
+    * dot/(‖a‖‖b‖), so [[cosineLong]] ranks quantized vectors directly.
+    *
+    * floor(x + 0.5) (not `round`) keeps half-way rounding engine-portable;
+    * arithmetic runs in double and emits long, so every step is exact and
+    * oracle-reproducible. A zero vector quantizes to zeros (scale floor).
+    */
+  def quantizeI8(vec: Column): Column = {
+    val scale = greatest(
+      aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))),
+      lit(1e-30)) / 127.0
+    transform(vec, x => floor(x.cast("double") / scale + 0.5).cast("long"))
+  }
+
+  /** Cosine over integer-quantized vectors: integer products summed in
+    * double (|qᵢ| ≤ 127 ⇒ every partial sum is exactly representable far
+    * below 2^53, so the result is bit-identical across engines regardless
+    * of SIMD/accumulation tricks — an exactness float dot products cannot
+    * offer). Backed by the native [[CosineSimLong]] expression (one tight
+    * loop; the interpreted HOF formulation it replaces is pinned
+    * bit-identical in SimilaritySpec).
+    */
+  def cosineLong(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      CosineSimLong(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** Interpreted formulation of [[cosineLong]] — spec-pinned reference. */
+  private[graft] def cosineLongHof(a: Column, b: Column): Column = {
+    val dotQ = aggregate(
+      zip_with(a, b, (x, y) => (x * y).cast("double")), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(a, lit(0.0), (acc, x) => acc + (x * x).cast("double"))
+    val nb = aggregate(b, lit(0.0), (acc, x) => acc + (x * x).cast("double"))
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dotQ / (sqrt(na) * sqrt(nb)))
+  }
+
   /** Random-hyperplane-free LSH bucket: the sign pattern of `bits`
     * coordinates starting at `offset`. Cheap, deterministic, and
     * oracle-expressible; near vectors (cosine ≈ 1) agree on most coordinate

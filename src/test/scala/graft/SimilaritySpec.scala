@@ -74,6 +74,40 @@ class SimilaritySpec extends SparkSpecBase {
     assert(!out.contains(4L))
   }
 
+  test("int8 quantization: bounded values, cosine ranking survives") {
+    def vec(seed: Int) = (0 until 32).map(i =>
+      math.sin(seed * 13.7 + i * 0.61).toFloat * (1 + seed % 3)).toArray
+    val emb = (0L until 50L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    // every quantized component is within the int8 envelope
+    val maxAbs = emb.select(Vectors.quantizeI8(col("embedding")).as("q"))
+      .select(explode(col("q")).as("x")).agg(max(abs(col("x")))).head().getLong(0)
+    assert(maxAbs <= 127L)
+    // quantized cosine tracks exact cosine: self-similarity 1, and the exact
+    // nearest neighbor of each query stays in the quantized top-3
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qa"),
+      Vectors.quantizeI8(col("embedding")).as("iq"))
+    val joined = q.crossJoin(emb.select(col("vec_id").as("nid"),
+        col("embedding").as("qb"), Vectors.quantizeI8(col("embedding")).as("ib")))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Vectors.cosine(col("qa"), col("qb")).as("exact"),
+        Vectors.cosineLong(col("iq"), col("ib")).as("quant"))
+      .collect()
+    val exactBest = joined.groupBy(_.getLong(0)).map { case (k, rs) =>
+      k -> rs.maxBy(_.getDouble(2)).getLong(1) }
+    val quantTop3 = joined.groupBy(_.getLong(0)).map { case (k, rs) =>
+      k -> rs.sortBy(-_.getDouble(3)).take(3).map(_.getLong(1)).toSet }
+    val hit = exactBest.count { case (k, best) => quantTop3(k).contains(best) }
+    assert(hit >= 45, s"quantized top-3 recall of the exact-1NN too low: $hit/50")
+    // native integer cosine ≡ the interpreted HOF formulation, bit-for-bit
+    val eq = q.crossJoin(emb.select(col("vec_id").as("nid"),
+        Vectors.quantizeI8(col("embedding")).as("ib")))
+      .select(Vectors.cosineLong(col("iq"), col("ib")).as("native"),
+        Vectors.cosineLongHof(col("iq"), col("ib")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(eq === 0L)
+  }
+
   test("signBucket groups by leading coordinate signs") {
     val df = Seq(Seq(1.0f, -2.0f, 3.0f), Seq(2.0f, -1.0f, 9.0f), Seq(-1.0f, 2.0f, 3.0f))
       .toDF("v").select(Vectors.signBucket(col("v"), 2).as("b"))
