@@ -530,6 +530,27 @@ object OracleSql {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
         |  FROM scored)
         |SELECT query_id, rnk, neighbor_id FROM r WHERE rnk <= 5
-        |ORDER BY query_id, rnk""".stripMargin
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "q51_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  md5(CAST(doc_id AS VARCHAR) || '#epoch1') AS shuffle_order
+        |FROM documents
+        |ORDER BY shuffle_order""".stripMargin,
+
+    "q52_mixture" ->
+      """WITH en AS (
+        |  SELECT doc_id FROM documents WHERE lang = 'en'
+        |    AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix0'), 1, 8)
+        |      AS UBIGINT) / 4294967296.0 < 0.6),
+        |r0 AS (SELECT doc_id FROM documents WHERE lang <> 'en'),
+        |r1 AS (
+        |  SELECT doc_id FROM documents WHERE lang <> 'en'
+        |    AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix1'), 1, 8)
+        |      AS UBIGINT) / 4294967296.0 < 0.5),
+        |mix AS (SELECT doc_id FROM en UNION ALL SELECT doc_id FROM r0
+        |  UNION ALL SELECT doc_id FROM r1)
+        |SELECT doc_id, count(*) AS n_copies FROM mix GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -619,6 +619,21 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  // ---- deterministic epoch reshuffle (training-order permutation) --------
+  private def q51EpochShuffle(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.epochShuffle(T(s, d, "documents").select("doc_id"), col("doc_id"), epoch = 1)
+      .select("doc_id", "shuffle_order")
+
+  // ---- deterministic weighted mixture (training-mix composer) ------------
+  private def q52Mixture(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val en = docs.filter(col("lang") === "en").select("doc_id")
+    val rest = docs.filter(col("lang") =!= "en").select("doc_id")
+    graft.operators.Sampling.mixture(Seq((en, col("doc_id"), 0.6), (rest, col("doc_id"), 1.5)))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_copies"))
+      .orderBy("doc_id")
+  }
+
   // ---- test-set decontamination (n-gram overlap vs a benchmark slice) ----
   private def q49Decontaminate(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents")
@@ -678,7 +693,9 @@ object SparkEntry {
     "q47_simhash64" -> (q47Simhash64 _),
     "q48_repetition" -> (q48Repetition _),
     "q49_decontaminate" -> (q49Decontaminate _),
-    "q50_quantized_topk" -> (q50QuantizedTopk _)
+    "q50_quantized_topk" -> (q50QuantizedTopk _),
+    "q51_epoch_shuffle" -> (q51EpochShuffle _),
+    "q52_mixture" -> (q52Mixture _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -62,6 +62,38 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic epoch reshuffle: a training-order permutation as a pure
+    * function of (key, epoch) — each epoch draws an independent order, and
+    * the same epoch always reproduces the same order across reruns/retries
+    * (`orderBy(rand())` does neither). At scale the range partitioner on the
+    * hash column distributes the sort; no single-partition global window is
+    * involved. The hash rides along as `shuffle_order` so downstream
+    * writers can `sortWithinPartitions` on it instead of re-sorting.
+    */
+  def epochShuffle(df: DataFrame, key: Column, epoch: Int): DataFrame =
+    df.withColumn("shuffle_order", md5(concat(key.cast("string"), lit(s"#epoch$epoch"))))
+      .orderBy(col("shuffle_order"))
+
+  /** Deterministic training-mix composer: each (source, key, rate) keeps
+    * `rate` of its rows by hash sampling and the union is the mixture.
+    * Rates above 1.0 oversample — ⌊rate⌋ full copies plus a fractional
+    * hash-sampled copy, each under a distinct salt so repeated epochs of a
+    * source are independent deterministic draws. Map-only per source; the
+    * union adds no shuffle.
+    */
+  def mixture(
+      sources: Seq[(DataFrame, Column, Double)]): DataFrame = {
+    require(sources.nonEmpty, "mixture needs at least one source")
+    sources.map { case (df, key, rate) =>
+      val whole = rate.toInt
+      val frac = rate - whole
+      val copies =
+        (0 until whole).map(i => sample(df, key, 1.0, salt = s"#mix$i")) ++
+          (if (frac > 0) Seq(sample(df, key, frac, salt = s"#mix$whole")) else Nil)
+      copies.reduceOption(_ unionByName _).getOrElse(df.limit(0))
+    }.reduce(_ unionByName _)
+  }
+
   /** Approximate contiguous sequence packing: rows are packed into
     * fixed-capacity token bins in `order` order WITHIN each shard — bin id
     * is ⌊(running-total-before-this-row) / capacity⌋, so a document that

@@ -62,6 +62,34 @@ class SamplingSpec extends SparkSpecBase {
     assert(again === first)
   }
 
+  test("epochShuffle: deterministic per epoch, different across epochs") {
+    val ids = (0L until 500L).toDF("id")
+    def order(epoch: Int) = Sampling.epochShuffle(ids, col("id"), epoch)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(order(1) === order(1), "same epoch must reproduce the same order")
+    assert(order(1) !== order(2), "different epochs must permute differently")
+    assert(order(1).sorted === (0L until 500L), "a permutation loses nothing")
+    // retry/partitioning stability: the order is a function of the data only
+    val repart = Sampling.epochShuffle(ids.repartition(7), col("id"), 1)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(repart === order(1))
+  }
+
+  test("mixture: rates compose the mix; oversampling emits extra copies") {
+    val a = (0L until 1000L).toDF("id")
+    val b = (1000L until 2000L).toDF("id")
+    val mix = Sampling.mixture(Seq((a, col("id"), 0.3), (b, col("id"), 2.5)))
+    val byCopies = mix.groupBy("id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val aKept = byCopies.count(_._1 < 1000L)
+    assert(math.abs(aKept / 1000.0 - 0.3) < 0.05, s"source-a rate off: $aKept")
+    // every b row appears 2 or 3 times (2 full copies + 0.5 fractional)
+    val bCopies = byCopies.filter(_._1 >= 1000L).map(_._2)
+    assert(bCopies.length === 1000)
+    assert(bCopies.forall(c => c == 2L || c == 3L))
+    assert(math.abs(bCopies.count(_ == 3L) / 1000.0 - 0.5) < 0.05)
+  }
+
   test("packBins: bins fill in order per shard; a row spanning the boundary stays put") {
     val docs = Seq(
       ("a", 1L, 60L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 50L),
