@@ -94,7 +94,9 @@ object SparkEntry {
       Seq(col("l_shipdate").desc, col("l_linenumber").desc))
     last
       .join(T(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(T(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      // no broadcast hint: customer grows with the corpus (unlike the
+      // nation/region dims) — AQE broadcasts it only while it actually fits
+      .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
       .select(
         col("o_orderkey"),
         col("l_linenumber").as("last_linenumber"),
