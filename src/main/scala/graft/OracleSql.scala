@@ -551,6 +551,13 @@ object OracleSql {
         |mix AS (SELECT doc_id FROM en UNION ALL SELECT doc_id FROM r0
         |  UNION ALL SELECT doc_id FROM r1)
         |SELECT doc_id, count(*) AS n_copies FROM mix GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q53_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -636,6 +636,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---- salted fact⨝dim join ≡ the plain join (the explicit-skew fallback
+  // for keys AQE's splitting can't tame) ----------------------------------
+  private def q53SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = T(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val dim = T(s, d, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.operators.Skew.saltedJoin(fact, dim, "o_custkey", "o_orderkey", saltFactor = 8)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
   // ---- test-set decontamination (n-gram overlap vs a benchmark slice) ----
   private def q49Decontaminate(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents")
@@ -697,7 +711,8 @@ object SparkEntry {
     "q49_decontaminate" -> (q49Decontaminate _),
     "q50_quantized_topk" -> (q50QuantizedTopk _),
     "q51_epoch_shuffle" -> (q51EpochShuffle _),
-    "q52_mixture" -> (q52Mixture _)
+    "q52_mixture" -> (q52Mixture _),
+    "q53_salted_join" -> (q53SaltedJoin _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
