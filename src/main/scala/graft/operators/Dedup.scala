@@ -21,6 +21,22 @@ object Dedup {
   def exact(df: DataFrame, key: Column, idCol: String): DataFrame =
     df.groupBy(key.as("dedup_key")).agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup keeping the FULL surviving rows (min id per key) in a
+    * single pass: row_number over the key instead of groupBy + join-back —
+    * the join-back formulation computes the key expression on both sides of
+    * a self-join and moves the full rows through two exchanges; this shape
+    * evaluates the key once and shuffles once. The [[Curation.pipeline]]
+    * winner-selection stage, exposed as its own operator.
+    */
+  def exactSurvivors(df: DataFrame, key: Column, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__dk")).orderBy(col(idCol))
+    df.withColumn("__dk", key)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__dk", "__rn")
+  }
+
   /** Word n-gram shingles (distinct, first-occurrence order). Backed by the
     * native [[graft.functions.WordShinglesExpr]]; equivalent SQL:
     * `list_distinct(list_transform(generate_series(1, greatest(len(w)-(n-1),1)), i -> array_to_string(w[i:i+n-1], ' ')))`.

@@ -21,6 +21,16 @@ class DedupSpec extends SparkSpecBase {
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("exactSurvivors keeps the full min-id row per key, one per group") {
+    val df = Seq((1L, "Hello  World", "a"), (2L, "hello world", "b"), (3L, "different", "c"))
+      .toDF("id", "text", "payload")
+    val out = Dedup.exactSurvivors(df,
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))), "id")
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(out.map(_.getString(2)).toSeq === Seq("a", "c")) // full rows survive
+  }
+
   test("jaccard: 1 for identical sets, 0 for disjoint, symmetric in between") {
     val df = Seq((docA, docA), (docA, docC), (docA, docB)).toDF("a", "b")
       .select(Dedup.jaccard(

@@ -286,6 +286,15 @@ class EntityPipelineSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$outDir/postgres/province").count() === 1L)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "cassandra")))
 
+    // --truncate deletes the selected entities' target dirs before writing;
+    // a stale file inside must be gone after the run
+    val stale = java.nio.file.Paths.get(outDir, "postgres", "roles", "stale.txt")
+    java.nio.file.Files.writeString(stale, "leftover")
+    RunEtl.execute(spark, RunEtl.parse(Seq("--source", srcDir.toString, "--out", outDir,
+      "--entity", "roles", "--target", "postgres", "--truncate")))
+    assert(!java.nio.file.Files.exists(stale), "--truncate must clear the target dir")
+    assert(spark.read.parquet(s"$outDir/postgres/roles").count() === 1L)
+
     // --validate flags an unreadable collection for the selection
     val (okVal, _) = RunEtl.execute(spark,
       RunEtl.parse(Seq("--source", srcDir.toString, "--entity", "province", "--validate")))
