@@ -31,8 +31,11 @@ object Bench {
             System.err.println(s"[bench] $tag $name FAILED: $t")
             Some(t.toString)
         }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // cache teardown happens OUTSIDE the timed window — it protects the
+      // NEXT query from inherited session state, it is not this query's cost
       spark.catalog.clearCache()
-      ((System.nanoTime() - t0) / 1e9, err)
+      (elapsed, err)
     }
 
     // untimed warmup pass: absorbs one-time JVM/JIT/whole-stage-codegen

@@ -85,10 +85,9 @@ object RunEtl {
     }
     require(cfg.sourceDir.nonEmpty, "--source is required")
 
+    val listing = Option(new java.io.File(cfg.sourceDir).listFiles()).getOrElse(Array.empty)
     val src: DocumentSource =
-      if (new java.io.File(cfg.sourceDir).listFiles() != null &&
-        new java.io.File(cfg.sourceDir).listFiles().exists(_.getName.endsWith(".jsonl")))
-        new JsonSource(spark, cfg.sourceDir)
+      if (listing.exists(_.getName.endsWith(".jsonl"))) new JsonSource(spark, cfg.sourceDir)
       else new ParquetSource(spark, cfg.sourceDir)
     def collection(name: String): DataFrame =
       EntityStages.normalizeTimestamps(src.collection(name))
@@ -120,9 +119,6 @@ object RunEtl {
       }
     }
 
-    cfg.batchSize.foreach(n =>
-      spark.conf.set("spark.sql.files.maxRecordsPerFile", n.toString))
-
     // target filtering happens at the SINK: dual-destination transforms still
     // compute both frames so sequential ids stay consistent across partial
     // loads, but only the requested destination is written — the other gets
@@ -133,10 +129,19 @@ object RunEtl {
       (entity, dest, df) =>
         if (destMatches(cfg.target, dest)) base(entity, dest, df) else df.count(): Unit
 
-    val stages = EntityStages.all.filter { case (name, _) => selected(name) }
-    val pipe = new Pipeline(spark, collection, sink, dryRun = cfg.dryRun)
-    pipe.run(stages)
-    (true, pipe.report)
+    // --batch-size is scoped to this run: execute() may share a session with
+    // its caller (specs, embedding applications), which must not inherit a
+    // tiny maxRecordsPerFile on every later write
+    val prevBatch = cfg.batchSize.map(_ => spark.conf.get("spark.sql.files.maxRecordsPerFile"))
+    cfg.batchSize.foreach(n =>
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", n.toString))
+    try {
+      val stages = EntityStages.all.filter { case (name, _) => selected(name) }
+      val pipe = new Pipeline(spark, collection, sink, dryRun = cfg.dryRun)
+      pipe.run(stages)
+      (true, pipe.report)
+    } finally prevBatch.foreach(v =>
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", v))
   }
 
   def main(args: Array[String]): Unit = {

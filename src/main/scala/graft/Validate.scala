@@ -43,6 +43,17 @@ object Validate {
       println(s"  [${if (c.passed) "OK" else "FAIL"}] ${c.name}: ${c.detail}")
     }
 
+    // 0. table presence — a missing target table must FAIL loudly, not
+    // silently skip every downstream check for it (an aborted migration
+    // would otherwise validate as a clean success)
+    section(0, "VALIDATING TABLE PRESENCE")
+    for (e <- Entities.ordered; dest <- e.strategy.destinations) {
+      val d = dest.toString.toLowerCase
+      record(CheckResult(s"present-${e.name}-$d",
+        table(d, e.name).isDefined,
+        if (table(d, e.name).isDefined) "present" else s"MISSING: $d/${e.name}"))
+    }
+
     // 1. record counts (validate_migration.py:50-131)
     section(1, "VALIDATING RECORD COUNTS")
     println(f"${"Entity"}%-20s ${"Source"}%10s ${"Postgres"}%12s ${"Cassandra"}%12s ${"Status"}%8s")
@@ -151,6 +162,12 @@ object Validate {
       df <- Try(spark.read.parquet(s"$dir/cassandra_layout/$t")).toOption)
       record(Checks.clusteringOrder(s"clustering-$t", df, layout.clustering))
 
+    // critical checks that never RAN (their inputs were missing) count as
+    // failures — skipped-because-absent must not read as passed
+    val critical = Set("room-uuid5", "msg-rooms-in-room-details")
+    for (name <- critical if !checks.exists(_.name == name))
+      checks += CheckResult(name, passed = false, "check skipped: input tables missing")
+
     // 14. summary + verdict (:988-1043)
     section(14, "VALIDATION SUMMARY")
     val failed = checks.filterNot(_.passed)
@@ -160,8 +177,7 @@ object Validate {
       println("\n[ERROR] ERRORS:")
       failed.take(20).foreach(c => println(s"  - ${c.name}: ${c.detail}"))
     }
-    val (ok, _) = Checks.verdict(checks.toSeq,
-      critical = Set("room-uuid5", "msg-rooms-in-room-details"))
+    val (ok, _) = Checks.verdict(checks.toSeq, critical = critical)
     println("\n" + "=" * 80)
     println(if (ok) "SUCCESS: Migration validation PASSED"
       else s"[ERROR] FAILURE: Migration validation FAILED (${failed.size} errors)")

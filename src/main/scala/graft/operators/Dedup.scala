@@ -21,20 +21,33 @@ object Dedup {
   def exact(df: DataFrame, key: Column, idCol: String): DataFrame =
     df.groupBy(key.as("dedup_key")).agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Exact dedup keeping the FULL surviving rows (min id per key) in a
-    * single pass: row_number over the key instead of groupBy + join-back —
-    * the join-back formulation computes the key expression on both sides of
-    * a self-join and moves the full rows through two exchanges; this shape
-    * evaluates the key once and shuffles once. The [[Curation.pipeline]]
-    * winner-selection stage, exposed as its own operator.
+  /** Exact dedup keeping the FULL surviving rows (min id per key): the key
+    * expression is evaluated once and the full rows cross one exchange (the
+    * groupBy + join-back formulation computes the key on both sides of a
+    * self-join and shuffles the rows twice).
+    *
+    * Skew-safe in two window stages: stage 1 partitions by (key, salt) —
+    * salt from the id hash, deterministic — so a degenerate duplicate group
+    * (10^8 copies of one boilerplate page) spreads across `saltFactor`
+    * tasks instead of sorting on one; stage 2 picks the min-id winner among
+    * the ≤ saltFactor surviving candidates per key, a provably tiny group.
     */
-  def exactSurvivors(df: DataFrame, key: Column, idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+  def exactSurvivors(
+      df: DataFrame,
+      key: Column,
+      idCol: String,
+      saltFactor: Int = 32): DataFrame = {
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__dk"), col("__ds")).orderBy(col(idCol))
+    val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__dk")).orderBy(col(idCol))
     df.withColumn("__dk", key)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__dk", "__rn")
+      .withColumn("__ds", pmod(xxhash64(col(idCol)), lit(saltFactor.toLong)).cast("int"))
+      .withColumn("__rn1", row_number().over(w1))
+      .filter(col("__rn1") === 1)
+      .withColumn("__rn2", row_number().over(w2))
+      .filter(col("__rn2") === 1)
+      .drop("__dk", "__ds", "__rn1", "__rn2")
   }
 
   /** Word n-gram shingles (distinct, first-occurrence order). Backed by the

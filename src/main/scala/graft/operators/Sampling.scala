@@ -87,8 +87,13 @@ object Sampling {
     sources.map { case (df, key, rate) =>
       val whole = rate.toInt
       val frac = rate - whole
+      // whole copies are the source verbatim — no per-row hash to evaluate,
+      // and rows with a null key are not silently dropped by a vacuous
+      // `hash < 1.0` filter (null comparisons are null). Only the
+      // fractional remainder hash-samples (null-keyed rows never pass it;
+      // give keyless corpora a synthetic key upstream).
       val copies =
-        (0 until whole).map(i => sample(df, key, 1.0, salt = s"#mix$i")) ++
+        Seq.fill(whole)(df) ++
           (if (frac > 0) Seq(sample(df, key, frac, salt = s"#mix$whole")) else Nil)
       copies.reduceOption(_ unionByName _).getOrElse(df.limit(0))
     }.reduce(_ unionByName _)

@@ -33,8 +33,12 @@ trait TableSink {
   def writeWithQuarantine(table: String, df: DataFrame, isValid: Column): Unit = {
     // one materialization feeds both filtered writes: without it, any
     // non-deterministic expression upstream (rand/uuid) could re-evaluate
-    // between the two actions and route a row into both tables or neither
-    val pinned = df.withColumn("__valid", coalesce(isValid, lit(false))).localCheckpoint(true)
+    // between the two actions and route a row into both tables or neither.
+    // cache + unpersist (not localCheckpoint): Dataset.unpersist only frees
+    // CacheManager entries, so a checkpoint here would pin corpus-sized
+    // blocks until a driver GC; MEMORY_AND_DISK spills rather than evicts,
+    // so both writes observe the same materialized rows
+    val pinned = df.withColumn("__valid", coalesce(isValid, lit(false))).cache()
     try {
       overwrite(table, pinned.filter(col("__valid")).drop("__valid"))
       overwrite(s"${table}__quarantine", pinned.filter(!col("__valid")).drop("__valid"))
@@ -59,6 +63,14 @@ final class ParquetSink(baseDir: String) extends TableSink {
     */
   def upsert(table: String, df: DataFrame, keys: Seq[String]): Unit = {
     val spark = df.sparkSession
+    // crash recovery FIRST: a previous upsert that died between its two
+    // swap renames left the table slot empty and the data in __bak — without
+    // this restore, the merge below would silently run against an empty
+    // table and the final cleanup would delete the only surviving copy
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst0 = new org.apache.hadoop.fs.Path(path(table))
+    val bak0 = new org.apache.hadoop.fs.Path(path(table) + "__bak")
+    if (!fs0.exists(dst0) && fs0.exists(bak0)) fs0.rename(bak0, dst0)
     val existing =
       try Some(spark.read.parquet(path(table)))
       catch { case _: Exception => None }
@@ -121,6 +133,17 @@ final class PartitionedParquetSink(
     val spark = df.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(path(table))
+    // crash recovery FIRST: partition dirs stranded in __bak by a previous
+    // upsert that died mid-swap are restored where the live dir is missing —
+    // deleting the backup root before consulting it would destroy the only
+    // surviving copy of those partitions
+    val bakRoot0 = new org.apache.hadoop.fs.Path(path(table) + "__bak")
+    if (fs.exists(bakRoot0)) {
+      for (st <- fs.listStatus(bakRoot0) if st.isDirectory) {
+        val live = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+        if (!fs.exists(live)) fs.rename(st.getPath, live)
+      }
+    }
     if (!fs.exists(root)) { overwrite(table, df); return }
 
     // the batch's distinct partition values (null partitions unsupported —

@@ -213,12 +213,18 @@ object StreamingLshDedup {
                 for (other <- st.ids)
                   out += (if (a.doc < other) CandidatePair(a.doc, other)
                   else CandidatePair(other, a.doc))
-                st = BucketState((a.doc :: st.ids).take(maxBucket),
-                  math.max(st.lastTs, a.ts.getTime))
+                st = BucketState((a.doc :: st.ids).take(maxBucket), st.lastTs)
               }
+              // duplicate arrivals REFRESH the idle clock too — a bucket fed
+              // only redeliveries must not let its timeout fall behind
+              st = st.copy(lastTs = math.max(st.lastTs, a.ts.getTime))
             }
             state.update(st)
-            state.setTimeoutTimestamp(st.lastTs + idleTimeoutMs)
+            // clamp above the current watermark: a timeout timestamp at or
+            // below the watermark is rejected by GroupState and would kill
+            // the whole query on a long-idle bucket
+            state.setTimeoutTimestamp(
+              math.max(st.lastTs + idleTimeoutMs, state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }

@@ -156,10 +156,14 @@ object Checks {
     * every file's rows must already be in the declared clustering order —
     * the property Cassandra's storage engine guarantees per partition.
     *
-    * Mechanics: parquet scans preserve row order within a file, and
-    * `monotonically_increasing_id` is increasing in read order inside each
-    * scan partition, so a lag-comparison partitioned by file name counts
-    * order violations. `clustering` is (column, ascending), lexicographic.
+    * Mechanics: the file-source `_metadata` column provides the exact
+    * (file_path, row_index) position of every row — stable even when a
+    * large file is split across several scan partitions, where a
+    * `monotonically_increasing_id` ordering would interleave splits (scan
+    * partitions are packed by size, not file offset). `df` must therefore
+    * be a direct file scan (e.g. `spark.read.parquet(dir)`). A
+    * lag-comparison partitioned by file counts order violations;
+    * `clustering` is (column, ascending), lexicographic.
     */
   def clusteringOrder(
       name: String,
@@ -169,8 +173,8 @@ object Checks {
     val w = Window.partitionBy(col("__file")).orderBy(col("__pos"))
     val keys = clustering.map(_._1)
     val withPrev = df
-      .select(input_file_name().as("__file"),
-        monotonically_increasing_id().as("__pos"),
+      .select(col("_metadata.file_path").as("__file"),
+        col("_metadata.row_index").as("__pos"),
         struct(keys.map(col): _*).as("__k"))
       .withColumn("__prev", lag(col("__k"), 1).over(w))
       .filter(col("__prev").isNotNull)
