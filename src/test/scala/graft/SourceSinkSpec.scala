@@ -72,6 +72,36 @@ class SourceSinkSpec extends SparkSpecBase {
     assert(snapshot("p=b") ++ snapshot("p=c") === before)
   }
 
+  test("upsert recovers a table stranded in __bak by a mid-swap crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bak").toString
+    val sink = new ParquetSink(dir)
+    sink.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // simulate the crash window: old table moved to __bak, new never landed
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir, "t"),
+      java.nio.file.Paths.get(dir, "t__bak"))
+    sink.upsert("t", Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    // the pre-crash rows must survive the recovery, not be silently dropped
+    val out = spark.read.parquet(s"$dir/t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "t__bak")))
+  }
+
+  test("partitioned upsert recovers partitions stranded in __bak") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pbak").toString
+    val sink = new PartitionedParquetSink(dir, "p")
+    sink.overwrite("t", Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "v", "p"))
+    // simulate a crash that moved partition p=a to the backup root mid-swap
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "t__bak"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir, "t", "p=a"),
+      java.nio.file.Paths.get(dir, "t__bak", "p=a"))
+    sink.upsert("t", Seq((2L, "Y", "b")).toDF("id", "v", "p"), Seq("id"))
+    val out = spark.read.parquet(s"$dir/t").select("id", "v", "p")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(out === Seq((1L, "x", "a"), (2L, "Y", "b")))
+  }
+
   test("partitioned upsert refuses a batch that moves a key across partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-psink-mv").toString
     val sink = new PartitionedParquetSink(dir, "p")
