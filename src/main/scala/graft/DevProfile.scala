@@ -32,3 +32,44 @@ object DevProfile {
     spark.stop()
   }
 }
+
+/** Dev harness: stage-by-stage timing of [[graft.operators.Curation.pipeline]]
+  * with q33's parameters (`runMain graft.DevProfileCuration [sfDir] [reps]`).
+  */
+object DevProfileCuration {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val spark = Engine.session(master = "local[32]", shufflePartitions = 32, appName = "prof")
+    import graft.operators.{Curation, Dedup, TextAnalysis}
+
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROF $label rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
+
+    for (r <- 1 to reps) {
+      println(s"--- rep $r ---")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      t("read")(docs.count())
+      val surv = Dedup.exactSurvivors(docs, TextAnalysis.fingerprint(col("text")), "doc_id")
+      t("exactSurvivors")(surv.count())
+      val gated = surv.filter(TextAnalysis.qualityScore(col("text")) >= 0.3 &&
+        TextAnalysis.languageId(col("text")).isin("en", "es", "fr", "de", "zh"))
+      t("gated")(gated.count())
+      val shingled = gated.select(col("doc_id").as("__sid"),
+        Dedup.wordShingles(col("text"), 2).as("__sh")).localCheckpoint(false)
+      val candidates = Dedup.minHashLshPairsFromShingles(shingled, "__sid", "__sh", 4, 3)
+      t("candidates")(candidates.count())
+      val confirmed = candidates
+        .join(shingled.withColumnRenamed("__sid", "id1").withColumnRenamed("__sh", "__sh1"), "id1")
+        .join(shingled.withColumnRenamed("__sid", "id2").withColumnRenamed("__sh", "__sh2"), "id2")
+        .filter(Dedup.jaccard(col("__sh1"), col("__sh2")) >= 0.6)
+        .select(col("id2").as("doc_id")).distinct()
+      t("confirmed")(confirmed.count())
+      t("full-pipeline")(Curation.pipeline(docs, "doc_id", "text").count())
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native language-ID argmax over a pre-split word array — bit-identical to
+  * the column formulation (per language: `size(filter(words, w ->
+  * w.isin(markers)))`, then a fixed-order strictly-greater argmax with
+  * `"und"` when the best score is 0), but ONE pass over the word array
+  * instead of one interpreted `filter` lambda per (language × word) — and
+  * the caller's `split(lower(trim(text)))` is evaluated once (codegen'd)
+  * instead of once per language (interpreted HOFs get no common-subexpression
+  * elimination, the [[MinHashSig]]/[[SimHash64Expr]] pathology).
+  *
+  * The child is the WORD ARRAY (`split(lower(trim(text)), "\\s+")`), so
+  * tokenization semantics are exactly Spark's own codegen'd split. Null
+  * input yields null (the corpus has no null texts; the interpreted column
+  * chain yielded "und" through three-valued logic — documented divergence).
+  *
+  * Marker words may belong to several languages ("la" scores both es and fr,
+  * "und" scores de): each word looks up a bitmask of the languages it marks.
+  */
+case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+  require(markers.nonEmpty && markers.size <= 32, "1..32 languages")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  @transient private lazy val masks: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    markers.zipWithIndex.foreach { case ((_, words), i) =>
+      words.foreach { w =>
+        val k = UTF8String.fromString(w)
+        m.merge(k, Integer.valueOf(1 << i), (a, b) => Integer.valueOf(a | b))
+      }
+    }
+    m
+  }
+  @transient private lazy val langs: Array[UTF8String] =
+    markers.map(m => UTF8String.fromString(m._1)).toArray
+  @transient private lazy val und = UTF8String.fromString("und")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val scores = new Array[Int](langs.length)
+    var i = 0
+    val n = words.numElements()
+    while (i < n) {
+      val mask = masks.get(words.getUTF8String(i))
+      if (mask != null) {
+        var m = mask.intValue()
+        while (m != 0) {
+          val j = java.lang.Integer.numberOfTrailingZeros(m)
+          scores(j) += 1
+          m &= m - 1
+        }
+      }
+      i += 1
+    }
+    // fixed-order strictly-greater argmax == the column fold's semantics
+    var best = 0
+    var k = 1
+    while (k < scores.length) {
+      if (scores(k) > scores(best)) best = k
+      k += 1
+    }
+    if (scores(best) > 0) langs(best) else und
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}

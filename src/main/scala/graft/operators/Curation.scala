@@ -31,30 +31,19 @@ object Curation {
     val id = col(idCol)
     val text = col(textCol)
 
-    // 1+2. exact-dedup winners and quality/language gates in ONE text pass:
-    // fingerprint and both gate verdicts are computed in a single pre-shuffle
-    // projection (the text is read and tokenized once), the min-id winner
-    // per fingerprint comes from the salted two-stage window of
-    // [[Dedup.exactSurvivors]] (a degenerate duplicate group spreads across
-    // the salt instead of sorting on one task), and the gates reduce to
-    // boolean-flag filters on the survivors. The groupBy + join-back
-    // formulation this replaces fingerprinted both sides of a self-join and
-    // moved the full text through two exchanges.
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__fp"), col("__fs")).orderBy(id)
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__fp")).orderBy(id)
-    val gatedPlan = docs
-      .withColumn("__fp", TextAnalysis.fingerprint(text))
-      .withColumn("__fs", pmod(xxhash64(id), lit(32L)).cast("int"))
-      .withColumn("__q_ok", TextAnalysis.qualityScore(text) >= minQuality)
-      .withColumn("__lang_ok",
+    // 1+2. exact-dedup winners via [[Dedup.exactSurvivors]] — one
+    // min_by(struct, id) aggregate on the fingerprint: partial aggregation
+    // collapses duplicate groups (even a 10^8-copy degenerate one) to one
+    // candidate per map task before the single exchange (see the operator's
+    // doc for the SortAggregate physical shape). The quality/language gates
+    // then run on the winners only — semantically identical to gating every
+    // row (only winners survive either way) but the tokenizing regexes
+    // evaluate once per distinct fingerprint instead of once per raw
+    // document.
+    val gatedPlan = Dedup
+      .exactSurvivors(docs, TextAnalysis.fingerprint(text), idCol)
+      .filter(TextAnalysis.qualityScore(text) >= minQuality &&
         TextAnalysis.languageId(text).isin(languages.map(x => x: Any): _*))
-      .withColumn("__rn1", row_number().over(w1))
-      .filter(col("__rn1") === 1)
-      .withColumn("__rn2", row_number().over(w2))
-      .filter(col("__rn2") === 1 && col("__q_ok") && col("__lang_ok"))
-      .drop("__fp", "__fs", "__q_ok", "__lang_ok", "__rn1", "__rn2")
 
     // LAZY localCheckpoint, not cache: the gated corpus feeds LSH candidate
     // generation, Jaccard verification, AND the final anti-join — the

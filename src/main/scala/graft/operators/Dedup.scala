@@ -21,34 +21,31 @@ object Dedup {
   def exact(df: DataFrame, key: Column, idCol: String): DataFrame =
     df.groupBy(key.as("dedup_key")).agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Exact dedup keeping the FULL surviving rows (min id per key): the key
-    * expression is evaluated once and the full rows cross one exchange (the
-    * groupBy + join-back formulation computes the key on both sides of a
-    * self-join and shuffles the rows twice).
+  /** Exact dedup keeping the FULL surviving rows (min id per key): a single
+    * `min_by(struct(all cols), id)` aggregate. The key expression is
+    * evaluated once and the rows cross exactly ONE exchange — already
+    * collapsed to one candidate per (map task × key).
     *
-    * Skew-safe in two window stages: stage 1 partitions by (key, salt) —
-    * salt from the id hash, deterministic — so a degenerate duplicate group
-    * (10^8 copies of one boilerplate page) spreads across `saltFactor`
-    * tasks instead of sorting on one; stage 2 picks the min-id winner among
-    * the ≤ saltFactor surviving candidates per key, a provably tiny group.
+    * Physical shape (pinned in DedupSpec): the struct-valued buffer keeps
+    * `min_by` out of HashAggregateExec, so Spark plans a SortAggregate —
+    * a LOCAL spillable sort per map partition on the md5 key, then partial
+    * aggregation collapses each duplicate group to one row per map task
+    * *before* the shuffle. Skew-safe by construction: a degenerate
+    * duplicate group (10^8 copies of one boilerplate page) reaches the
+    * reduce side as at most `numInputPartitions` rows, so no hot reducer —
+    * where a plain window form would shuffle the whole group to one task,
+    * and the r3 salted two-window form shuffled AND sorted the entire
+    * corpus twice to fix that. The groupBy + join-back form shuffles the
+    * full rows twice.
+    *
+    * `idCol` must be unique per key for a deterministic winner (ties in
+    * `min_by` are resolved arbitrarily, exactly as `row_number` over a
+    * non-unique ordering would be).
     */
-  def exactSurvivors(
-      df: DataFrame,
-      key: Column,
-      idCol: String,
-      saltFactor: Int = 32): DataFrame = {
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__dk"), col("__ds")).orderBy(col(idCol))
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__dk")).orderBy(col(idCol))
-    df.withColumn("__dk", key)
-      .withColumn("__ds", pmod(xxhash64(col(idCol)), lit(saltFactor.toLong)).cast("int"))
-      .withColumn("__rn1", row_number().over(w1))
-      .filter(col("__rn1") === 1)
-      .withColumn("__rn2", row_number().over(w2))
-      .filter(col("__rn2") === 1)
-      .drop("__dk", "__ds", "__rn1", "__rn2")
-  }
+  def exactSurvivors(df: DataFrame, key: Column, idCol: String): DataFrame =
+    df.groupBy(key.as("__dk"))
+      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__row"))
+      .select(col("__row.*"))
 
   /** Word n-gram shingles (distinct, first-occurrence order). Backed by the
     * native [[graft.functions.WordShinglesExpr]]; equivalent SQL:

@@ -68,6 +68,16 @@ object TextAnalysis {
   )
 
   def languageId(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.LangIdExpr(
+      GraftColumnBridge.expression(split(lower(trim(text)), "\\s+")), LangMarkers))
+  }
+
+  /** The interpreted column formulation [[languageId]] is bit-identical to —
+    * kept for the equivalence spec and as the SQL-portable documentation of
+    * the semantics (this is what the DuckDB oracle runs).
+    */
+  def languageIdColumns(text: Column): Column = {
     val words = split(lower(trim(text)), "\\s+")
     val scores = LangMarkers.map { case (lang, markers) =>
       lang -> size(org.apache.spark.sql.functions.filter(

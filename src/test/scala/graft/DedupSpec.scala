@@ -31,6 +31,46 @@ class DedupSpec extends SparkSpecBase {
     assert(out.map(_.getString(2)).toSeq === Seq("a", "c")) // full rows survive
   }
 
+  test("exactSurvivors collapses a degenerate duplicate group map-side (skew fixture)") {
+    // 100k rows, ONE fingerprint holding ~99.95% of them (the boilerplate-
+    // page pathology) spread over 8 map partitions. The proof of skew-safety
+    // is per-shuffle ROW COUNTS, not wall time: the partial aggregate must
+    // emit at most (map partitions × distinct keys) rows — the degenerate
+    // group collapses to one candidate per map task BEFORE the exchange.
+    val n = 100000L
+    val distinctTail = 50L
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan exposes metrics
+    try {
+      val df = spark.range(n).select(col("id"),
+        when(col("id") < n - distinctTail, lit("boilerplate page"))
+          .otherwise(concat(lit("unique "), col("id"))).as("text"))
+        .repartition(8)
+      val out = Dedup.exactSurvivors(df, md5(col("text")), "id")
+      assert(out.count() === distinctTail + 1)
+      // min-id winner of the degenerate group survives with its full row
+      val winner = out.orderBy("id").head()
+      assert(winner.getLong(0) === 0L && winner.getString(1) === "boilerplate page")
+
+      val plan = out.queryExecution.executedPlan
+      val partialRows = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.aggregateExpressions.exists(
+              _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial) =>
+          a.metrics("numOutputRows").value
+      }.sum
+      assert(partialRows <= 8 * (distinctTail + 1),
+        s"partial aggregate leaked $partialRows rows into the shuffle — map-side collapse broken")
+      // exactly ONE key-hash exchange (the fixture's round-robin repartition aside)
+      val keyExchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+      }
+      assert(keyExchanges.size === 1, s"expected one key exchange, got ${keyExchanges.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("jaccard: 1 for identical sets, 0 for disjoint, symmetric in between") {
     val df = Seq((docA, docA), (docA, docC), (docA, docB)).toDF("a", "b")
       .select(Dedup.jaccard(

@@ -37,6 +37,36 @@ class TextAnalysisSpec extends SparkSpecBase {
       TextAnalysis.languageId(col("text"))) === "und")
   }
 
+  test("native languageId is identical to the interpreted column formulation") {
+    // covers: dominant language, multi-language marker words ("la" scores es
+    // AND fr, "und" scores de), fixed-order tie-breaks, unicode (zh), case
+    // folding, padding whitespace, empty and marker-free strings
+    val texts = Seq(
+      "the cat and the dog is a pet",
+      "el perro y la casa de los gatos",
+      "la la la",                       // es/fr tie -> first in fixed order (es)
+      "le chat est sur la table et les chiens",
+      "der hund ist nicht das problem und die katze",
+      "的 是 了 在 我 不",
+      "THE AND OF TO IS A",             // case folding
+      "  the   spaced    and  text  ",  // whitespace runs
+      "de de de",                       // es "de" vs de "der": es wins
+      "und",                            // de marker only
+      "xyzzy plugh qwerty",
+      "",
+      "word"
+    )
+    val df = texts.toDF("text")
+    val both = df.select(
+      TextAnalysis.languageId(col("text")).as("native"),
+      TextAnalysis.languageIdColumns(col("text")).as("interp")).collect()
+    both.zip(texts).foreach { case (r, t) =>
+      assert(r.getString(0) === r.getString(1), s"divergence on '$t'")
+    }
+    assert(both.map(_.getString(0)).toSeq ===
+      Seq("en", "es", "es", "fr", "de", "zh", "en", "en", "es", "de", "und", "und", "und"))
+  }
+
   test("fingerprint is whitespace/case insensitive, content sensitive") {
     val f1 = one[String]("Hello   World", TextAnalysis.fingerprint(col("text")))
     val f2 = one[String]("  hello world ", TextAnalysis.fingerprint(col("text")))
