@@ -48,13 +48,25 @@ object Bench {
     val warm = SparkEntry.queries.toSeq.map { case (name, fn) => name -> run(name, fn, "warm") }
     val failed = (cold ++ warm).collect { case (n, (_, Some(_))) => n }.distinct.sorted
 
+    // q31/q54 memoize their footer-stats rows per (session, dir), so both
+    // timed reps above measure a map hit. Clear the memo and time one more
+    // run each: the honest first-computation cost of the pushdown footer
+    // scan (the number to read as scan cost; the cached entries show the
+    // steady-state serving cost).
+    val firstComputation = Seq("q31_table_counts", "q54_minmax_stats").map { name =>
+      SparkEntry.resetStatsCaches()
+      name -> run(name, SparkEntry.queries(name), "first")
+    }
+
     def timesJson(xs: Seq[(String, (Double, Option[String]))]): String =
       xs.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = cold.map(_._2._1).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(cold)},""" +
-        s""""warm":${timesJson(warm)},"failed":$failedJson,"sf":"$sfDir"}"""
+        s""""warm":${timesJson(warm)},""" +
+        s""""first_computation":${timesJson(firstComputation)},""" +
+        s""""failed":$failedJson,"sf":"$sfDir"}"""
     // Machine-readable copies: a file the harness can always read, plus the
     // bare JSON as the FINAL stdout line (after spark.stop(), so no late
     // executor log lines can interleave; build.sbt passes forked stdout

@@ -558,6 +558,17 @@ object OracleSql {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q54_minmax_stats" ->
+      Seq(("orders", "o_orderkey"), ("orders", "o_totalprice"),
+        ("lineitem", "l_orderkey"), ("lineitem", "l_extendedprice"),
+        ("part", "p_partkey"), ("customer", "c_custkey"))
+        .map { case (t, c) =>
+          s"""SELECT '$t' AS tbl, '$c' AS col_name,
+             |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+             |FROM $t""".stripMargin
+        }
+        .mkString("", " UNION ALL ", " ORDER BY tbl, col_name")
   )
 }

@@ -123,11 +123,26 @@ object RunEtl {
     // compute both frames so sequential ids stay consistent across partial
     // loads, but only the requested destination is written — the other gets
     // dry-run treatment (materialized for metrics + downstream dims, not
-    // loaded), matching `run_etl.py`'s extract+transform-without-load split
+    // loaded), matching `run_etl.py`'s extract+transform-without-load split.
+    // Cassandra-destination entities are laid out per their CQL table's
+    // catalog entry (partition-key directories, clustering-ordered files —
+    // the storage property the reference gets from Scylla); the directory
+    // keeps the entity name so Validate/read-back paths are unchanged.
     val base = Pipeline.parquetSink(cfg.outDir)
     val sink: (String, Destination, DataFrame) => Unit =
       (entity, dest, df) =>
-        if (destMatches(cfg.target, dest)) base(entity, dest, df) else df.count(): Unit
+        if (!destMatches(cfg.target, dest)) df.count(): Unit
+        else {
+          val layout =
+            if (dest == Destination.Cassandra)
+              Entities.byName(entity).cassandraTable.flatMap(graft.sink.CqlLayouts.all.get)
+            else None
+          layout match {
+            case Some(l) => graft.sink.CqlLayouts.writeTo(
+              df, s"${cfg.outDir}/${dest.toString.toLowerCase}/$entity", l)
+            case None => base(entity, dest, df)
+          }
+        }
 
     // --batch-size is scoped to this run: execute() may share a session with
     // its caller (specs, embedding applications), which must not inherit a

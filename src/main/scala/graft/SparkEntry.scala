@@ -555,17 +555,36 @@ object SparkEntry {
   // because any later action on a lazy plan would REPLAN under the restored
   // default confs and silently fall back to full scans. Subsequent calls
   // serve the 10-row local relation.
-  private val cachedCounts =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
+  private val cachedStats = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
 
-  private def q31TableCounts(s: SparkSession, d: String): DataFrame = {
-    if (cachedCounts.size > 16) cachedCounts.clear() // bound stale-session entries
-    val key = System.identityHashCode(s) + "|" + d
-    val rows = cachedCounts.computeIfAbsent(key, _ => {
-      // AQE and wide shuffles buy nothing for 10 metadata rows: the plan is
-      // pinned static + single-partition. All confs are scoped to this
-      // computation and restored verbatim (effective values, defaults
-      // included), so the rest of the engine keeps its source path.
+  /** Drops the memoized table statistics. Bench uses this to time the HONEST
+    * first computation (the footer-only pushdown scan) next to the memoized
+    * number — a 0.05 s map hit must not read as scan cost.
+    */
+  private[graft] def resetStatsCaches(): Unit = cachedStats.clear()
+
+  /** The prepared-footer-stats pattern shared by q31 (COUNT) and q54
+    * (MIN/MAX): statistics of immutable parquet files are memoized per
+    * (session, data dir) like any catalog stats cache. The first computation
+    * runs the V2 aggregate-pushdown scan (footer metadata, never the data) —
+    * collected EAGERLY while the pushdown confs are scoped, because any
+    * later action on a lazy plan would REPLAN under the restored default
+    * confs and silently fall back to full scans. Subsequent calls serve the
+    * collected local rows. `requiredMarkers` make the pushdown a runtime
+    * contract: fail loudly if it ever silently stops planning.
+    */
+  private def footerStats(
+      s: SparkSession,
+      cacheKey: String,
+      requiredMarkers: Seq[String])(build: => DataFrame): DataFrame = {
+    if (cachedStats.size > 32) cachedStats.clear() // bound stale-session entries
+    val key = System.identityHashCode(s) + "|" + cacheKey
+    val (schema, rows) = cachedStats.computeIfAbsent(key, _ => {
+      // AQE and wide shuffles buy nothing for a handful of metadata rows:
+      // the plan is pinned static + single-partition. All confs are scoped
+      // to this computation and restored verbatim (effective values,
+      // defaults included), so the rest of the engine keeps its source path.
       val conf = s.conf
       val prev = Seq("spark.sql.sources.useV1SourceList",
         "spark.sql.parquet.aggregatePushdown",
@@ -578,24 +597,43 @@ object SparkEntry {
         conf.set("spark.sql.parquet.aggregatePushdown", "true")
         conf.set("spark.sql.adaptive.enabled", "false")
         conf.set("spark.sql.shuffle.partitions", "1")
-        val df = AllTables
-          .map(n => T(s, d, n).agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n")))
-          .reduce(_ unionByName _)
-          .orderBy("tbl")
-        // the whole point is the metadata-only scan — fail loudly if the
-        // pushdown ever silently stops planning
+        val df = build
         val plan = df.queryExecution.executedPlan.toString
-        require(plan.contains("PushedAggregation: [COUNT(*)]"),
-          s"parquet aggregate pushdown did not engage:\n$plan")
-        df.collect()
+        requiredMarkers.foreach(m => require(plan.contains(m),
+          s"parquet aggregate pushdown did not engage ($m missing):\n$plan"))
+        (df.schema, df.collect())
       } finally prev.foreach { case (k, v) => conf.set(k, v) }
     })
     import scala.jdk.CollectionConverters._
-    s.createDataFrame(rows.toSeq.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("tbl", org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, nullable = false))))
+    s.createDataFrame(rows.toSeq.asJava, schema)
   }
+
+  private def q31TableCounts(s: SparkSession, d: String): DataFrame =
+    footerStats(s, s"q31|$d", Seq("PushedAggregation: [COUNT(*)]")) {
+      AllTables
+        .map(n => T(s, d, n).agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n")))
+        .reduce(_ unionByName _)
+        .orderBy("tbl")
+    }
+
+  // ---- §2.6 MIN/MAX over parquet footer statistics (q31's COUNT twin):
+  // column ranges per table, pushed to the scan — the aggregate never reads
+  // a data page. Casts sit ABOVE the aggregate so the pushdown still sees
+  // bare min/max on the column ------------------------------------------------
+  private val MinMaxCols = Seq(
+    "orders" -> "o_orderkey", "orders" -> "o_totalprice",
+    "lineitem" -> "l_orderkey", "lineitem" -> "l_extendedprice",
+    "part" -> "p_partkey", "customer" -> "c_custkey")
+
+  private def q54MinMaxStats(s: SparkSession, d: String): DataFrame =
+    footerStats(s, s"q54|$d",
+      Seq("PushedAggregation: [MIN(", "MAX(")) {
+      MinMaxCols.map { case (t, c) =>
+        T(s, d, t).agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+          .select(lit(t).as("tbl"), lit(c).as("col_name"),
+            col("mn").cast("double").as("min_v"), col("mx").cast("double").as("max_v"))
+      }.reduce(_ unionByName _).orderBy("tbl", "col_name")
+    }
 
   // ---- 64-bit SimHash (native xxhash64 expression — the scale path next to
   // q19's md5-based oracle twin; xxhash64 has no DuckDB equivalent, so the
@@ -721,7 +759,8 @@ object SparkEntry {
     "q50_quantized_topk" -> (q50QuantizedTopk _),
     "q51_epoch_shuffle" -> (q51EpochShuffle _),
     "q52_mixture" -> (q52Mixture _),
-    "q53_salted_join" -> (q53SaltedJoin _)
+    "q53_salted_join" -> (q53SaltedJoin _),
+    "q54_minmax_stats" -> (q54MinMaxStats _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -100,9 +100,15 @@ object CqlLayouts {
     * still directory-partition — the "direct lookup by key" access pattern
     * becomes partition pruning.
     */
-  def write(df: DataFrame, baseDir: String, table: String): Unit = {
-    val layout = all.getOrElse(table,
-      throw new IllegalArgumentException(s"no CQL layout for table '$table'"))
+  def write(df: DataFrame, baseDir: String, table: String): Unit =
+    writeTo(df, s"$baseDir/$table", all.getOrElse(table,
+      throw new IllegalArgumentException(s"no CQL layout for table '$table'")))
+
+  /** [[write]] with an explicit target path — the CLI writes each entity to
+    * its entity-named directory (what `Validate` reads) while laying it out
+    * per its CQL table's catalog entry.
+    */
+  def writeTo(df: DataFrame, path: String, layout: TableLayout): Unit = {
     // hash-distribute on the partition key first (Cassandra's token
     // distribution), THEN sort: each key lives in exactly one task, so each
     // partition directory receives ONE file holding its complete row set in
@@ -115,6 +121,6 @@ object CqlLayouts {
       .write
       .mode("overwrite")
       .partitionBy(layout.partitionKeys: _*)
-      .parquet(s"$baseDir/$table")
+      .parquet(path)
   }
 }

@@ -304,6 +304,55 @@ class EntityPipelineSpec extends SparkSpecBase {
     assert(!okBad, "--validate must fail when a selected source collection is missing")
   }
 
+  test("CLI cassandra target writes entities in their CQL layout (clustering-ordered)") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cql-src")
+    def jsonl(name: String, lines: String*): Unit =
+      java.nio.file.Files.writeString(srcDir.resolve(s"$name.jsonl"),
+        lines.mkString("", "\n", "\n"))
+    // message's closure pulls user, which pulls the geo + roles dims
+    jsonl("roles", """{"_id":"ro1","name":"USER","type":"app"}""")
+    jsonl("provinces", """{"_id":"p1","name":"Zulia","key":"ZU","isActive":true}""")
+    jsonl("municipalities",
+      """{"_id":"mu1","name":"Maracaibo","province":"p1","isActive":true}""")
+    jsonl("parroquias",
+      """{"_id":"pq1","name":"Olegario","municipality":"mu1","isActive":true}""")
+    jsonl("users",
+      """{"_id":"u1","displayName":"Ana","isActive":true,"createdAt":"2024-01-01T00:00:00Z"}""",
+      """{"_id":"u2","displayName":"Bob","isActive":true,"createdAt":"2024-01-02T00:00:00Z"}""")
+    jsonl("messages",
+      """{"_id":"m1","room":"r1","sender":"u1","message":"hola","isActive":true,"createdAt":"2024-03-01T10:00:00Z"}""",
+      """{"_id":"m2","room":"r1","sender":"u2","message":"que tal","isActive":true,"createdAt":"2024-03-01T11:00:00Z"}""",
+      """{"_id":"m3","room":"r1","sender":"u1","message":"bien","isActive":true,"createdAt":"2024-03-01T12:00:00Z"}""",
+      """{"_id":"m4","room":"r2","sender":"u2","message":"otro","isActive":true,"createdAt":"2024-03-02T09:00:00Z"}""")
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cql-out").toString
+    val (ok, report) = RunEtl.execute(spark, RunEtl.parse(Seq(
+      "--source", srcDir.toString, "--out", outDir,
+      "--entities", "message", "--target", "cassandra")))
+    assert(ok)
+    assert(report("message/cassandra") === 4L)
+
+    // messages_by_room layout (create_scylla_database.cql:21-46): directory
+    // partition on room_id, message_id DESC inside each partition
+    val msgDir = java.nio.file.Paths.get(outDir, "cassandra", "message")
+    val partDirs = java.nio.file.Files.list(msgDir).iterator()
+    val hasRoomPartitions = {
+      import scala.jdk.CollectionConverters._
+      partDirs.asScala.exists(_.getFileName.toString.startsWith("room_id="))
+    }
+    assert(hasRoomPartitions, "CLI cassandra output must be partition-keyed directories")
+    val readBack = spark.read.parquet(msgDir.toString)
+    assert(readBack.count() === 4L)
+    assert(Checks.clusteringOrder("cli-msg-order", readBack,
+      Seq(("message_id", false))).passed)
+
+    // the dual-destination user dependency: cassandra side laid out per the
+    // `users` table (partition user_id), postgres side dry-run only
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(outDir, "cassandra", "user"))
+      .iterator().hasNext)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "postgres")))
+  }
+
   test("validation checks: count parity bands, uuid5 oracle, url sweep") {
     assert(Checks.countParity("msgs", 100, 96, 0.95).passed)
     assert(!Checks.countParity("docs", 100, 85, 0.90).passed)
