@@ -124,10 +124,12 @@ object OracleSql {
         |sig AS (SELECT doc_id, list_transform(generate_series(0, 7),
         |  k -> list_aggregate(list_transform(s, x -> md5(concat(k, ':', x))), 'min')) AS g FROM sh),
         |bands AS (SELECT doc_id, list_transform(generate_series(0, 3),
-        |  b -> md5(array_to_string(g[b*2+1:b*2+2], '|'))) AS bl FROM sig)
-        |SELECT a.doc_id AS id1, b.doc_id AS id2
-        |FROM bands a JOIN bands b ON a.doc_id < b.doc_id
-        |WHERE len(list_filter(generate_series(1, 4), i -> a.bl[i] = b.bl[i])) > 0
+        |  b -> md5(array_to_string(g[b*2+1:b*2+2], '|'))) AS bl FROM sig),
+        |bexp AS (SELECT doc_id, t.b AS band, bl[t.b] AS bucket
+        |  FROM bands, generate_series(1, 4) t(b))
+        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |FROM bexp a JOIN bexp b
+        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         |ORDER BY id1, id2""".stripMargin,
 
     "q18_ngram_jaccard" ->
@@ -343,9 +345,11 @@ object OracleSql {
         |  k -> list_aggregate(list_transform(s, x -> md5(concat(k, ':', x))), 'min')) AS g FROM sh),
         |bandsq AS (SELECT doc_id, list_transform(generate_series(0, 3),
         |  b -> md5(array_to_string(g[b*3+1:b*3+3], '|'))) AS bl FROM sig),
+        |bexp AS (SELECT doc_id, t.b AS band, bl[t.b] AS bucket
+        |  FROM bandsq, generate_series(1, 4) t(b)),
         |cand AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2 FROM bandsq a JOIN bandsq b ON a.doc_id < b.doc_id
-        |  WHERE len(list_filter(generate_series(1, 4), i -> a.bl[i] = b.bl[i])) > 0),
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bexp a JOIN bexp b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
         |confirmed AS (
         |  SELECT DISTINCT c.id2 AS doc_id FROM cand c
         |  JOIN sh s1 ON s1.doc_id = c.id1 JOIN sh s2 ON s2.doc_id = c.id2
@@ -445,10 +449,12 @@ object OracleSql {
         |  k -> list_aggregate(list_transform(s, x -> md5(concat(k, ':', x))), 'min')) AS g FROM sh),
         |bands AS (SELECT doc_id, list_transform(generate_series(0, 3),
         |  b -> md5(array_to_string(g[b*2+1:b*2+2], '|'))) AS bl FROM sig),
+        |bexp AS (SELECT doc_id, t.b AS band, bl[t.b] AS bucket
+        |  FROM bands, generate_series(1, 4) t(b)),
         |pairs AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2
-        |  FROM bands a JOIN bands b ON a.doc_id < b.doc_id
-        |  WHERE len(list_filter(generate_series(1, 4), i -> a.bl[i] = b.bl[i])) > 0),
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM bexp a JOIN bexp b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
         |r(src, dst) AS (
         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
