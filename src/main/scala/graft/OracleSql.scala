@@ -575,6 +575,27 @@ object OracleSql {
              |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
              |FROM $t""".stripMargin
         }
-        .mkString("", " UNION ALL ", " ORDER BY tbl, col_name")
+        .mkString("", " UNION ALL ", " ORDER BY tbl, col_name"),
+
+    // span-level exact dedup: winner chunk = min (doc_id, position) per md5,
+    // identified by the globally-unique packed rank on both engines
+    "q55_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |c0 AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(0, CAST(ceil(len(ws)/8.0) AS BIGINT) - 1),
+        |      i -> struct_pack(idx := i, chunk := array_to_string(ws[i*8+1 : i*8+8], ' ')))) AS u
+        |  FROM w),
+        |c AS (SELECT doc_id, u.idx AS idx, u.chunk AS chunk,
+        |    doc_id*1000000 + u.idx AS rank FROM c0),
+        |winners AS (SELECT min(rank) AS rank FROM c GROUP BY md5(chunk)),
+        |kept AS (SELECT c.* FROM c JOIN winners USING (rank)),
+        |rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY idx) AS cleaned_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(ceil(len(w.ws)/8.0) AS BIGINT) AS n_chunks,
+        |  coalesce(r.n_kept, 0) AS n_kept,
+        |  coalesce(r.cleaned_text, '') AS cleaned_text
+        |FROM w LEFT JOIN rebuilt r ON r.doc_id = w.doc_id
+        |ORDER BY w.doc_id""".stripMargin
   )
 }

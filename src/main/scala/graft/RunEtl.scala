@@ -138,8 +138,19 @@ object RunEtl {
               Entities.byName(entity).cassandraTable.flatMap(graft.sink.CqlLayouts.all.get)
             else None
           layout match {
-            case Some(l) => graft.sink.CqlLayouts.writeTo(
-              df, s"${cfg.outDir}/${dest.toString.toLowerCase}/$entity", l)
+            case Some(l) =>
+              val needed = l.partitionKeys ++ l.clustering.map(_._1)
+              val missing = needed.filterNot(df.columns.contains)
+              if (missing.isEmpty)
+                graft.sink.CqlLayouts.writeTo(
+                  df, s"${cfg.outDir}/${dest.toString.toLowerCase}/$entity", l)
+              else {
+                // never fail the migration over a layout column drift — warn
+                // loudly and keep the rows (unordered beats absent)
+                System.err.println(s"[run-etl] $entity: layout columns " +
+                  s"${missing.mkString(", ")} missing; writing without CQL layout")
+                base(entity, dest, df)
+              }
             case None => base(entity, dest, df)
           }
         }

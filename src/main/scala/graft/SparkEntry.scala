@@ -668,6 +668,12 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  // ---- span-level exact dedup: drop repeated k-word chunks across docs,
+  // keep first occurrence, reassemble (the C4-style boilerplate scrub) ----
+  private def q55ChunkDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.chunkDedup(T(s, d, "documents"), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+
   // ---- deterministic epoch reshuffle (training-order permutation) --------
   private def q51EpochShuffle(s: SparkSession, d: String): DataFrame =
     graft.operators.Sampling.epochShuffle(T(s, d, "documents").select("doc_id"), col("doc_id"), epoch = 1)
@@ -760,7 +766,8 @@ object SparkEntry {
     "q51_epoch_shuffle" -> (q51EpochShuffle _),
     "q52_mixture" -> (q52Mixture _),
     "q53_salted_join" -> (q53SaltedJoin _),
-    "q54_minmax_stats" -> (q54MinMaxStats _)
+    "q54_minmax_stats" -> (q54MinMaxStats _),
+    "q55_chunk_dedup" -> (q55ChunkDedup _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -169,6 +169,63 @@ object Dedup {
       .distinct()
   }
 
+  /** Span-level exact dedup (the C4 / "Deduplicating Training Data Makes
+    * Language Models Better" rule at chunk granularity): split every document
+    * into consecutive `k`-word chunks, keep only each chunk's globally FIRST
+    * occurrence (ordered by (doc id, position)), and reassemble documents
+    * from their surviving chunks. Removes boilerplate spans repeated across
+    * documents without dropping whole documents.
+    *
+    * Scale shape — three thin passes, skew-immune by construction:
+    *   1. explode chunks (map-only; chunk rows ≈ corpus words / k);
+    *   2. winner per chunk hash via `min(rank)` where
+    *      `rank = docId*10^6 + position` is GLOBALLY UNIQUE — a plain long
+    *      hash-aggregate with map-side partials, so a boilerplate chunk
+    *      repeated 10^8 times collapses per map task before the shuffle;
+    *   3. survivors come back via a LEFT SEMI join on `rank` — a unique
+    *      key, so the join cannot have a hot partition no matter how
+    *      skewed the chunk distribution is (joining on the hash instead
+    *      would send every copy of the repeated chunk to one task);
+    *   4. per-document reassembly is a bounded groupBy (a group is one
+    *      document's ≤ len/k chunks), `array_sort` on the unique position
+    *      making the collect order deterministic.
+    *
+    * Requires `idCol` values < 2^43 (rank packing headroom); position fits
+    * in the 10^6 factor for any document under a million chunks.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val id = col(idCol)
+    val words = split(trim(col(textCol)), "\\s+")
+    val nChunks = ceil(size(words).cast("double") / k).cast("long")
+    val chunksCol = transform(sequence(lit(0L), nChunks - 1),
+      i => concat_ws(" ", slice(words, (i * k + 1).cast("int"), lit(k))))
+
+    val chunkRows = docs
+      .select(id.as("__cd_id"), posexplode(chunksCol).as(Seq("__idx", "__chunk")))
+      .withColumn("__rank", col("__cd_id") * 1000000L + col("__idx"))
+    val winnerRanks = chunkRows
+      .groupBy(md5(col("__chunk")).as("__h"))
+      .agg(min(col("__rank")).as("__rank"))
+      .select("__rank")
+    val kept = chunkRows.join(winnerRanks, Seq("__rank"), "left_semi")
+    val rebuilt = kept
+      .groupBy(col("__cd_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__idx"), col("__chunk")))),
+            x => x.getField("__chunk")),
+          " ").as("cleaned_text"))
+
+    docs
+      .select(id, nChunks.as("n_chunks"))
+      .join(rebuilt, id === col("__cd_id"), "left")
+      .select(id, col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Jaccard similarity of two pre-deduped shingle arrays: one exact integer
     * intersection/union and a single double division (engine-portable).
     */

@@ -71,6 +71,32 @@ class DedupSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("chunkDedup drops repeated spans, keeps first occurrence, reassembles") {
+    val docs = Seq(
+      (1L, "a b c d e f"),     // chunks: "a b c", "d e f" — both first
+      (2L, "a b c x y z"),     // "a b c" repeats doc1 -> dropped
+      (3L, "a b c"),           // entire doc is a repeat -> empty survivor
+      (4L, ""),                // empty text: one "" chunk, globally unique
+      (5L, "p q r p q r")      // intra-doc repeat -> second chunk dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((1L, 2L, 2L, "a b c d e f")))
+    assert(out(1) === ((2L, 2L, 1L, "x y z")))
+    assert(out(2) === ((3L, 1L, 0L, "")))
+    assert(out(3) === ((4L, 1L, 1L, "")))
+    assert(out(4) === ((5L, 2L, 1L, "p q r")))
+
+    // scale shape: survivors return via a LEFT SEMI join on the UNIQUE
+    // packed rank — never a join on the chunk hash, whose distribution is
+    // exactly as skewed as the boilerplate being removed
+    val plan = Dedup.chunkDedup(docs, "doc_id", "text", k = 3)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("leftsemi"), s"expected semi join:\n$plan")
+    assert(plan.contains("__rank"), s"semi join must key on the packed rank:\n$plan")
+  }
+
   test("jaccard: 1 for identical sets, 0 for disjoint, symmetric in between") {
     val df = Seq((docA, docA), (docA, docC), (docA, docB)).toDF("a", "b")
       .select(Dedup.jaccard(

@@ -324,13 +324,29 @@ class EntityPipelineSpec extends SparkSpecBase {
       """{"_id":"m2","room":"r1","sender":"u2","message":"que tal","isActive":true,"createdAt":"2024-03-01T11:00:00Z"}""",
       """{"_id":"m3","room":"r1","sender":"u1","message":"bien","isActive":true,"createdAt":"2024-03-01T12:00:00Z"}""",
       """{"_id":"m4","room":"r2","sender":"u2","message":"otro","isActive":true,"createdAt":"2024-03-02T09:00:00Z"}""")
+    jsonl("rooms",
+      """{"_id":"r1","name":"Grupo","isGroup":true,"createdAt":"2024-01-01T00:00:00Z"}""",
+      """{"_id":"r2","name":"Duo","createdAt":"2024-01-02T00:00:00Z"}""")
+    jsonl("roommembers",
+      """{"_id":"rm1","room":"r1","user":"u1","role":"admin","joinedAt":"2024-01-01T00:00:00Z"}""",
+      """{"_id":"rm2","room":"r1","user":"u2","joinedAt":"2024-01-02T00:00:00Z"}""")
 
     val outDir = java.nio.file.Files.createTempDirectory("graft-cql-out").toString
     val (ok, report) = RunEtl.execute(spark, RunEtl.parse(Seq(
       "--source", srcDir.toString, "--out", outDir,
-      "--entities", "message", "--target", "cassandra")))
+      "--entities", "message,room,room_member", "--target", "cassandra")))
     assert(ok)
     assert(report("message/cassandra") === 4L)
+    assert(report("room/cassandra") === 2L)
+    assert(report("room_member/cassandra") === 2L)
+    // every cassandra entity with a CQL catalog entry is partition-keyed
+    for ((ent, key) <- Seq("room" -> "room_id", "room_member" -> "room_id")) {
+      import scala.jdk.CollectionConverters._
+      val dirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(outDir, "cassandra", ent)).iterator().asScala.toSeq
+      assert(dirs.exists(_.getFileName.toString.startsWith(s"$key=")),
+        s"$ent not partitioned by $key: ${dirs.map(_.getFileName)}")
+    }
 
     // messages_by_room layout (create_scylla_database.cql:21-46): directory
     // partition on room_id, message_id DESC inside each partition
