@@ -195,13 +195,17 @@ object Dedup {
     */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
     val id = col(idCol)
-    val words = split(trim(col(textCol)), "\\s+")
-    val nChunks = ceil(size(words).cast("double") / k).cast("long")
+    // materialize the word array BEFORE the chunking lambda: interpreted
+    // HOFs get no common-subexpression elimination, so an inline split would
+    // re-tokenize the text once per chunk (the languageId pathology) — as an
+    // attribute reference it is read, not recomputed
+    val withWords = docs.select(id.as("__cd_id"), split(trim(col(textCol)), "\\s+").as("__ws"))
+    val nChunks = ceil(size(col("__ws")).cast("double") / k).cast("long")
     val chunksCol = transform(sequence(lit(0L), nChunks - 1),
-      i => concat_ws(" ", slice(words, (i * k + 1).cast("int"), lit(k))))
+      i => concat_ws(" ", slice(col("__ws"), (i * k + 1).cast("int"), lit(k))))
 
-    val chunkRows = docs
-      .select(id.as("__cd_id"), posexplode(chunksCol).as(Seq("__idx", "__chunk")))
+    val chunkRows = withWords
+      .select(col("__cd_id"), posexplode(chunksCol).as(Seq("__idx", "__chunk")))
       .withColumn("__rank", col("__cd_id") * 1000000L + col("__idx"))
     val winnerRanks = chunkRows
       .groupBy(md5(col("__chunk")).as("__h"))
@@ -218,9 +222,9 @@ object Dedup {
             x => x.getField("__chunk")),
           " ").as("cleaned_text"))
 
-    docs
-      .select(id, nChunks.as("n_chunks"))
-      .join(rebuilt, id === col("__cd_id"), "left")
+    withWords
+      .select(col("__cd_id").as(idCol), nChunks.as("n_chunks"))
+      .join(rebuilt.withColumnRenamed("__cd_id", idCol), Seq(idCol), "left")
       .select(id, col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
