@@ -46,7 +46,6 @@ object Bench {
     // rep so ordering/session effects can't masquerade as plan regressions
     val cold = SparkEntry.queries.toSeq.map { case (name, fn) => name -> run(name, fn, "cold") }
     val warm = SparkEntry.queries.toSeq.map { case (name, fn) => name -> run(name, fn, "warm") }
-    val failed = (cold ++ warm).collect { case (n, (_, Some(_))) => n }.distinct.sorted
 
     // q31/q54 memoize their footer-stats rows per (session, dir), so both
     // timed reps above measure a map hit. Clear the memo and time one more
@@ -57,6 +56,11 @@ object Bench {
       SparkEntry.resetStatsCaches()
       name -> run(name, SparkEntry.queries(name), "first")
     }
+    // EVERY rep counts toward the failure contract — a first-computation
+    // throw (e.g. the pushdown require tripping only on the uncached path)
+    // must not read as a fast bench with a clean exit
+    val failed =
+      (cold ++ warm ++ firstComputation).collect { case (n, (_, Some(_))) => n }.distinct.sorted
 
     def timesJson(xs: Seq[(String, (Double, Option[String]))]): String =
       xs.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -128,6 +128,10 @@ object RunEtl {
     // catalog entry (partition-key directories, clustering-ordered files —
     // the storage property the reference gets from Scylla); the directory
     // keeps the entity name so Validate/read-back paths are unchanged.
+    // NOTE: partitionBy read-back re-infers partition-key column types from
+    // directory names (see CqlLayouts.writeTo scaladoc) — fine for these
+    // numeric/uuid keys and Validate's count-based checks, but a
+    // schema-sensitive consumer should read with an explicit schema.
     val base = Pipeline.parquetSink(cfg.outDir)
     val sink: (String, Destination, DataFrame) => Unit =
       (entity, dest, df) =>

@@ -577,7 +577,7 @@ object SparkEntry {
   private def footerStats(
       s: SparkSession,
       cacheKey: String,
-      requiredMarkers: Seq[String])(build: => DataFrame): DataFrame = {
+      requiredMarkers: Seq[(String, Int)])(build: => DataFrame): DataFrame = {
     if (cachedStats.size > 32) cachedStats.clear() // bound stale-session entries
     val key = System.identityHashCode(s) + "|" + cacheKey
     val (schema, rows) = cachedStats.computeIfAbsent(key, _ => {
@@ -599,8 +599,15 @@ object SparkEntry {
         conf.set("spark.sql.shuffle.partitions", "1")
         val df = build
         val plan = df.queryExecution.executedPlan.toString
-        requiredMarkers.foreach(m => require(plan.contains(m),
-          s"parquet aggregate pushdown did not engage ($m missing):\n$plan"))
+        // the plans union one scan PER TABLE: require the marker once per
+        // scan, not "somewhere in the plan" — one table silently falling
+        // back to a data scan must fail even while the others still push
+        requiredMarkers.foreach { case (m, n) =>
+          val found = plan.sliding(m.length).count(_ == m)
+          require(found >= n,
+            s"parquet aggregate pushdown did not engage on every scan " +
+              s"($m: $found of $n):\n$plan")
+        }
         (df.schema, df.collect())
       } finally prev.foreach { case (k, v) => conf.set(k, v) }
     })
@@ -609,7 +616,7 @@ object SparkEntry {
   }
 
   private def q31TableCounts(s: SparkSession, d: String): DataFrame =
-    footerStats(s, s"q31|$d", Seq("PushedAggregation: [COUNT(*)]")) {
+    footerStats(s, s"q31|$d", Seq("PushedAggregation: [COUNT(*)]" -> AllTables.size)) {
       AllTables
         .map(n => T(s, d, n).agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n")))
         .reduce(_ unionByName _)
@@ -627,7 +634,7 @@ object SparkEntry {
 
   private def q54MinMaxStats(s: SparkSession, d: String): DataFrame =
     footerStats(s, s"q54|$d",
-      Seq("PushedAggregation: [MIN(", "MAX(")) {
+      Seq("PushedAggregation: [MIN(" -> MinMaxCols.size, "MAX(" -> MinMaxCols.size)) {
       MinMaxCols.map { case (t, c) =>
         T(s, d, t).agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
           .select(lit(t).as("tbl"), lit(c).as("col_name"),

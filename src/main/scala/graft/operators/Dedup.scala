@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** [[chunkDedup]] rank packing: `rank = id * ChunkIdxSpace + idx`. The idx
+    * factor bounds chunks per document; ids must fit the remaining headroom
+    * (2^63 / 10^6 ≈ 9.2·10^12 > 2^43). Both bounds are runtime-enforced.
+    */
+  private[graft] val ChunkIdxSpace = 1000000L
+  private[graft] val MaxPackableId = (Long.MaxValue / ChunkIdxSpace) - 1L
+
   /** Exact dedup: keep the smallest id per key. One hash-shuffle on the key;
     * map-side partial aggregation makes this cheap even at 100 TB.
     */
@@ -182,16 +189,20 @@ object Dedup {
     *      `rank = docId*10^6 + position` is GLOBALLY UNIQUE — a plain long
     *      hash-aggregate with map-side partials, so a boilerplate chunk
     *      repeated 10^8 times collapses per map task before the shuffle;
-    *   3. survivors come back via a LEFT SEMI join on `rank` — a unique
-    *      key, so the join cannot have a hot partition no matter how
-    *      skewed the chunk distribution is (joining on the hash instead
-    *      would send every copy of the repeated chunk to one task);
+    *   3. winners come back via a LEFT join on `rank` — a unique key, so
+    *      the join cannot have a hot partition no matter how skewed the
+    *      chunk distribution is (joining on the hash instead would send
+    *      every copy of the repeated chunk to one task);
     *   4. per-document reassembly is a bounded groupBy (a group is one
     *      document's ≤ len/k chunks), `array_sort` on the unique position
     *      making the collect order deterministic.
+    * The chunk rows are computed ONCE (lazy localCheckpoint) — the winner
+    * aggregate, the join and the reassembly all read the materialized rows
+    * instead of re-scanning and re-tokenizing the corpus per consumer.
     *
-    * Requires `idCol` values < 2^43 (rank packing headroom); position fits
-    * in the 10^6 factor for any document under a million chunks.
+    * The rank packing (`id * 10^6 + position`) requires `0 ≤ id < 2^43` and
+    * under a million chunks per document — ENFORCED at runtime via
+    * `raise_error`, since a silent collision would corrupt winner selection.
     */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
     val id = col(idCol)
@@ -204,30 +215,43 @@ object Dedup {
     val chunksCol = transform(sequence(lit(0L), nChunks - 1),
       i => concat_ws(" ", slice(col("__ws"), (i * k + 1).cast("int"), lit(k))))
 
+    // the packing precondition (scaladoc) is ENFORCED, not assumed: a silent
+    // rank collision would corrupt winner selection, so out-of-range ids or
+    // a ≥10^6-chunk document fail the job instead
+    val packedRank = when(
+      col("__idx") < ChunkIdxSpace && col("__cd_id").between(0L, MaxPackableId),
+      col("__cd_id") * ChunkIdxSpace + col("__idx"))
+      .otherwise(raise_error(concat(
+        lit(s"chunkDedup rank overflow (need 0 <= id <= $MaxPackableId, idx < $ChunkIdxSpace): id="),
+        col("__cd_id").cast("string"), lit(" idx="), col("__idx").cast("string"))))
+
+    // ONE tokenization pass: the exploded chunk rows feed the winner
+    // aggregate, the winner join and the per-doc reassembly; the lazy
+    // localCheckpoint materializes them once inside the consuming action
+    // (without it each consumer would re-scan and re-tokenize the corpus)
     val chunkRows = withWords
       .select(col("__cd_id"), posexplode(chunksCol).as(Seq("__idx", "__chunk")))
-      .withColumn("__rank", col("__cd_id") * 1000000L + col("__idx"))
+      .withColumn("__rank", packedRank)
+      .localCheckpoint(false)
     val winnerRanks = chunkRows
       .groupBy(md5(col("__chunk")).as("__h"))
       .agg(min(col("__rank")).as("__rank"))
-      .select("__rank")
-    val kept = chunkRows.join(winnerRanks, Seq("__rank"), "left_semi")
-    val rebuilt = kept
+      .select(col("__rank"), lit(true).as("__win"))
+    // ranks are globally unique (one chunk row per rank), so the left join
+    // marks winners without duplicating — and every document reassembles in
+    // the same aggregate (collect_list skips the nulls of losing chunks),
+    // replacing the old semi-join + second corpus scan + id join-back
+    chunkRows.join(winnerRanks, Seq("__rank"), "left")
       .groupBy(col("__cd_id"))
       .agg(
-        count(lit(1)).as("n_kept"),
+        (max(col("__idx")).cast("long") + 1L).as("n_chunks"),
+        count(col("__win")).as("n_kept"),
         array_join(
           transform(
-            array_sort(collect_list(struct(col("__idx"), col("__chunk")))),
+            array_sort(collect_list(when(col("__win"), struct(col("__idx"), col("__chunk"))))),
             x => x.getField("__chunk")),
           " ").as("cleaned_text"))
-
-    withWords
-      .select(col("__cd_id").as(idCol), nChunks.as("n_chunks"))
-      .join(rebuilt.withColumnRenamed("__cd_id", idCol), Seq(idCol), "left")
-      .select(id, col("n_chunks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .select(col("__cd_id").as(idCol), col("n_chunks"), col("n_kept"), col("cleaned_text"))
   }
 
   /** Jaccard similarity of two pre-deduped shingle arrays: one exact integer

@@ -107,6 +107,15 @@ object CqlLayouts {
   /** [[write]] with an explicit target path — the CLI writes each entity to
     * its entity-named directory (what `Validate` reads) while laying it out
     * per its CQL table's catalog entry.
+    *
+    * Read-back caveat (inherent to `partitionBy`): partition-key columns are
+    * re-inferred from directory names, so a LongType key reads back as
+    * IntegerType when its values fit (disable
+    * `spark.sql.sources.partitionColumnTypeInference.enabled`, or cast, when
+    * a consumer is type-sensitive), and an empty-string key value round-trips
+    * as `__HIVE_DEFAULT_PARTITION__` → NULL. The reference's keys are
+    * numeric ids and non-empty uuids, so neither bites the migration's
+    * tables; flagging it for new layouts whose keys may not be.
     */
   def writeTo(df: DataFrame, path: String, layout: TableLayout): Unit = {
     // hash-distribute on the partition key first (Cassandra's token

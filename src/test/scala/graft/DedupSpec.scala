@@ -47,9 +47,13 @@ class DedupSpec extends SparkSpecBase {
           .otherwise(concat(lit("unique "), col("id"))).as("text"))
         .repartition(8)
       val out = Dedup.exactSurvivors(df, md5(col("text")), "id")
-      assert(out.count() === distinctTail + 1)
+      // collect() executes THIS Dataset's queryExecution — count()/orderBy()
+      // would build separate plans and leave out.queryExecution's metrics
+      // at zero, making the assertions below vacuous
+      val rows = out.collect()
+      assert(rows.length === distinctTail + 1)
       // min-id winner of the degenerate group survives with its full row
-      val winner = out.orderBy("id").head()
+      val winner = rows.minBy(_.getLong(0))
       assert(winner.getLong(0) === 0L && winner.getString(1) === "boilerplate page")
 
       val plan = out.queryExecution.executedPlan
@@ -88,13 +92,14 @@ class DedupSpec extends SparkSpecBase {
     assert(out(3) === ((4L, 1L, 1L, "")))
     assert(out(4) === ((5L, 2L, 1L, "p q r")))
 
-    // scale shape: survivors return via a LEFT SEMI join on the UNIQUE
-    // packed rank — never a join on the chunk hash, whose distribution is
-    // exactly as skewed as the boilerplate being removed
+    // scale shape: winners return via a LEFT OUTER join on the UNIQUE
+    // packed rank (the flag drives one combined reassembly aggregate) —
+    // never a join on the chunk hash, whose distribution is exactly as
+    // skewed as the boilerplate being removed
     val plan = Dedup.chunkDedup(docs, "doc_id", "text", k = 3)
       .queryExecution.optimizedPlan.toString
-    assert(plan.toLowerCase.contains("leftsemi"), s"expected semi join:\n$plan")
-    assert(plan.contains("__rank"), s"semi join must key on the packed rank:\n$plan")
+    assert(plan.toLowerCase.contains("join leftouter, (__rank"),
+      s"expected a left join keyed on the packed rank:\n$plan")
   }
 
   test("jaccard: 1 for identical sets, 0 for disjoint, symmetric in between") {
