@@ -596,6 +596,65 @@ object OracleSql {
         |  coalesce(r.n_kept, 0) AS n_kept,
         |  coalesce(r.cleaned_text, '') AS cleaned_text
         |FROM w LEFT JOIN rebuilt r ON r.doc_id = w.doc_id
-        |ORDER BY w.doc_id""".stripMargin
+        |ORDER BY w.doc_id""".stripMargin,
+
+    // PII scrub: identical regexes (plain classes + bounded quantifiers —
+    // Java regex and RE2 agree), applied in the same order on the
+    // progressively-redacted text; DuckDB needs the explicit 'g' flag
+    "q56_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      || CASE WHEN doc_id % 3 = 0
+        |           THEN ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |           ELSE '' END
+        |      || CASE WHEN doc_id % 2 = 0
+        |           THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7'
+        |           ELSE '' END
+        |      || ' acct 9' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') AS payload
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, payload,
+        |    len(regexp_extract_all(payload, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    regexp_replace(payload, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM p),
+        |s2 AS (SELECT doc_id, n_email,
+        |    len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |    regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, n_email, n_ip,
+        |    len(regexp_extract_all(t2, '\+\d{1,3} \d{3}-\d{4}')) AS n_phone,
+        |    regexp_replace(t2, '\+\d{1,3} \d{3}-\d{4}', '<PHONE>', 'g') AS t3
+        |  FROM s2)
+        |SELECT doc_id,
+        |  regexp_replace(t3, '\b\d{9,}\b', '<ID>', 'g') AS redacted,
+        |  n_email, n_ip, n_phone,
+        |  len(regexp_extract_all(t3, '\b\d{9,}\b')) AS n_id
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // per-source quota: the two-stage salted window composes to exactly the
+    // single-window rule, so the oracle states the rule directly
+    "q57_source_quota" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 15 ORDER BY doc_id""".stripMargin,
+
+    // TF-IDF with log-free idf (N/df): ranking is log-monotone-identical
+    // and the score is one correctly-rounded IEEE division + multiply,
+    // bit-equal across engines (libm ln is not)
+    "q58_tfidf_terms" ->
+      """WITH words AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words WHERE w <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, rnk, w AS term, round(score, 6) AS score FROM (
+        |  SELECT tf.doc_id, tf.w,
+        |    tf.tf * (n.n / dfreq.df) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * (n.n / dfreq.df) DESC, tf.w) AS rnk
+        |  FROM tf, dfreq, n WHERE tf.w = dfreq.w)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
   )
 }

@@ -719,6 +719,42 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---- PII scrub + audit counts over a deterministic PII-bearing payload
+  // (the synthetic corpus carries no PII, so the payload grafts typed spans
+  // derived from real columns onto the text — the regexes then have real
+  // work to do and the redacted output varies per row) --------------------
+  private def q56PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    val phonePart = when(col("doc_id") % 3 === 0,
+      concat(lit(" call +1 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(lit(""))
+    val ipPart = when(col("doc_id") % 2 === 0,
+      concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.7")))
+      .otherwise(lit(""))
+    val payload = concat(
+      col("text"), lit(" contact user"), idStr, lit("@example.com"),
+      phonePart, ipPart,
+      lit(" acct 9"), lpad((col("doc_id") % 100000000).cast("string"), 8, "0"))
+    val counts = graft.operators.TextAnalysis.piiCounts(payload)
+    T(s, d, "documents")
+      .select(col("doc_id") +:
+        graft.operators.TextAnalysis.redactPii(payload).as("redacted") +:
+        counts.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  // ---- per-source quota cap (the "≤ N docs per domain" crawl rule) -------
+  private def q57SourceQuota(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.quotaPerKey(
+      T(s, d, "documents").select("doc_id", "source"),
+      col("source"), col("doc_id"), quota = 15)
+      .orderBy("doc_id")
+
+  // ---- top TF-IDF terms per document (log-free idf — see scaladoc) -------
+  private def q58TfidfTerms(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.tfIdfTopTerms(T(s, d, "documents"), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rnk")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filtered_scan" -> (q02FilteredScan _),
@@ -774,7 +810,10 @@ object SparkEntry {
     "q52_mixture" -> (q52Mixture _),
     "q53_salted_join" -> (q53SaltedJoin _),
     "q54_minmax_stats" -> (q54MinMaxStats _),
-    "q55_chunk_dedup" -> (q55ChunkDedup _)
+    "q55_chunk_dedup" -> (q55ChunkDedup _),
+    "q56_pii_redact" -> (q56PiiRedact _),
+    "q57_source_quota" -> (q57SourceQuota _),
+    "q58_tfidf_terms" -> (q58TfidfTerms _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

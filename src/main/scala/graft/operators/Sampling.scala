@@ -99,6 +99,40 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-group quota cap — the "at most N documents per domain/source"
+    * rule crawl pipelines apply before mixing: keep the `quota` rows of
+    * each group that rank first in deterministic hash order (so the kept
+    * subset is reproducible across reruns and unbiased by ingest order;
+    * `key` must be unique — it total-orders hash ties).
+    *
+    * Scale shape — two-stage top-k, exact and skew-safe: stage 1 ranks
+    * within (group, hash-salt bucket), so a 10^8-row hot group splits
+    * across `saltBuckets` window partitions instead of sorting through one
+    * task; stage 2 re-ranks only the ≤ `saltBuckets × quota` per-bucket
+    * survivors of each group. Every globally-kept row ranks ≤ quota in its
+    * bucket too, so the composition is exactly the single-window result.
+    */
+  def quotaPerKey(
+      df: DataFrame,
+      group: Column,
+      key: Column,
+      quota: Int,
+      salt: String = "",
+      saltBuckets: Int = 64): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val pre = df
+      .withColumn("__q_ord", md5(concat(key.cast("string"), lit(salt))))
+      .withColumn("__q_salt", pmod(xxhash64(key), lit(saltBuckets)))
+    val local = Window.partitionBy(group, col("__q_salt")).orderBy(col("__q_ord"), key)
+    val global = Window.partitionBy(group).orderBy(col("__q_ord"), key)
+    pre
+      .withColumn("__q_lr", row_number().over(local))
+      .filter(col("__q_lr") <= quota)
+      .withColumn("__q_gr", row_number().over(global))
+      .filter(col("__q_gr") <= quota)
+      .drop("__q_ord", "__q_salt", "__q_lr", "__q_gr")
+  }
+
   /** Approximate contiguous sequence packing: rows are packed into
     * fixed-capacity token bins in `order` order WITHIN each shard — bin id
     * is ⌊(running-total-before-this-row) / capacity⌋, so a document that

@@ -143,6 +143,82 @@ object TextAnalysis {
           col("word_cnt").cast("double"), 6).as("top_ngram_frac"))
   }
 
+  /** PII patterns for [[redactPii]]: applied in order (email before the
+    * digit-run rule, since an address' local part may be all digits; IP
+    * before phone/digit-run, since dots segment what would otherwise look
+    * like short digit runs). Plain character classes + bounded quantifiers
+    * only — identical semantics under Java regex and RE2, so the DuckDB
+    * oracle replays them verbatim (with its explicit 'g' flag).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+\\d{1,3} \\d{3}-\\d{4}" -> "<PHONE>",
+    "\\b\\d{9,}\\b" -> "<ID>")
+
+  /** Redact PII spans (emails, IPv4s, phone-shaped numbers, ≥9-digit id
+    * runs) with typed placeholders — the scrub step a training pipeline
+    * runs before anything else sees the text. Pure chained
+    * `regexp_replace` columns: codegen'd, map-only, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (pat, rep)) => regexp_replace(acc, pat, rep) }
+
+  /** Count of PII matches per category, BEFORE redaction — the audit
+    * metric next to the scrub. Counts follow [[PiiPatterns]] order on the
+    * progressively-redacted text, so overlapping categories (an all-digit
+    * email local part, dotted digit runs) are attributed to exactly one
+    * category, the same one [[redactPii]] replaces them under.
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val (counts, _) = PiiPatterns.foldLeft((Seq.empty[(String, Column)], text)) {
+      case ((acc, t), (pat, rep)) =>
+        val label = rep.stripPrefix("<").stripSuffix(">").toLowerCase
+        (acc :+ (s"n_$label" ->
+            size(regexp_extract_all(t, lit(pat), lit(0))).cast("long")),
+          regexp_replace(t, pat, rep))
+    }
+    counts
+  }
+
+  /** Top-`k` TF-IDF terms per document. The idf here is the plain inverse
+    * frequency `N / df` (no logarithm): the ranking inside a document is
+    * the same — log is monotone — and the score stays a single correctly-
+    * rounded IEEE division and multiplication, bit-identical across
+    * engines (libm `ln` is not).
+    *
+    * Scale shape: tf is one (doc, word) hash-aggregate with map-side
+    * combine; document frequency aggregates the tf rows again (vocabulary-
+    * sized output, map-side combine); the tf⨝df join keys on the word —
+    * df-side multiplicity is 1 so a stopword's huge probe fan-in cannot
+    * explode, and AQE's skew-join splitting handles the hot probe
+    * partitions; the final top-k window partitions by document (bounded
+    * groups), never globally.
+    */
+  def tfIdfTopTerms(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    val words = docs
+      .select(id.as("__tid"), explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+    val tf = words.groupBy(col("__tid"), col("__w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("__w")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, Seq("__w"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * (col("__n").cast("double") / col("df")))
+    val w = Window.partitionBy(col("__tid")).orderBy(col("score").desc, col("__w").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("__tid").as(idCol), col("rnk"), col("__w").as("term"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Karp-Rabin rolling hash over words (polynomial accumulate) — cheap
     * order-sensitive fingerprint for shift detection; xxhash64-based
     * (scale path, not oracle-portable). The accumulator lives in Z_2^31 and

@@ -90,6 +90,39 @@ class SamplingSpec extends SparkSpecBase {
     assert(math.abs(bCopies.count(_ == 3L) / 1000.0 - 0.5) < 0.05)
   }
 
+  test("quotaPerKey: caps each group, composes to the single-window rule, survives repartitioning") {
+    val docs = (0L until 900L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val out = Sampling.quotaPerKey(docs, col("grp"), col("id"), quota = 10)
+    val byGroup = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup === Map("g0" -> 10L, "g1" -> 10L, "g2" -> 10L))
+
+    // the two-stage salted form must equal the plain single-window rule
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(md5(col("id").cast("string")), col("id"))
+    val oracle = docs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10).select("id").collect().map(_.getLong(0)).toSet
+    assert(out.select("id").collect().map(_.getLong(0)).toSet === oracle)
+
+    // deterministic under physical re-layout (retry/repartition stability)
+    val rep = Sampling.quotaPerKey(docs.repartition(13), col("grp"), col("id"), quota = 10)
+    assert(rep.select("id").collect().map(_.getLong(0)).toSet === oracle)
+
+    // a group smaller than the quota is kept whole
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    assert(Sampling.quotaPerKey(tiny, col("grp"), col("id"), quota = 10).count() === 3)
+  }
+
+  test("quotaPerKey stage one splits a hot group across salt buckets") {
+    // one group holds 10k rows: the first window must partition it across
+    // (grp, salt) so no single window partition sees the whole group
+    val hot = (0L until 10000L).map(i => (i, "hot")).toDF("id", "grp")
+    val out = Sampling.quotaPerKey(hot, col("grp"), col("id"), quota = 5, saltBuckets = 16)
+    assert(out.count() === 5)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__q_salt"), s"stage-1 window must salt the group key:\n$plan")
+  }
+
   test("packBins: bins fill in order per shard; a row spanning the boundary stays put") {
     val docs = Seq(
       ("a", 1L, 60L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 50L),

@@ -104,4 +104,43 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(solo.getAs[Int]("word_cnt") === 1)
     assert(solo.getAs[Long]("top_ngram_cnt") === 0L)
   }
+
+  test("redactPii replaces each category with its typed placeholder") {
+    val in = "mail bob.smith+x@corp.example.org host 192.168.0.1 " +
+      "call +44 555-1234 acct 123456789 ok 12345678 end"
+    val out = one[String](in, TextAnalysis.redactPii(col("text")))
+    assert(out === "mail <EMAIL> host <IP> call <PHONE> acct <ID> ok 12345678 end")
+  }
+
+  test("piiCounts attributes overlapping spans to the category that redacts them") {
+    // an all-digit local part must count as EMAIL (redacted first), never ID;
+    // a dotted digit run as IP, never four short runs
+    val in = "x 123456789@nums.example.com and 10.0.0.1 and 987654321 y"
+    val counts = TextAnalysis.piiCounts(col("text"))
+    val row = Seq(in).toDF("text")
+      .select(counts.map { case (n, c) => c.as(n) }: _*).head()
+    assert(row.getAs[Long]("n_email") === 1L)
+    assert(row.getAs[Long]("n_ip") === 1L)
+    assert(row.getAs[Long]("n_phone") === 0L)
+    assert(row.getAs[Long]("n_id") === 1L)
+    // and the redacted text agrees with the counts
+    val red = one[String](in, TextAnalysis.redactPii(col("text")))
+    assert(red === "x <EMAIL> and <IP> and <ID> y")
+  }
+
+  test("tfIdfTopTerms ranks rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common rare common"),
+      (2L, "common other"),
+      (3L, "common third")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    // doc 1: tf(common)=2 df=3 → 2·(3/3)=2.0; tf(rare)=1 df=1 → 1·(3/1)=3.0
+    assert(out(0) === ((1L, 1, "rare", 3.0)))
+    assert(out(1) === ((1L, 2, "common", 2.0)))
+    // doc 2: other (3.0) beats common (1.0)
+    assert(out(2) === ((2L, 1, "other", 3.0)))
+    assert(out(3) === ((2L, 2, "common", 1.0)))
+  }
 }
