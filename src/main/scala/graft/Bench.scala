@@ -21,11 +21,17 @@ object Bench {
     // silent: they go to stderr here and into the JSON's "failed" list —
     // a broken query must not read as a faster bench. clearCache between
     // queries keeps one query's cached tables from billing the next.
+    // Consumption is toRdd.count(), NOT Dataset.count(): stacking a count
+    // aggregate on top lets Catalyst prune every unreferenced projection
+    // column and sort, so map-only queries (regex scrub, simhash, crypto,
+    // windows whose value column isn't re-aggregated) would bench as bare
+    // row-count scans — q20 benched 0.11 s vs 2.6 s honest, q34 0.16 vs
+    // 2.4 s. toRdd executes the query's own physical plan in full.
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         tag: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, sfDir).count(); None }
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
         catch {
           case t: Throwable =>
             System.err.println(s"[bench] $tag $name FAILED: $t")

@@ -205,7 +205,12 @@ object TextAnalysis {
     val words = docs
       .select(id.as("__tid"), explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
       .filter(col("__w") =!= "")
+    // lazy checkpoint: tf feeds BOTH the df aggregate and the join probe —
+    // self-join attribute dedup defeats exchange reuse, so without it the
+    // corpus is scanned and tokenized twice (the chunkDedup pathology); the
+    // (doc, word, tf) rows are far thinner than the text they summarize
     val tf = words.groupBy(col("__tid"), col("__w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.groupBy(col("__w")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("__n"))
     val scored = tf.join(dfreq, Seq("__w"))
