@@ -655,6 +655,17 @@ object OracleSql {
         |    row_number() OVER (PARTITION BY tf.doc_id
         |      ORDER BY tf.tf * (n.n / dfreq.df) DESC, tf.w) AS rnk
         |  FROM tf, dfreq, n WHERE tf.w = dfreq.w)
-        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // PGM decode round-trip: the engine really encodes + parses P5 bytes;
+    // the oracle recomputes the pixel sum of the synthetic gradient in
+    // closed form — pixels are (7·id + i) mod 256 for i in 0..127, i.e.
+    // 128 consecutive residues starting at a = 7·id mod 256, whose sum is
+    // 128a + 8128 minus 256 per wrapped element (max(a-128, 0) of them)
+    "q59_pgm_decode" ->
+      """SELECT doc_id, 16 AS width, 8 AS height,
+        |  128*a + 8128 - 256*GREATEST(a - 128, 0) AS sum_px
+        |FROM (SELECT doc_id, (doc_id*7) % 256 AS a FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }

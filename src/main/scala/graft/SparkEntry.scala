@@ -755,6 +755,32 @@ object SparkEntry {
     graft.operators.TextAnalysis.tfIdfTopTerms(T(s, d, "documents"), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rnk")
 
+  // ---- multimodal decode round-trip: synthesize a REAL binary PGM (P5)
+  // per document (pixels a closed-form function of doc_id), then decode it
+  // back through the pure-JVM PgmCodec and aggregate exact integer stats —
+  // the oracle recomputes the pixel sum in closed form, so a header-parse
+  // or pixel-offset bug anywhere in encode/decode breaks the hash ---------
+  private def q59PgmDecode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true))))
+    val media = T(s, d, "documents").select(col("doc_id").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val px = new Array[Byte](16 * 8)
+          var i = 0
+          while (i < px.length) { px(i) = ((id * 7 + i) % 256).toByte; i += 1 }
+          Row(id, graft.operators.Multimodal.PgmCodec.encode(16, 8, 255, px))
+        }
+      }(enc)
+    graft.operators.Multimodal.imageStats(media)
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filtered_scan" -> (q02FilteredScan _),
@@ -813,7 +839,8 @@ object SparkEntry {
     "q55_chunk_dedup" -> (q55ChunkDedup _),
     "q56_pii_redact" -> (q56PiiRedact _),
     "q57_source_quota" -> (q57SourceQuota _),
-    "q58_tfidf_terms" -> (q58TfidfTerms _)
+    "q58_tfidf_terms" -> (q58TfidfTerms _),
+    "q59_pgm_decode" -> (q59PgmDecode _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -49,6 +49,130 @@ object Multimodal {
     def frames(content: Array[Byte], everyMs: Long): Iterator[(Long, Array[Byte])]
   }
 
+  /** Codec that can additionally decode + re-encode still images. */
+  trait ImageCodec extends Codec {
+    /** (width, height, maxval, pixels) — None when the payload isn't this format. */
+    def decodeImage(content: Array[Byte]): Option[(Int, Int, Int, Array[Byte])]
+    def resize(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]]
+  }
+
+  /** REAL pure-JVM codec for binary PGM (P5) grayscale images — the one
+    * raster format decodable without native libraries, so the decode path
+    * is exercised for real here while [[StubCodec]] stands in for the
+    * formats that need them (JPEG/audio/video). Handles `#` comments and
+    * arbitrary header whitespace per the netpbm spec; maxval ≤ 255.
+    * `frames` treats the payload as a concatenation of P5 images (the
+    * simplest multi-frame container) and yields each frame as its own PGM.
+    */
+  object PgmCodec extends ImageCodec {
+    private def isSpace(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+
+    /** Parse one P5 image starting at `off`; returns (w, h, maxval,
+      * pixelOffset) or None. Pixels run for w*h bytes from pixelOffset.
+      */
+    private def parseHeader(c: Array[Byte], off: Int): Option[(Int, Int, Int, Int)] = {
+      if (c == null || off + 2 > c.length || c(off) != 'P' || c(off + 1) != '5') return None
+      var i = off + 2
+      val vals = new Array[Int](3)
+      var v = 0
+      while (v < 3) {
+        // skip whitespace and # comments (comment runs to end of line)
+        var moved = true
+        while (moved) {
+          moved = false
+          while (i < c.length && isSpace(c(i))) { i += 1; moved = true }
+          if (i < c.length && c(i) == '#') {
+            while (i < c.length && c(i) != '\n') i += 1
+            moved = true
+          }
+        }
+        if (i >= c.length || c(i) < '0' || c(i) > '9') return None
+        var n = 0
+        while (i < c.length && c(i) >= '0' && c(i) <= '9') { n = n * 10 + (c(i) - '0'); i += 1 }
+        vals(v) = n
+        v += 1
+      }
+      // exactly ONE whitespace byte separates maxval from the pixel stream
+      if (i >= c.length || !isSpace(c(i))) return None
+      i += 1
+      val (w, h, maxval) = (vals(0), vals(1), vals(2))
+      if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+      if (i.toLong + w.toLong * h > c.length) return None
+      Some((w, h, maxval, i))
+    }
+
+    def decodeImage(content: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+      parseHeader(content, 0).map { case (w, h, m, p) =>
+        (w, h, m, java.util.Arrays.copyOfRange(content, p, p + w * h))
+      }
+
+    def encode(w: Int, h: Int, maxval: Int, pixels: Array[Byte]): Array[Byte] = {
+      val header = s"P5\n$w $h\n$maxval\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + pixels.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(pixels, 0, out, header.length, pixels.length)
+      out
+    }
+
+    /** Nearest-neighbor resample — real pixel work, no interpolation libs. */
+    def resize(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      decodeImage(content).map { case (sw, sh, m, px) =>
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          val sy = y * sh / h
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = px(sy * sw + x * sw / w)
+            x += 1
+          }
+          y += 1
+        }
+        encode(w, h, m, out)
+      }
+
+    /** Features: [width, height, mean/maxval, (dim-3)-bin pixel histogram
+      * as fractions]. Non-PGM payloads fall back to the stub's byte
+      * histogram so mixed-format tables don't fail the whole partition.
+      */
+    def features(modality: String, content: Array[Byte], dim: Int): Array[Float] =
+      decodeImage(content) match {
+        case Some((w, h, m, px)) if dim >= 4 =>
+          val out = new Array[Float](dim)
+          out(0) = w.toFloat
+          out(1) = h.toFloat
+          val bins = dim - 3
+          var sum = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i) & 0xff
+            sum += p
+            out(3 + math.min(p * bins / (m + 1), bins - 1)) += 1.0f / px.length
+            i += 1
+          }
+          out(2) = (sum.toDouble / (px.length.toDouble * m)).toFloat
+          out
+        case _ => StubCodec.features(modality, content, dim)
+      }
+
+    def frames(content: Array[Byte], everyMs: Long): Iterator[(Long, Array[Byte])] =
+      new Iterator[(Long, Array[Byte])] {
+        private var off = 0
+        private var idx = 0L
+        private var nextHdr = if (content == null) None else parseHeader(content, 0)
+        def hasNext: Boolean = nextHdr.isDefined
+        def next(): (Long, Array[Byte]) = {
+          val (w, h, _, p) = nextHdr.get
+          val end = p + w * h
+          val frame = java.util.Arrays.copyOfRange(content, off, end)
+          val t = idx * everyMs
+          idx += 1; off = end
+          nextHdr = parseHeader(content, off)
+          (t, frame)
+        }
+      }
+  }
+
   /** Deterministic stand-in for the real decoder: features are a seeded
     * byte-histogram projection, frames are fixed-size slices. Replace with a
     * javacv/ffmpeg-backed Codec in a full environment — the operator code
@@ -110,6 +234,57 @@ object Multimodal {
           Row(r.getAs[Long]("media_id"), ms, bytes)
         }
       }
+    }(enc)
+  }
+
+  /** Decode-level image statistics as EXACT integers (dims + pixel sum) —
+    * oracle-comparable without float drift, and the corpus-wide size/
+    * brightness audit a curation pipeline runs before filtering. Same
+    * partition-local mapPartitions shape as [[extractFeatures]]; blobs
+    * never shuffle. Undecodable payloads yield (-1, -1, -1) rather than
+    * failing the partition.
+    */
+  def imageStats(media: DataFrame, codec: ImageCodec = PgmCodec): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_px", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    // positional access: when chained after another object-typed map, the
+    // optimizer elides the serialize/deserialize pair and hands over the
+    // producer's schemaless Rows — name lookup would throw
+    media.select("media_id", "content").mapPartitions { rows =>
+      val c = codec
+      rows.map { r =>
+        val id = r.getLong(0)
+        c.decodeImage(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, _, px)) =>
+            var s = 0L; var i = 0
+            while (i < px.length) { s += px(i) & 0xff; i += 1 }
+            Row(id, w, h, s)
+          case None => Row(id, -1, -1, -1L)
+        }
+      }
+    }(enc)
+  }
+
+  /** Row-preserving resize: each image re-encoded at (w, h) — the thumbnail
+    * normalization step before feature extraction. Undecodable payloads
+    * pass through null.
+    */
+  def resizeImages(
+      media: DataFrame,
+      w: Int,
+      h: Int,
+      codec: ImageCodec = PgmCodec): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      val c = codec
+      rows.map(r => Row(r.getLong(0), c.resize(r.getAs[Array[Byte]](1), w, h).orNull))
     }(enc)
   }
 

@@ -59,6 +59,57 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  private def gradientPgm(w: Int, h: Int, f: Int => Int): Array[Byte] =
+    Multimodal.PgmCodec.encode(w, h, 255,
+      Array.tabulate[Byte](w * h)(i => f(i).toByte))
+
+  test("PgmCodec decodes a real P5 image, comments and whitespace included") {
+    // hand-built header with a comment line — exercises the parser, not
+    // just encode()'s own formatting
+    val px = Array.tabulate[Byte](12)(i => (i * 10).toByte)
+    val raw = "P5\n# a comment\n 4  3\n255\n".getBytes("US-ASCII") ++ px
+    val Some((w, h, m, pixels)) = Multimodal.PgmCodec.decodeImage(raw)
+    assert((w, h, m) === ((4, 3, 255)))
+    assert(pixels.toSeq === px.toSeq)
+    // truncated pixel data must be rejected, not silently short-read
+    assert(Multimodal.PgmCodec.decodeImage(raw.dropRight(1)).isEmpty)
+    assert(Multimodal.PgmCodec.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("PgmCodec resize is real nearest-neighbor pixel work") {
+    // 4x2 image, left half 0, right half 200 -> 2x1 keeps one of each
+    val img = gradientPgm(4, 2, i => if (i % 4 < 2) 0 else 200)
+    val Some(small) = Multimodal.PgmCodec.resize(img, 2, 1)
+    val Some((w, h, _, px)) = Multimodal.PgmCodec.decodeImage(small)
+    assert((w, h) === ((2, 1)))
+    assert(px.map(_ & 0xff).toSeq === Seq(0, 200))
+  }
+
+  test("PgmCodec features carry true dimensions and mean; frames split a P5 concat") {
+    val img = gradientPgm(16, 8, _ % 256)
+    val feats = Multimodal.PgmCodec.features("image", img, dim = 7)
+    assert(feats(0) === 16.0f && feats(1) === 8.0f)
+    val mean = (0 until 128).map(_ % 256).sum.toDouble / (128 * 255)
+    assert(math.abs(feats(2) - mean) < 1e-6)
+    assert(math.abs(feats.drop(3).sum - 1.0f) < 1e-5) // histogram fractions
+    // two concatenated P5 images = two frames, each independently decodable
+    val clip = img ++ gradientPgm(4, 2, _ => 9)
+    val frames = Multimodal.PgmCodec.frames(clip, everyMs = 40).toSeq
+    assert(frames.map(_._1) === Seq(0L, 40L))
+    assert(Multimodal.PgmCodec.decodeImage(frames(1)._2).get._1 === 4)
+  }
+
+  test("imageStats returns exact integers distributed; garbage rows degrade to -1") {
+    val rows = Seq(
+      Row(1L, "image", gradientPgm(4, 2, _ => 10), null),
+      Row(2L, "image", "junk".getBytes, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.MediaSchema)
+    val out = Multimodal.imageStats(df).orderBy("media_id").collect()
+    assert((out(0).getInt(1), out(0).getInt(2), out(0).getLong(3)) === ((4, 2, 80L)))
+    assert(out(1).getInt(1) === -1)
+  }
+
   test("mediaStats never touches the blob column (pruned scan)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
     media().write.mode("overwrite").parquet(tmp)
