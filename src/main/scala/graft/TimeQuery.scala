@@ -13,10 +13,13 @@ object TimeQuery {
       master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]",
       shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,
       appName = "graft-time")
-    for (i <- 1 to reps) {
+    // toRdd.count(), not Dataset.count(): a stacked count aggregate lets
+    // the optimizer prune unevaluated projections (see Bench.run)
+    for (q <- name.split(','); i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"TIMING $name rep=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+      val n = SparkEntry.queries(q)(spark, sfDir).queryExecution.toRdd.count()
+      println(f"TIMING $q rep=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

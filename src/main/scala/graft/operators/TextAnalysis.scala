@@ -50,10 +50,22 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: weighted blend of signals. Weights
     * are exact binary fractions so the arithmetic is portable.
+    *
+    * When the component ratios are already projected as columns, pass them
+    * through [[qualityScoreFrom]] instead of re-deriving from text: the
+    * single evaluation of each regex pass is then guaranteed by the plan
+    * shape, not by runtime subexpression elimination (these projections run
+    * interpreted — CodegenFallback exprs — where CSE is best-effort).
     */
   def qualityScore(text: Column): Column =
-    alphaRatio(text) * 0.5 + least(meanWordLen(text) / 8.0, lit(1.0)) * 0.25 +
-      (lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))) * 0.25
+    qualityScoreFrom(alphaRatio(text), meanWordLen(text), punctRatio(text))
+
+  /** [[qualityScore]] over pre-computed component columns — the identical
+    * arithmetic tree, so the doubles are bit-equal to the from-text form.
+    */
+  def qualityScoreFrom(alpha: Column, meanLen: Column, punct: Column): Column =
+    alpha * 0.5 + least(meanLen / 8.0, lit(1.0)) * 0.25 +
+      (lit(1.0) - least(punct * 4.0, lit(1.0))) * 0.25
 
   /** N-gram-heuristic language ID: score each language by marker-word hits,
     * pick the max (ties broken by fixed language order), `und` when nothing
