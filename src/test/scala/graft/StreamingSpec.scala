@@ -180,4 +180,37 @@ class StreamingSpec extends SparkSpecBase {
       assert(spark.table("lsh_pairs").count() === before)
     } finally q.stop()
   }
+
+  test("stateless curation ops (gates + PII scrub) run unchanged on a stream") {
+    // the batch curation columns are pure projections/filters, so the SAME
+    // Column expressions drive a readStream plan with no code changes —
+    // the property that makes the batch curation tier reusable for
+    // incremental ingest
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF.toDF("doc_id", "text")
+    val curated = docs
+      .filter(TextAnalysis.tokenCount(col("text")) >= 3)
+      .select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("clean"),
+        TextAnalysis.languageId(col("text")).as("lang"))
+    val q = curated.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the cat and the hat mail bob@x.example.org"),
+        (2L, "too short"),
+        (3L, "le chat est la ici ip 10.1.2.3"))
+      q.processAllAvailable()
+      input.addData((4L, "the dog and the log acct 123456789"))
+      q.processAllAvailable()
+      val rows = spark.table("curated").orderBy("doc_id").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L)) // gate dropped doc 2
+      assert(rows(0).getString(1).endsWith("mail <EMAIL>"))
+      assert(rows(1).getString(1).endsWith("ip <IP>"))
+      assert(rows(2).getString(1).endsWith("acct <ID>"))
+      assert(rows(0).getString(2) === "en" && rows(1).getString(2) === "fr")
+    } finally q.stop()
+  }
 }
