@@ -54,6 +54,16 @@ object Multimodal {
     /** (width, height, maxval, pixels) — None when the payload isn't this format. */
     def decodeImage(content: Array[Byte]): Option[(Int, Int, Int, Array[Byte])]
     def resize(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]]
+
+    /** (width, height, pixel sum) — default decodes then sums; codecs that
+      * know their layout override to sum in place without the pixel copy.
+      */
+    def stats(content: Array[Byte]): Option[(Int, Int, Long)] =
+      decodeImage(content).map { case (w, h, _, px) =>
+        var s = 0L; var i = 0
+        while (i < px.length) { s += px(i) & 0xff; i += 1 }
+        (w, h, s)
+      }
   }
 
   /** REAL pure-JVM codec for binary PGM (P5) grayscale images — the one
@@ -87,9 +97,15 @@ object Multimodal {
           }
         }
         if (i >= c.length || c(i) < '0' || c(i) > '9') return None
-        var n = 0
-        while (i < c.length && c(i) >= '0' && c(i) <= '9') { n = n * 10 + (c(i) - '0'); i += 1 }
-        vals(v) = n
+        // long accumulation with an explicit cap: Int wrap on an oversized
+        // field would otherwise accept a corrupt header as a small image
+        var n = 0L
+        while (i < c.length && c(i) >= '0' && c(i) <= '9') {
+          n = n * 10 + (c(i) - '0')
+          if (n > Int.MaxValue) return None
+          i += 1
+        }
+        vals(v) = n.toInt
         v += 1
       }
       // exactly ONE whitespace byte separates maxval from the pixel stream
@@ -132,12 +148,15 @@ object Multimodal {
       }
 
     /** Features: [width, height, mean/maxval, (dim-3)-bin pixel histogram
-      * as fractions]. Non-PGM payloads fall back to the stub's byte
+      * as fractions] — requires `dim ≥ 4` (fail loudly; a silent stub
+      * fallback on a VALID image would hand back plausible-looking but
+      * meaningless numbers). Non-PGM payloads fall back to the stub's byte
       * histogram so mixed-format tables don't fail the whole partition.
       */
-    def features(modality: String, content: Array[Byte], dim: Int): Array[Float] =
+    def features(modality: String, content: Array[Byte], dim: Int): Array[Float] = {
+      require(dim >= 4, s"PgmCodec features need dim >= 4 (w, h, mean + bins); got $dim")
       decodeImage(content) match {
-        case Some((w, h, m, px)) if dim >= 4 =>
+        case Some((w, h, m, px)) =>
           val out = new Array[Float](dim)
           out(0) = w.toFloat
           out(1) = h.toFloat
@@ -154,12 +173,37 @@ object Multimodal {
           out
         case _ => StubCodec.features(modality, content, dim)
       }
+    }
 
+    /** Zero-copy stats: sum the pixel run in place via the header offsets —
+      * no per-image pixel-array allocation (decodeImage copies; at corpus
+      * scale that copy is pure GC pressure for a sum).
+      */
+    override def stats(content: Array[Byte]): Option[(Int, Int, Long)] =
+      parseHeader(content, 0).map { case (w, h, _, p) =>
+        var s = 0L
+        var i = p
+        val end = p + w * h
+        while (i < end) { s += content(i) & 0xff; i += 1 }
+        (w, h, s)
+      }
+
+    /** A malformed or truncated TRAILING frame throws (matching
+      * decodeImage's truncation rejection) — silently yielding fewer frames
+      * would make a corrupted clip indistinguishable from a short one.
+      */
     def frames(content: Array[Byte], everyMs: Long): Iterator[(Long, Array[Byte])] =
       new Iterator[(Long, Array[Byte])] {
         private var off = 0
         private var idx = 0L
-        private var nextHdr = if (content == null) None else parseHeader(content, 0)
+        private var nextHdr = if (content == null) None else parse()
+        private def parse(): Option[(Int, Int, Int, Int)] = {
+          val h = parseHeader(content, off)
+          if (h.isEmpty && off < content.length)
+            throw new IllegalArgumentException(
+              s"corrupt P5 clip: unparseable bytes at offset $off of ${content.length}")
+          h
+        }
         def hasNext: Boolean = nextHdr.isDefined
         def next(): (Long, Array[Byte]) = {
           val (w, h, _, p) = nextHdr.get
@@ -167,7 +211,7 @@ object Multimodal {
           val frame = java.util.Arrays.copyOfRange(content, off, end)
           val t = idx * everyMs
           idx += 1; off = end
-          nextHdr = parseHeader(content, off)
+          nextHdr = parse()
           (t, frame)
         }
       }
@@ -204,13 +248,17 @@ object Multimodal {
       codec: Codec = StubCodec): DataFrame = {
     val spark = media.sparkSession
     val enc = org.apache.spark.sql.Encoders.row(FeatureSchema)
+    // positional access throughout the mapPartitions operators: chained
+    // after another object-typed map, EliminateSerialization hands over the
+    // producer's schemaless Rows and name lookup throws
     media.select("media_id", "modality", "content").mapPartitions { rows =>
       val c = codec // one handle per partition
       rows.map { r =>
-        val content = r.getAs[Array[Byte]]("content")
-        Row(r.getAs[Long]("media_id"), r.getAs[String]("modality"),
+        val modality = r.getString(1)
+        val content = r.getAs[Array[Byte]](2)
+        Row(r.getLong(0), modality,
           if (content == null) 0L else content.length.toLong,
-          c.features(r.getAs[String]("modality"), content, dim))
+          c.features(modality, content, dim))
       }
     }(enc)
   }
@@ -230,8 +278,9 @@ object Multimodal {
     media.select("media_id", "content").mapPartitions { rows =>
       val c = codec
       rows.flatMap { r =>
-        c.frames(r.getAs[Array[Byte]]("content"), everyMs).map { case (ms, bytes) =>
-          Row(r.getAs[Long]("media_id"), ms, bytes)
+        val id = r.getLong(0)
+        c.frames(r.getAs[Array[Byte]](1), everyMs).map { case (ms, bytes) =>
+          Row(id, ms, bytes)
         }
       }
     }(enc)
@@ -258,11 +307,8 @@ object Multimodal {
       val c = codec
       rows.map { r =>
         val id = r.getLong(0)
-        c.decodeImage(r.getAs[Array[Byte]](1)) match {
-          case Some((w, h, _, px)) =>
-            var s = 0L; var i = 0
-            while (i < px.length) { s += px(i) & 0xff; i += 1 }
-            Row(id, w, h, s)
+        c.stats(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, s)) => Row(id, w, h, s)
           case None => Row(id, -1, -1, -1L)
         }
       }

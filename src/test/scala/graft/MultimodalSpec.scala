@@ -110,6 +110,37 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(1).getInt(1) === -1)
   }
 
+  test("codec guards: header-int overflow rejected, dim<4 loud, truncated frame throws") {
+    // an oversized header field must reject, not wrap to a small valid int
+    val wrapped = ("P5\n4294967297 1\n255\n" + "x").getBytes("US-ASCII")
+    assert(Multimodal.PgmCodec.decodeImage(wrapped).isEmpty)
+    // features on a VALID image with too few slots must fail, not silently
+    // hand back the stub's byte histogram
+    intercept[IllegalArgumentException] {
+      Multimodal.PgmCodec.features("image", gradientPgm(2, 2, _ => 1), dim = 3)
+    }
+    // a clip cut mid-frame throws instead of yielding fewer frames
+    val clip = gradientPgm(4, 2, _ => 5) ++ gradientPgm(4, 2, _ => 6).dropRight(3)
+    intercept[IllegalArgumentException] {
+      Multimodal.PgmCodec.frames(clip, 10).toSeq
+    }
+  }
+
+  test("operators chain: resize output feeds imageStats and sampleFrames (schemaless rows)") {
+    // chained object-typed maps elide the serializer (EliminateSerialization)
+    // and hand downstream lambdas schemaless rows — this pins the
+    // positional-access contract end-to-end
+    val rows = Seq(Row(1L, "image", gradientPgm(8, 4, _ => 100), null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.MediaSchema)
+    val resized = Multimodal.resizeImages(df, 4, 2)
+    val stats = Multimodal.imageStats(resized).collect()
+    assert((stats(0).getInt(1), stats(0).getInt(2), stats(0).getLong(3)) === ((4, 2, 800L)))
+    val frames = Multimodal.sampleFrames(resized, everyMs = 10, codec = Multimodal.PgmCodec)
+      .collect()
+    assert(frames.length === 1 && frames(0).getLong(1) === 0L)
+  }
+
   test("mediaStats never touches the blob column (pruned scan)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
     media().write.mode("overwrite").parquet(tmp)
