@@ -74,4 +74,58 @@ object FunctionProperties extends Properties("graft.functions") {
       val gt = MinHashSig.unsignedLess(b, a)
       (hexCmp < 0) == lt && (hexCmp > 0) == gt && !(lt && gt)
     }
+
+  private val pgmGen: Gen[(Int, Int, Array[Byte])] = for {
+    w <- Gen.choose(1, 24)
+    h <- Gen.choose(1, 24)
+    px <- Gen.listOfN(w * h, Gen.choose(Byte.MinValue, Byte.MaxValue))
+  } yield (w, h, px.toArray)
+
+  property("PGM encode→decode round-trips any image") = forAll(pgmGen) {
+    case (w, h, px) =>
+      import graft.operators.Multimodal.PgmCodec
+      PgmCodec.decodeImage(PgmCodec.encode(w, h, 255, px)) match {
+        case Some((dw, dh, dm, dpx)) =>
+          dw == w && dh == h && dm == 255 && java.util.Arrays.equals(dpx, px)
+        case None => false
+      }
+  }
+
+  property("PGM resize to the same dimensions is the identity") = forAll(pgmGen) {
+    case (w, h, px) =>
+      import graft.operators.Multimodal.PgmCodec
+      val img = PgmCodec.encode(w, h, 255, px)
+      PgmCodec.resize(img, w, h).exists(r =>
+        java.util.Arrays.equals(PgmCodec.decodeImage(r).get._4, px))
+  }
+
+  property("PGM stats equals the decoded pixel sum (zero-copy path agrees)") =
+    forAll(pgmGen) { case (w, h, px) =>
+      import graft.operators.Multimodal.PgmCodec
+      val img = PgmCodec.encode(w, h, 255, px)
+      PgmCodec.stats(img).contains((w, h, px.map(_ & 0xff).map(_.toLong).sum))
+    }
+
+  property("PGM frames split a concatenated clip back into its images") =
+    forAll(Gen.listOfN(3, pgmGen)) { imgs =>
+      import graft.operators.Multimodal.PgmCodec
+      val encoded = imgs.map { case (w, h, px) => PgmCodec.encode(w, h, 255, px) }
+      val clip = encoded.reduce(_ ++ _)
+      val frames = PgmCodec.frames(clip, 1).map(_._2).toList
+      frames.size == 3 && frames.zip(encoded).forall {
+        case (f, e) => java.util.Arrays.equals(f, e)
+      }
+    }
+
+  property("PII redaction is idempotent (placeholders contain no PII patterns)") =
+    forAll(anyStringGen) { s =>
+      // column-free check via the same regexes the Column op applies
+      val once = graft.operators.TextAnalysis.PiiPatterns.foldLeft(s) {
+        case (t, (p, r)) => t.replaceAll(p, r)
+      }
+      val twice = graft.operators.TextAnalysis.PiiPatterns.foldLeft(once) {
+        case (t, (p, r)) => t.replaceAll(p, r)
+      }
+      once == twice
+    }
 }
