@@ -666,6 +666,16 @@ object OracleSql {
       """SELECT doc_id, 16 AS width, 8 AS height,
         |  128*a + 8128 - 256*GREATEST(a - 128, 0) AS sum_px
         |FROM (SELECT doc_id, (doc_id*7) % 256 AS a FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // shard-local packing: bin = floor(running-total-BEFORE-this-row /
+    // capacity) — the cumulative-sum formulation both engines compute in
+    // one window pass (a doc crossing the boundary stays in its start bin)
+    "q60_pack_bins" ->
+      """SELECT doc_id, source,
+        |  CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
+        |    / 2000.0) AS BIGINT) AS bin_id
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -792,6 +792,14 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---- shard-local sequence packing (token bins for training batches) ----
+  private def q60PackBins(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.packBins(
+      T(s, d, "documents").select("doc_id", "source", "n_chars"),
+      col("source"), col("doc_id"), col("n_chars"), capacity = 2000L)
+      .select("doc_id", "source", "bin_id")
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filtered_scan" -> (q02FilteredScan _),
@@ -851,7 +859,8 @@ object SparkEntry {
     "q56_pii_redact" -> (q56PiiRedact _),
     "q57_source_quota" -> (q57SourceQuota _),
     "q58_tfidf_terms" -> (q58TfidfTerms _),
-    "q59_pgm_decode" -> (q59PgmDecode _)
+    "q59_pgm_decode" -> (q59PgmDecode _),
+    "q60_pack_bins" -> (q60PackBins _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
