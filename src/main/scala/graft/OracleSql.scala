@@ -166,6 +166,7 @@ object OracleSql {
         |       WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
         |       WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
         |       WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END AS lang_id,
+        |  CAST(s_en AS DOUBLE) / CAST(greatest(len(lw), 1) AS DOUBLE) AS stopword_ratio,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM (
         |  SELECT *,

@@ -228,12 +228,14 @@ object SparkEntry {
         TextAnalysis.punctRatio(t).as("punct_ratio"),
         TextAnalysis.meanWordLen(t).as("mean_word_len"),
         TextAnalysis.languageId(t).as("lang_id"),
+        TextAnalysis.stopwordRatio(t, TextAnalysis.LangMarkers.head._2)
+          .as("stopword_ratio"),
         TextAnalysis.fingerprint(t).as("fp"))
       .withColumn("quality", TextAnalysis.qualityScoreFrom(
         col("alpha_ratio"), col("mean_word_len"), col("punct_ratio")))
       .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
         col("alpha_ratio"), col("punct_ratio"), col("mean_word_len"),
-        col("quality"), col("lang_id"), col("fp"))
+        col("quality"), col("lang_id"), col("stopword_ratio"), col("fp"))
       .orderBy("doc_id")
   }
 
