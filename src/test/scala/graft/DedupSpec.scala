@@ -256,6 +256,77 @@ class DedupSpec extends SparkSpecBase {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("bucket guard: 100k-copy degenerate fingerprint yields a linear star, not n² pairs") {
+    // The r4 weak mark: one boilerplate bucket of n docs fed the plain
+    // band self-join n(n-1)/2 pairs (5·10^9 here — the test could not even
+    // run). With the guard the oversized bucket collapses by exact
+    // fingerprint to a spanning star around the min id: n-1 pairs, every
+    // join in the plan linear in the banded table.
+    val n = 100000L
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan exposes metrics
+    try {
+      val clones = spark.range(n)
+        .select(col("id"), lit("the same boilerplate page body repeated verbatim").as("text"))
+      val normals = Seq((n, docA), (n + 1, docB), (n + 2, docC)).toDF("id", "text")
+      val docs = clones.unionByName(normals)
+      val pairs = Dedup.minHashLshPairs(docs, "id", "text",
+        shingleLen = 2, bands = 4, rowsPerBand = 2)
+      val rows = pairs.collect()
+      // n-1 star pairs from the degenerate bucket + the (docA, docB) near-dup
+      assert(rows.length === (n - 1 + 1).toInt)
+      val stars = rows.filter(_.getLong(1) < n)
+      assert(stars.length === (n - 1).toInt && stars.forall(_.getLong(0) === 0L),
+        "degenerate cluster must collapse to a star around its min id")
+      assert(rows.exists(r => r.getLong(0) === n && r.getLong(1) === n + 1))
+      // no dominant task: every join's output is linear in the banded table
+      // (bands × docs rows), nowhere near the n²/2 the unguarded join emits
+      val joinRows = pairs.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          j.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      }
+      assert(joinRows.forall(_ <= 5L * n),
+        s"a join emitted a super-linear row count: $joinRows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("bucket guard inactive on normal data: pair set identical to the unguarded join") {
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC),
+      (4L, docA + " extra"), (5L, "more unrelated text with other words entirely"))
+      .toDF("doc_id", "text")
+    def pairsWith(max: Int) = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      shingleLen = 2, bands = 8, rowsPerBand = 2, maxBucketSize = max)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Int.MaxValue disables the guard entirely — the default-guarded output
+    // must match it exactly when no bucket is oversized
+    assert(pairsWith(Dedup.DefaultMaxBucketSize) === pairsWith(Int.MaxValue))
+  }
+
+  test("bucket guard on embeddings: identical-vector cluster stars, all pairs cosine-gated") {
+    def base = (0 until 8).map(_.toFloat + 1f).toArray
+    val clones = (0L until 1000L).map(i => (i, base))
+    val other = Seq((1000L, base.map(-_)), (1001L, base.map(x => -x - 1f)))
+    val emb = (clones ++ other).toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "id", "vec",
+        signBits = 2, threshold = 0.99, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // stars from the degenerate bucket (identical vectors, cos = 1) — linear
+    assert(pairs.count(_._1 == 0L) === 999)
+    // the guard emits candidates, not results: nothing below threshold leaks
+    assert(pairs.forall { case (a, b) => b < 1000L || (a >= 1000L && b >= 1000L) })
+  }
+
+  test("bucket guard caps a bucket of distinct fingerprints instead of joining it") {
+    // adversarial shape: one bucket, every fingerprint distinct — no star to
+    // collapse into, so the guard must DROP (logged recall loss), not emit
+    // the quadratic rep join
+    def vec(i: Int) = Array(1f, 2f, 3f, i.toFloat / 1000f + 4f)
+    val emb = (0L until 50L).map(i => (i, vec(i.toInt))).toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "id", "vec",
+      signBits = 1, threshold = 0.5, maxBucketSize = 10)
+    assert(pairs.count() === 0L, "oversized all-distinct bucket must be capped, not joined")
+  }
+
   test("embeddingLshBandPairs: any-band collision finds near-dups, gates the rest") {
     val base = (0 until 32).map(i => if (i % 2 == 0) 1.0f else -1.0f).toArray
     val near = base.clone(); near(0) = 0.9f          // tiny perturbation
