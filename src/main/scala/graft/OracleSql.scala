@@ -161,7 +161,8 @@ object OracleSql {
         |  + least((CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
         |      CAST(greatest(CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS DOUBLE)) / 8.0, 1.0) * 0.25
         |  + (1.0 - least((CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE)) * 4.0, 1.0)) * 0.25 AS quality,
-        |  CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+        |  CASE WHEN lw IS NULL THEN 'und'
+        |       WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
         |       WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
         |       WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
@@ -581,7 +582,7 @@ object OracleSql {
     // span-level exact dedup: winner chunk = min (doc_id, position) per md5,
     // identified by the globally-unique packed rank on both engines
     "q55_chunk_dedup" ->
-      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS ws FROM documents),
         |c0 AS (SELECT doc_id,
         |    unnest(list_transform(generate_series(0, CAST(ceil(len(ws)/8.0) AS BIGINT) - 1),
         |      i -> struct_pack(idx := i, chunk := array_to_string(ws[i*8+1 : i*8+8], ' ')))) AS u

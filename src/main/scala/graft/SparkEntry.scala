@@ -399,26 +399,17 @@ object SparkEntry {
   }
 
   // ---- exact quantiles by rank (interpolation-free, engine-portable) -----
-  // Single ranked pass: each row tests its rank against BOTH quantile ranks
-  // and explodes the (possibly 2-element, when the ceils coincide in a tiny
-  // group) list of quantile levels it represents — the union-of-filters
-  // formulation evaluated the row_number + count windows once per level.
-  private def q36ExactQuantiles(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val ps = Seq(0.5, 0.9)
-    T(s, d, "orders")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))))
-      .select(col("o_orderpriority"), col("o_totalprice"),
-        explode(filter(
-          array(ps.map(p => when(col("rn") === ceil(lit(p) * col("n")).cast("long"), lit(p))): _*),
-          _.isNotNull)).as("p"))
-      .select(col("o_orderpriority"), col("p"), col("o_totalprice").as("quantile"))
+  // Two-phase range-partitioned rank ([[graft.operators.Sketches
+  // .exactQuantilesByRank]]): per-group range buckets + bucket-count offsets
+  // locate each quantile's bucket, and only THAT bucket's ≈ n/B rows are
+  // ranked — the old `Window.partitionBy(o_orderpriority)` form sent each
+  // group (n/5 of the table) through a single task's sort.
+  private def q36ExactQuantiles(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sketches
+      .exactQuantilesByRank(
+        T(s, d, "orders"), "o_orderpriority", "o_totalprice", "o_orderkey",
+        ps = Seq(0.5, 0.9), buckets = 256)
       .orderBy("o_orderpriority", "p")
-  }
 
   // ---- engine-portable HLL cardinality sketch ----------------------------
   private def q35HllDistinct(s: SparkSession, d: String): DataFrame = {
@@ -614,9 +605,13 @@ object SparkEntry {
         val plan = df.queryExecution.executedPlan.toString
         // the plans union one scan PER TABLE: require the marker once per
         // scan, not "somewhere in the plan" — one table silently falling
-        // back to a data scan must fail even while the others still push
+        // back to a data scan must fail even while the others still push.
+        // Markers are counted ONLY on lines carrying a PushedAggregation
+        // entry, so a bare aggregate marker elsewhere in the plan can never
+        // mask a scan that fell back to reading data pages.
+        val pushedLines = plan.linesIterator.filter(_.contains("PushedAggregation")).mkString("\n")
         requiredMarkers.foreach { case (m, n) =>
-          val found = plan.sliding(m.length).count(_ == m)
+          val found = pushedLines.sliding(m.length).count(_ == m)
           require(found >= n,
             s"parquet aggregate pushdown did not engage on every scan " +
               s"($m: $found of $n):\n$plan")
@@ -647,7 +642,9 @@ object SparkEntry {
 
   private def q54MinMaxStats(s: SparkSession, d: String): DataFrame =
     footerStats(s, s"q54|$d",
-      Seq("PushedAggregation: [MIN(" -> MinMaxCols.size, "MAX(" -> MinMaxCols.size)) {
+      // "), MAX(" anchors the max to the same PushedAggregation entry as the
+      // min — a bare "MAX(" could count an occurrence outside the entry
+      Seq("PushedAggregation: [MIN(" -> MinMaxCols.size, "), MAX(" -> MinMaxCols.size)) {
       MinMaxCols.map { case (t, c) =>
         T(s, d, t).agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
           .select(lit(t).as("tbl"), lit(c).as("col_name"),

@@ -17,8 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The child is the WORD ARRAY (`split(lower(trim(text)), "\\s+")`), so
   * tokenization semantics are exactly Spark's own codegen'd split. Null
-  * input yields null (the corpus has no null texts; the interpreted column
-  * chain yielded "und" through three-valued logic — documented divergence).
+  * input yields "und" — the same answer the interpreted column chain's
+  * three-valued logic reaches (null scores fail every `>` test and the
+  * final `> 0` gate), so the two formulations agree on ALL inputs.
   *
   * Marker words may belong to several languages ("la" scores both es and fr,
   * "und" scores de): each word looks up a bitmask of the languages it marks.
@@ -43,6 +44,13 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
   @transient private lazy val langs: Array[UTF8String] =
     markers.map(m => UTF8String.fromString(m._1)).toArray
   @transient private lazy val und = UTF8String.fromString("und")
+
+  // null word-array ⇒ "und", never null — matches the column formulation
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) und else nullSafeEval(v)
+  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[ArrayData]

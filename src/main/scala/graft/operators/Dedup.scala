@@ -293,7 +293,11 @@ object Dedup {
     // HOFs get no common-subexpression elimination, so an inline split would
     // re-tokenize the text once per chunk (the languageId pathology) — as an
     // attribute reference it is read, not recomputed
-    val withWords = docs.select(id.as("__cd_id"), split(trim(col(textCol)), "\\s+").as("__ws"))
+    // null text ≡ empty text (the oracle SQL coalesces identically): a null
+    // would null the chunk array and posexplode would DROP the document,
+    // breaking the operator's row-preserving contract
+    val withWords = docs.select(id.as("__cd_id"),
+      split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__ws"))
     val nChunks = ceil(size(col("__ws")).cast("double") / k).cast("long")
     val chunksCol = transform(sequence(lit(0L), nChunks - 1),
       i => concat_ws(" ", slice(col("__ws"), (i * k + 1).cast("int"), lit(k))))

@@ -123,6 +123,11 @@ object Multimodal {
       }
 
     def encode(w: Int, h: Int, maxval: Int, pixels: Array[Byte]): Array[Byte] = {
+      // an oversized pixel array would encode to a payload decodeImage
+      // accepts (ignoring the tail) while frames() rejects it — fail the
+      // inconsistent caller at construction instead
+      require(pixels.length.toLong == w.toLong * h,
+        s"encode: ${pixels.length} pixels for ${w}x$h image")
       val header = s"P5\n$w $h\n$maxval\n".getBytes("US-ASCII")
       val out = new Array[Byte](header.length + pixels.length)
       System.arraycopy(header, 0, out, 0, header.length)

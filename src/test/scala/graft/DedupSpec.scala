@@ -81,16 +81,19 @@ class DedupSpec extends SparkSpecBase {
       (2L, "a b c x y z"),     // "a b c" repeats doc1 -> dropped
       (3L, "a b c"),           // entire doc is a repeat -> empty survivor
       (4L, ""),                // empty text: one "" chunk, globally unique
-      (5L, "p q r p q r")      // intra-doc repeat -> second chunk dropped
+      (5L, "p q r p q r"),     // intra-doc repeat -> second chunk dropped
+      (6L, null)               // null text ≡ empty — the row must SURVIVE
     ).toDF("doc_id", "text")
     val out = Dedup.chunkDedup(docs, "doc_id", "text", k = 3)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.length === 6)
     assert(out(0) === ((1L, 2L, 2L, "a b c d e f")))
     assert(out(1) === ((2L, 2L, 1L, "x y z")))
     assert(out(2) === ((3L, 1L, 0L, "")))
     assert(out(3) === ((4L, 1L, 1L, "")))
     assert(out(4) === ((5L, 2L, 1L, "p q r")))
+    assert(out(5) === ((6L, 1L, 0L, ""))) // doc 4 already owns the "" chunk
 
     // scale shape: winners return via a LEFT OUTER join on the UNIQUE
     // packed rank (the flag drives one combined reassembly aggregate) —

@@ -63,6 +63,17 @@ class MultimodalSpec extends SparkSpecBase {
     Multimodal.PgmCodec.encode(w, h, 255,
       Array.tabulate[Byte](w * h)(i => f(i).toByte))
 
+  test("PgmCodec.encode rejects a pixel array that disagrees with the dimensions") {
+    // an oversized array used to encode a payload decodeImage accepted
+    // (silently ignoring the tail) while frames() rejected it
+    intercept[IllegalArgumentException] {
+      Multimodal.PgmCodec.encode(2, 2, 255, new Array[Byte](5))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.PgmCodec.encode(2, 2, 255, new Array[Byte](3))
+    }
+  }
+
   test("PgmCodec decodes a real P5 image, comments and whitespace included") {
     // hand-built header with a comment line — exercises the parser, not
     // just encode()'s own formatting

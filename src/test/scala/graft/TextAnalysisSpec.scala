@@ -54,7 +54,8 @@ class TextAnalysisSpec extends SparkSpecBase {
       "und",                            // de marker only
       "xyzzy plugh qwerty",
       "",
-      "word"
+      "word",
+      null                              // null text: "und" in BOTH forms
     )
     val df = texts.toDF("text")
     val both = df.select(
@@ -64,7 +65,7 @@ class TextAnalysisSpec extends SparkSpecBase {
       assert(r.getString(0) === r.getString(1), s"divergence on '$t'")
     }
     assert(both.map(_.getString(0)).toSeq ===
-      Seq("en", "es", "es", "fr", "de", "zh", "en", "en", "es", "de", "und", "und", "und"))
+      Seq("en", "es", "es", "fr", "de", "zh", "en", "en", "es", "de", "und", "und", "und", "und"))
   }
 
   test("fingerprint is whitespace/case insensitive, content sensitive") {
