@@ -33,6 +33,60 @@ object DevProfile {
   }
 }
 
+/** Dev harness: A/B of the timeuuid formulations on synthetic rows
+  * (`runMain graft.DevProfileTimeUuid [rows] [reps]`): the legacy
+  * f-interpolator UDF, the optimized-compute UDF, and the native
+  * [[graft.functions.TimeUuidExpr]]. VERDICT r4 item 3: measure before
+  * nativizing.
+  */
+object DevProfileTimeUuid {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toLong else 2000000L
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = Engine.session(master = "local[32]", shufflePartitions = 32, appName = "prof")
+    import graft.functions.TimeUuid
+
+    // the pre-round-5 formatter, verbatim — isolates the String.format cost
+    def legacyCompute(epochMicros: Long, seed: String): String = {
+      val t = epochMicros * 10L + TimeUuid.GregorianOffset100Ns
+      val timeLow = t & 0xffffffffL
+      val timeMid = (t >>> 32) & 0xffffL
+      val timeHiVersion = ((t >>> 48) & 0x0fffL) | 0x1000L
+      val md = java.security.MessageDigest.getInstance("SHA-1").digest(seed.getBytes("UTF-8"))
+      val clockSeq = (((md(0) & 0x3f) | 0x80) << 8) | (md(1) & 0xff)
+      val node = ((md(2) & 0xffL) << 40) | ((md(3) & 0xffL) << 32) |
+        ((md(4) & 0xffL) << 24) | ((md(5) & 0xffL) << 16) |
+        ((md(6) & 0xffL) << 8) | (md(7) & 0xffL)
+      f"$timeLow%08x-$timeMid%04x-$timeHiVersion%04x-$clockSeq%04x-$node%012x"
+    }
+    val legacyUdf = udf(legacyCompute _)
+    val currentUdf = udf((m: Long, s: String) => TimeUuid.compute(m, s))
+    def nativeCol(m: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.functions.TimeUuidExpr(
+        GraftColumnBridge.expression(m), GraftColumnBridge.expression(s)))
+    }
+
+    val base = spark.range(rows).select(
+      (col("id") * 1000L + 1500000000000000L).as("micros"),
+      concat(lit("seed-"), col("id")).as("seed"))
+      .localCheckpoint(true)
+
+    def t(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.queryExecution.toRdd.count()
+      println(f"PROF $label rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
+    for (r <- 1 to reps) {
+      println(s"--- rep $r ---")
+      t("legacy-udf")(base.select(legacyUdf(col("micros"), col("seed")).as("u")))
+      t("current-udf")(base.select(currentUdf(col("micros"), col("seed")).as("u")))
+      t("native-expr")(base.select(nativeCol(col("micros"), col("seed")).as("u")))
+    }
+    spark.stop()
+  }
+}
+
 /** Dev harness: stage-by-stage timing of [[graft.operators.Curation.pipeline]]
   * with q33's parameters (`runMain graft.DevProfileCuration [sfDir] [reps]`).
   */

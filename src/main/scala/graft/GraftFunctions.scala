@@ -3,13 +3,13 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.udf
 
-import graft.functions.{AesCbc, ReEncrypt, TimeUuid, Uuid3Expr, Uuid5Expr}
+import graft.functions.{AesCbc, ReEncrypt, Uuid3Expr, Uuid5Expr}
 
 /** Public function surface of the engine.
   *
-  * `uuid5` is a native Catalyst expression (codegen'd, foldable); the crypto
-  * and timeuuid functions are deterministic Scala UDFs — byte-level work with
-  * no codegen upside (SURVEY.md §2.11).
+  * `uuid5`/`uuid3`/`timeuuid` are native Catalyst expressions (codegen'd,
+  * foldable); the crypto functions are deterministic Scala UDFs —
+  * byte-level work with no codegen upside (SURVEY.md §2.11).
   */
 object GraftFunctions {
 
@@ -27,7 +27,6 @@ object GraftFunctions {
     GraftColumnBridge.column(Uuid3Expr(GraftColumnBridge.expression(c.cast("string"))))
   }
 
-  private val timeuuidUdf = udf((micros: Long, seed: String) => TimeUuid.compute(micros, seed))
   private val salsaDecryptUdf =
     udf((payload: String, key: String) => ReEncrypt.tryDecryptSalsa20(payload, key).orNull)
   private val salsaEncryptUdf =
@@ -35,9 +34,17 @@ object GraftFunctions {
   private val aesEncryptUdf = udf((plain: String, pwd: String) => AesCbc.encrypt(plain, pwd))
   private val aesDecryptUdf = udf((ct: String, pwd: String) => AesCbc.decrypt(ct, pwd))
 
-  /** timeuuid(epoch_micros, seed) — deterministic v1 UUID (K2). */
-  def timeuuid(epochMicros: Column, seed: Column): Column =
-    timeuuidUdf(epochMicros, seed)
+  /** timeuuid(epoch_micros, seed) — deterministic v1 UUID (K2). Native
+    * expression since round 5: the boxed-UDF form cost ~4× on cold runs
+    * (encoder round-trip + `f"..."`'s locale-aware String.format; A/B in
+    * [[DevProfileTimeUuid]]), with bit-identical output (TimeUuidSpec).
+    */
+  def timeuuid(epochMicros: Column, seed: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.TimeUuidExpr(
+      GraftColumnBridge.expression(epochMicros.cast("long")),
+      GraftColumnBridge.expression(seed.cast("string"))))
+  }
 
   def salsa20Decrypt(payload: Column, key: Column): Column = salsaDecryptUdf(payload, key)
   def salsa20Encrypt(plain: Column, key: Column): Column = salsaEncryptUdf(plain, key)
@@ -50,7 +57,8 @@ object GraftFunctions {
       "uuid5", exprs => Uuid5Expr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "uuid3", exprs => Uuid3Expr(exprs.head), "built-in")
-    spark.udf.register("graft_timeuuid", (micros: Long, seed: String) => TimeUuid.compute(micros, seed))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_timeuuid", exprs => graft.functions.TimeUuidExpr(exprs(0), exprs(1)), "built-in")
     spark.udf.register("graft_salsa20_decrypt",
       (p: String, k: String) => ReEncrypt.tryDecryptSalsa20(p, k).orNull)
     spark.udf.register("graft_salsa20_encrypt",
