@@ -103,6 +103,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("incremental migration: entity transform + partition-scoped upsert equals the batch run") {
+    // the round-4 sketch made concrete: a mongo-shaped change stream drives
+    // the UNCHANGED batch room projection through foreachBatch into
+    // PartitionedParquetSink.upsert — two micro-batches with a cross-batch
+    // UPDATE must converge to exactly the batch run over the final state
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IncrementalMigration
+    import graft.transform.Projections
+    val input = MemoryStream[(String, String, Boolean, Timestamp, Timestamp)]
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-upsert-mig").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-upsert-ckpt").toString
+    val sink = new graft.sink.PartitionedParquetSink(baseDir, "type")
+    val q = IncrementalMigration.run(
+      input.toDF.toDF("_id", "name", "isGroup", "createdAt", "updatedAt"),
+      Projections.roomCassandra,
+      (batch, _) => sink.upsert("room_details", batch, Seq("mongo_id")),
+      ckpt)
+    try {
+      input.addData(("r1", "Duo", false, ts(0), ts(0)), ("r2", "Grupo", true, ts(0), ts(0)))
+      q.processAllAvailable()
+      // micro-batch 2: r1 UPDATED in place (same partition), r3 inserted
+      input.addData(
+        ("r1", "Duo renombrado", false, ts(0), ts(10)),
+        ("r3", "Tercero", true, ts(1), ts(1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val finalDocs = Seq(
+      ("r1", "Duo renombrado", false, ts(0), ts(10)),
+      ("r2", "Grupo", true, ts(0), ts(0)),
+      ("r3", "Tercero", true, ts(1), ts(1)))
+      .toDF("_id", "name", "isGroup", "createdAt", "updatedAt")
+    val batchRun = Projections.roomCassandra(finalDocs)
+    val cols = batchRun.columns.sorted.map(col).toSeq // partitionBy reorders on read
+    val streamed = spark.read.parquet(s"$baseDir/room_details").select(cols: _*).collect()
+    assert(streamed.toSet === batchRun.select(cols: _*).collect().toSet)
+    assert(streamed.length === 3)
+  }
+
   test("availableNow catchup drains the backlog and stops on its own") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.IncrementalMigration
