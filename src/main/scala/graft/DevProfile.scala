@@ -33,6 +33,59 @@ object DevProfile {
   }
 }
 
+/** Dev harness: A/B of LangIdExpr with real codegen vs the pre-round-5
+  * CodegenFallback path (`runMain graft.DevProfileLangId [rows] [reps]`).
+  * The fallback is reproduced by wrapping the expression in a
+  * CodegenFallback shim — same interpreted eval, same row materialization
+  * cost the fallback paid inside whole-stage codegen.
+  */
+object DevProfileLangId {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+  import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+  import org.apache.spark.sql.types.DataType
+
+  private case class NoCodegen(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = child.dataType
+    override def nullable: Boolean = child.nullable
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = child.eval(input)
+    override protected def withNewChildInternal(newChild: Expression): NoCodegen =
+      copy(child = newChild)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toLong else 2000000L
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = Engine.session(master = "local[32]", shufflePartitions = 32, appName = "prof")
+    import org.apache.spark.sql.GraftColumnBridge
+    import graft.operators.TextAnalysis
+
+    val words = Seq("the", "cat", "and", "dog", "la", "casa", "der", "hund",
+      "xyzzy", "of", "to", "is", "le", "des", "nicht", "que")
+    val base = spark.range(rows).select(
+      concat_ws(" ", (0 until 12).map(i =>
+        element_at(typedLit(words), (pmod(col("id") * 31 + i * 7, lit(words.size)) + 1).cast("int"))): _*)
+        .as("text"))
+      .localCheckpoint(true)
+
+    def langIdWrapped(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      GraftColumnBridge.column(NoCodegen(graft.functions.LangIdExpr(
+        GraftColumnBridge.expression(split(lower(trim(text)), "\\s+")),
+        TextAnalysis.LangMarkers)))
+
+    def t(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.queryExecution.toRdd.count()
+      println(f"PROF $label rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
+    for (r <- 1 to reps) {
+      println(s"--- rep $r ---")
+      t("fallback")(base.select(langIdWrapped(col("text")).as("lang")))
+      t("codegen")(base.select(TextAnalysis.languageId(col("text")).as("lang")))
+    }
+    spark.stop()
+  }
+}
+
 /** Dev harness: A/B of the timeuuid formulations on synthetic rows
   * (`runMain graft.DevProfileTimeUuid [rows] [reps]`): the legacy
   * f-interpolator UDF, the optimized-compute UDF, and the native

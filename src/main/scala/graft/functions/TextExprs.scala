@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * "und" scores de): each word looks up a bitmask of the languages it marks.
   */
 case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(markers.nonEmpty && markers.size <= 32, "1..32 languages")
 
   override def dataType: DataType = StringType
@@ -43,17 +42,20 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
   }
   @transient private lazy val langs: Array[UTF8String] =
     markers.map(m => UTF8String.fromString(m._1)).toArray
-  @transient private lazy val und = UTF8String.fromString("und")
+  @transient lazy val und: UTF8String = UTF8String.fromString("und")
 
   // null word-array ⇒ "und", never null — matches the column formulation
   override def nullable: Boolean = false
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) und else nullSafeEval(v)
+    if (v == null) und else score(v.asInstanceOf[ArrayData])
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    score(input.asInstanceOf[ArrayData])
+
+  /** The argmax loop — public so generated code can call it directly. */
+  def score(words: ArrayData): UTF8String = {
     val scores = new Array[Int](langs.length)
     var i = 0
     val n = words.numElements()
@@ -77,6 +79,26 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
       k += 1
     }
     if (scores(best) > 0) langs(best) else und
+  }
+
+  // Real codegen (round-5 A/B, DevProfileLangId): the CodegenFallback path
+  // re-materialized the input row per call; this emits one virtual call on
+  // the already-evaluated word array and keeps the projection inside
+  // whole-stage codegen. Null child folds to "und" inline.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("langIdExpr", this, classOf[LangIdExpr].getName)
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+        ${c.code}
+        UTF8String ${ev.value} = ${c.isNull} ? $ref.und() : $ref.score(${c.value});
+      """
+    ev.copy(code = code, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
