@@ -212,24 +212,30 @@ object SparkEntry {
   // ---- text analysis: tokens / quality / language-id / fingerprint -------
   private def q20TextStats(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    // quality derives from the ratio COLUMNS (bit-identical arithmetic), so
-    // each regex pass appears exactly once in the plan BY CONSTRUCTION —
-    // not by relying on runtime subexpression elimination (the projection
-    // is interpreted: CodegenFallback exprs). CollapseProject preserves the
-    // two-step shape because the aliases are non-cheap and referenced twice.
-    // Cost here is inherent per-row text work (regex/HOF/md5), linear in
-    // rows and map-only — it parallelizes; measured 0.23 ms/doc at 100×.
+    // ONE native pass ([[TextAnalysis.textStats]]) produces every integer
+    // count; the ratio arithmetic below is the column formulation's exact
+    // expression tree over those counts, so values are bit-identical to the
+    // per-function form (which remains the oracle SQL + the specs'
+    // documented semantics). The r4-era shape paid five tokenization passes
+    // plus two regex scans per row — 0.23 ms/doc at 100×, the engine's
+    // per-row cost floor; the fused pass cuts that to the md5 fingerprint +
+    // one scan (A/B in NOTES.md round 5).
     T(s, d, "documents")
+      .select(col("doc_id"), t, TextAnalysis.textStats(t).as("__st"))
       .select(
         col("doc_id"),
-        TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
-        TextAnalysis.subwordCountEstimate(t).cast("long").as("n_subwords"),
-        TextAnalysis.alphaRatio(t).as("alpha_ratio"),
-        TextAnalysis.punctRatio(t).as("punct_ratio"),
-        TextAnalysis.meanWordLen(t).as("mean_word_len"),
-        TextAnalysis.languageId(t).as("lang_id"),
-        TextAnalysis.stopwordRatio(t, TextAnalysis.LangMarkers.head._2)
-          .as("stopword_ratio"),
+        coalesce(col("__st.n_tokens"), lit(0)).cast("long").as("n_tokens"),
+        col("__st.subword_sum").cast("long").as("n_subwords"),
+        (col("__st.n_alpha").cast("double") /
+          greatest(length(t), lit(1)).cast("double")).as("alpha_ratio"),
+        (col("__st.n_punct").cast("double") /
+          greatest(length(t), lit(1)).cast("double")).as("punct_ratio"),
+        (col("__st.n_nonspace").cast("double") /
+          greatest(coalesce(col("__st.n_tokens"), lit(0)), lit(1)).cast("double"))
+          .as("mean_word_len"),
+        coalesce(col("__st.lang_id"), lit("und")).as("lang_id"),
+        (col("__st.en_hits").cast("double") /
+          greatest(col("__st.n_split_tokens"), lit(1)).cast("double")).as("stopword_ratio"),
         TextAnalysis.fingerprint(t).as("fp"))
       .withColumn("quality", TextAnalysis.qualityScoreFrom(
         col("alpha_ratio"), col("mean_word_len"), col("punct_ratio")))

@@ -104,3 +104,175 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
   override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
     copy(child = newChild)
 }
+
+/** One-pass text statistics over the RAW text — the native fusion of the
+  * q20 column formulation, which made five tokenization passes (three
+  * `split`s, two interpreted higher-order aggregates at ~10 µs/lambda) and
+  * two regex-replace passes per row. Returns exact integer counts plus the
+  * language argmax; ratios are assembled in the projection with arithmetic
+  * identical to the column form, so results are bit-equal (pinned by a
+  * fuzz equivalence spec in TextAnalysisSpec).
+  *
+  * Replicated quirk semantics (each is the column formulation's observable
+  * behavior, not an approximation):
+  *   - `trim` strips 0x20 ONLY; `split(_, "\\s+")` (limit -1) yields a
+  *     leading/trailing EMPTY token when the trimmed text starts/ends with
+  *     non-space whitespace, and `[""]` for empty text;
+  *   - `n_tokens` is 0 for null-or-trim-empty text (the `tokenCount`
+  *     guard), while `n_split_tokens` is the raw split size (≥ 1) — the
+  *     stopword-ratio denominator;
+  *   - `subword_sum` = Σ max(⌈len(w)/6⌉, 1) over the RAW split tokens
+  *     (an empty token contributes 1 — including the `[""]` of empty text),
+  *     lengths in CODEPOINTS;
+  *   - `n_alpha` / `n_punct` / `n_nonspace` count over the UNtrimmed text
+  *     ([A-Za-z]; .,;:!?; codepoints minus ASCII `\s`) — `regexp_replace`
+  *     + `length` semantics, Java `\s` being ASCII-only;
+  *   - marker matching folds case for ASCII bytes only: equality against
+  *     the pure-ASCII/CJK marker lists is unchanged (no non-ASCII codepoint
+  *     lowercases INTO a marker string: the only ASCII-producing single
+  *     mappings are U+212A→k and U+0130→i, and no marker is reachable from
+  *     them), and `en_hits` counts every occurrence — exactly
+  *     `size(filter(split(lower(trim(text))), isin(markers)))`;
+  *   - `lang_id` is [[LangIdExpr]]'s fixed-order strictly-greater argmax.
+  */
+case class TextStatsExpr(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  require(markers.nonEmpty && markers.size <= 32, "1..32 languages")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_split_tokens", IntegerType, nullable = false),
+    StructField("subword_sum", IntegerType, nullable = false),
+    StructField("n_alpha", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_nonspace", IntegerType, nullable = false),
+    StructField("en_hits", IntegerType, nullable = false),
+    StructField("lang_id", StringType, nullable = false)))
+  override def prettyName: String = "text_stats"
+
+  // marker lookup: ASCII-lowercased marker bytes -> language bitmask
+  @transient private lazy val masks: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    markers.zipWithIndex.foreach { case ((_, words), i) =>
+      words.foreach { w =>
+        m.merge(UTF8String.fromString(w.toLowerCase), Integer.valueOf(1 << i),
+          (a, b) => Integer.valueOf(a | b))
+      }
+    }
+    m
+  }
+  @transient private lazy val langs: Array[UTF8String] =
+    markers.map(m => UTF8String.fromString(m._1)).toArray
+  @transient private lazy val und = UTF8String.fromString("und")
+  @transient private lazy val maxMarkerBytes: Int =
+    markers.flatMap(_._2).map(_.getBytes("UTF-8").length).max
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String]
+    val n = text.numBytes
+
+    // pass 1 — whole-string counts (regexp_replace semantics: untrimmed)
+    var nAlpha = 0
+    var nPunct = 0
+    var cp = 0
+    var ws = 0
+    var i = 0
+    while (i < n) {
+      val b = text.getByte(i)
+      if ((b & 0xc0) != 0x80) cp += 1
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) nAlpha += 1
+      else if (b == '.' || b == ',' || b == ';' || b == ':' || b == '!' || b == '?') nPunct += 1
+      else if (isWs(b)) ws += 1
+      i += 1
+    }
+
+    // pass 2 — token scan over the 0x20-trimmed range
+    var start = 0
+    var end = n
+    while (start < end && text.getByte(start) == ' ') start += 1
+    while (end > start && text.getByte(end - 1) == ' ') end -= 1
+
+    var splitTokens = 0
+    var subwordSum = 0
+    var enHits = 0
+    val scores = new Array[Int](langs.length)
+
+    def token(tokStart: Int, tokEnd: Int): Unit = {
+      splitTokens += 1
+      var cpLen = 0
+      var j = tokStart
+      while (j < tokEnd) {
+        if ((text.getByte(j) & 0xc0) != 0x80) cpLen += 1
+        j += 1
+      }
+      subwordSum += Math.max((cpLen + 5) / 6, 1)
+      val byteLen = tokEnd - tokStart
+      if (byteLen > 0 && byteLen <= maxMarkerBytes) {
+        val lowered = new Array[Byte](byteLen)
+        var k = 0
+        while (k < byteLen) {
+          val b = text.getByte(tokStart + k)
+          lowered(k) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+          k += 1
+        }
+        val mask = masks.get(UTF8String.fromBytes(lowered))
+        if (mask != null) {
+          var m = mask.intValue()
+          while (m != 0) {
+            val j2 = java.lang.Integer.numberOfTrailingZeros(m)
+            scores(j2) += 1
+            if (j2 == 0) enHits += 1
+            m &= m - 1
+          }
+        }
+      }
+    }
+
+    if (start == end) {
+      // trim-empty: split -> [""] (one empty token, subword 1, no markers)
+      splitTokens = 1
+      subwordSum = 1
+    } else {
+      var tokStart = start
+      var j = start
+      while (j < end) {
+        if (isWs(text.getByte(j))) {
+          token(tokStart, j) // leading \t etc. yields an empty first token
+          while (j < end && isWs(text.getByte(j))) j += 1
+          tokStart = j
+        } else j += 1
+      }
+      token(tokStart, end) // split limit -1: trailing whitespace was trimmed
+    }
+
+    var best = 0
+    var k = 1
+    while (k < scores.length) {
+      if (scores(k) > scores(best)) best = k
+      k += 1
+    }
+    val lang = if (scores(best) > 0) langs(best) else und
+
+    val nTokens = if (start == end) 0 else splitTokens
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens, splitTokens, subwordSum, nAlpha, nPunct, cp - ws, enHits, lang))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("textStatsExpr", this, classOf[TextStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = (InternalRow) $ref.evalText($c);")
+  }
+
+  /** Codegen entry point (nullSafeEval is protected in the Java view). */
+  def evalText(text: UTF8String): Any = nullSafeEval(text)
+
+  override protected def withNewChildInternal(newChild: Expression): TextStatsExpr =
+    copy(child = newChild)
+}

@@ -110,6 +110,20 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** One-pass native fusion of the per-document statistics above
+    * ([[graft.functions.TextStatsExpr]]): struct of exact integer counts +
+    * the language argmax. The individual column functions in this object
+    * remain the documented semantics (and the oracle's SQL); each struct
+    * field is pinned bit-equal to its column twin in TextAnalysisSpec. Use
+    * this in wide per-row stat projections (the q20 shape) where the
+    * column forms would re-tokenize the text once per statistic.
+    */
+  def textStats(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.TextStatsExpr(
+      GraftColumnBridge.expression(text.cast("string")), LangMarkers))
+  }
+
   /** Gopher-style repetition signals, per document: word count, duplicate-
     * word fraction (1 − distinct/total), and the share of the document
     * covered by its single most frequent word n-gram. High values on any of

@@ -68,6 +68,51 @@ class TextAnalysisSpec extends SparkSpecBase {
       Seq("en", "es", "es", "fr", "de", "zh", "en", "en", "es", "de", "und", "und", "und", "und"))
   }
 
+  test("textStats struct is field-for-field identical to the column formulations") {
+    // whitespace-rich multi-byte fuzz (the simHash64 pattern) + the edge
+    // strings that exercise every split/trim quirk the expression replicates
+    val rng = new scala.util.Random(1234)
+    val alphabet = "the and la der 的 a \t\n€字e.;!? KKİ "
+    val fuzz = Seq.fill(80)(
+      Seq.fill(rng.nextInt(40))(alphabet(rng.nextInt(alphabet.length))).mkString)
+    val samples = Seq(
+      "the cat and the dog is a pet", "el perro y la casa de los gatos",
+      "la la la", "xyzzy plugh qwerty", "", " ", "   ", "\t", "\tleading tab",
+      "trailing tab\t", "a  b   c", "  padded  ", "tab\tsep\ttokens",
+      "line\nbreaks\rhere", "ünïcodé tökens 漢字", "punct.,;:!?only",
+      "verylongsingletokenwithoutanywhitespaceatall", "a", ".", "的 是 了",
+      "THE AND OF TO IS A", null) ++ fuzz
+    val df = samples.toDF("text").select(
+      col("text"),
+      TextAnalysis.textStats(col("text")).as("st"),
+      TextAnalysis.tokenCount(col("text")).as("c_tokens"),
+      size(split(lower(trim(col("text"))), "\\s+")).as("c_split"),
+      TextAnalysis.subwordCountEstimate(col("text")).as("c_subwords"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("c_alpha"),
+      length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("c_punct"),
+      length(regexp_replace(col("text"), "\\s+", "")).as("c_nonspace"),
+      size(org.apache.spark.sql.functions.filter(
+        split(lower(trim(col("text"))), "\\s+"),
+        w => w.isin(TextAnalysis.LangMarkers.head._2.map(x => x: Any): _*))).as("c_en"),
+      TextAnalysis.languageId(col("text")).as("c_lang"))
+    df.collect().foreach { r =>
+      val t = r.getAs[String]("text")
+      if (t == null) {
+        assert(r.isNullAt(1), "null text must yield a null stats struct")
+      } else {
+        val st = r.getStruct(1)
+        assert(st.getInt(0) === r.getInt(2), s"n_tokens on '$t'")
+        assert(st.getInt(1) === r.getInt(3), s"n_split_tokens on '$t'")
+        assert(st.getInt(2) === r.getInt(4), s"subword_sum on '$t'")
+        assert(st.getInt(3) === r.getInt(5), s"n_alpha on '$t'")
+        assert(st.getInt(4) === r.getInt(6), s"n_punct on '$t'")
+        assert(st.getInt(5) === r.getInt(7), s"n_nonspace on '$t'")
+        assert(st.getInt(6) === r.getInt(8), s"en_hits on '$t'")
+        assert(st.getString(7) === r.getString(9), s"lang_id on '$t'")
+      }
+    }
+  }
+
   test("fingerprint is whitespace/case insensitive, content sensitive") {
     val f1 = one[String]("Hello   World", TextAnalysis.fingerprint(col("text")))
     val f2 = one[String]("  hello world ", TextAnalysis.fingerprint(col("text")))
