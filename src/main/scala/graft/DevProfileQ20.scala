@@ -4,33 +4,28 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.TextAnalysis
 
-/** Dev harness: per-signal timing of the q20 text-stats columns
-  * (`runMain graft.DevProfileQ20 [sfDir]`).
+/** Dev harness: q20 cost decomposition — stats pass vs fingerprint pass
+  * (`runMain graft.DevProfileQ20 [sfDir] [reps]`).
   */
 object DevProfileQ20 {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/tmp/sf10"
-    val spark = Engine.session(master = "local[32]", shufflePartitions = 32, appName = "profq20")
-    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = if (args.length > 0) args(0) else "/tmp/sf1"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = Engine.session(master = "local[32]", shufflePartitions = 32, appName = "prof")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val t0c = col("text")
-
-    def t(label: String, c: org.apache.spark.sql.Column): Unit = {
-      val df = docs.select(col("doc_id"), c.as("v"))
-      df.queryExecution.toRdd.count() // warm
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    def t(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
-      df.queryExecution.toRdd.count()
-      println(f"PROF $label sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+      val n = df.queryExecution.toRdd.count()
+      println(f"PROF $label rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
     }
-
-    t("tokenCount", TextAnalysis.tokenCount(t0c))
-    t("subwordEstimate", TextAnalysis.subwordCountEstimate(t0c))
-    t("alphaRatio", TextAnalysis.alphaRatio(t0c))
-    t("punctRatio", TextAnalysis.punctRatio(t0c))
-    t("meanWordLen", TextAnalysis.meanWordLen(t0c))
-    t("quality", TextAnalysis.qualityScore(t0c))
-    t("langId", TextAnalysis.languageId(t0c))
-    t("fingerprint", TextAnalysis.fingerprint(t0c))
+    for (_ <- 1 to reps) {
+      t("stats-only")(docs.select(col("doc_id"), TextAnalysis.textStats(col("text")).as("st")))
+      t("fp-only")(docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")))
+      t("md5-only")(docs.select(col("doc_id"), md5(col("text")).as("fp")))
+      t("regex-only")(docs.select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("c")))
+    }
     spark.stop()
   }
 }

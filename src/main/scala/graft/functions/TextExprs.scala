@@ -276,3 +276,138 @@ case class TextStatsExpr(child: Expression, markers: Seq[(String, Seq[String])])
   override protected def withNewChildInternal(newChild: Expression): TextStatsExpr =
     copy(child = newChild)
 }
+
+/** `trim(regexp_replace(x, "\\s+", " "))` as one byte pass — the whitespace
+  * collapse inside [[graft.operators.TextAnalysis.fingerprint]] (and q16's
+  * dedup key), minus the regex engine. Maximal ASCII-`\s` runs become one
+  * space and edges are trimmed, which is exactly the composed column form
+  * (the replace turns edge runs into edge spaces; trim then strips them).
+  * Case folding stays with Spark's `lower` (full unicode semantics are the
+  * engine's, not re-implemented). Bit-identity fuzz-pinned in
+  * TextAnalysisSpec.
+  */
+case class CollapseWsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "collapse_ws"
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes
+    val out = new Array[Byte](n)
+    var o = 0
+    var i = 0
+    while (i < n && isWs(s.getByte(i))) i += 1 // leading run
+    while (i < n) {
+      val b = s.getByte(i)
+      if (isWs(b)) {
+        while (i < n && isWs(s.getByte(i))) i += 1
+        if (i < n) { out(o) = ' '; o += 1 } // interior run -> one space; trailing run -> dropped
+      } else {
+        out(o) = b; o += 1; i += 1
+      }
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("collapseWs", this, classOf[CollapseWsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"(UTF8String) $ref.evalStr($c)")
+  }
+
+  def evalStr(s: UTF8String): Any = nullSafeEval(s)
+
+  override protected def withNewChildInternal(newChild: Expression): CollapseWsExpr =
+    copy(child = newChild)
+}
+
+/** Consecutive `k`-word chunks of a document as one pass — the native form
+  * of [[graft.operators.Dedup.chunkDedup]]'s
+  * `transform(sequence(0, ⌈len/k⌉-1), i -> concat_ws(" ", slice(ws, i*k+1, k)))`
+  * over `ws = split(trim(text), "\\s+")`, which paid one interpreted lambda
+  * + slice + concat per chunk. Tokens follow the split(-1) quirks (leading/
+  * trailing empty token around non-space whitespace edges after the
+  * 0x20-only trim; `[""]` for empty text ⇒ one `""` chunk); chunk strings
+  * join their tokens with single spaces exactly as `concat_ws` does,
+  * including empty tokens. Bit-identity fuzz-pinned in DedupSpec.
+  */
+case class WordChunksExpr(child: Expression, k: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  require(k >= 1, "chunk size >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_chunks"
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes
+    var start = 0
+    var end = n
+    while (start < end && s.getByte(start) == ' ') start += 1
+    while (end > start && s.getByte(end - 1) == ' ') end -= 1
+
+    // token boundaries as (start, end) byte offsets, split(-1) semantics
+    val tokStarts = new java.util.ArrayList[Integer]()
+    val tokEnds = new java.util.ArrayList[Integer]()
+    if (start == end) { tokStarts.add(0); tokEnds.add(0) } // [""]
+    else {
+      var tokStart = start
+      var j = start
+      while (j < end) {
+        if (isWs(s.getByte(j))) {
+          tokStarts.add(tokStart); tokEnds.add(j)
+          while (j < end && isWs(s.getByte(j))) j += 1
+          tokStart = j
+        } else j += 1
+      }
+      tokStarts.add(tokStart); tokEnds.add(end)
+    }
+
+    val nTok = tokStarts.size()
+    val nChunks = (nTok + k - 1) / k
+    val chunks = new Array[UTF8String](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val from = c * k
+      val until = Math.min(from + k, nTok)
+      var bytes = 0
+      var t = from
+      while (t < until) { bytes += tokEnds.get(t) - tokStarts.get(t); t += 1 }
+      bytes += (until - from) - 1 // single-space joins, concat_ws-style
+      val buf = new Array[Byte](Math.max(bytes, 0))
+      var o = 0
+      t = from
+      while (t < until) {
+        if (t > from) { buf(o) = ' '; o += 1 }
+        var p = tokStarts.get(t).intValue()
+        val e = tokEnds.get(t).intValue()
+        while (p < e) { buf(o) = s.getByte(p); o += 1; p += 1 }
+        t += 1
+      }
+      chunks(c) = UTF8String.fromBytes(buf)
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(chunks.asInstanceOf[Array[Any]])
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("wordChunks", this, classOf[WordChunksExpr].getName)
+    defineCodeGen(ctx, ev, c => s"(ArrayData) $ref.evalChunks($c)")
+  }
+
+  def evalChunks(s: UTF8String): Any = nullSafeEval(s)
+
+  override protected def withNewChildInternal(newChild: Expression): WordChunksExpr =
+    copy(child = newChild)
+}

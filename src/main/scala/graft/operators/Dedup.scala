@@ -295,12 +295,17 @@ object Dedup {
     // attribute reference it is read, not recomputed
     // null text ≡ empty text (the oracle SQL coalesces identically): a null
     // would null the chunk array and posexplode would DROP the document,
-    // breaking the operator's row-preserving contract
-    val withWords = docs.select(id.as("__cd_id"),
-      split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__ws"))
-    val nChunks = ceil(size(col("__ws")).cast("double") / k).cast("long")
-    val chunksCol = transform(sequence(lit(0L), nChunks - 1),
-      i => concat_ws(" ", slice(col("__ws"), (i * k + 1).cast("int"), lit(k))))
+    // breaking the operator's row-preserving contract. Chunking is the
+    // native one-pass [[graft.functions.WordChunksExpr]] — the interpreted
+    // transform/slice/concat_ws formulation ([[wordChunksColumns]], spec-
+    // pinned bit-identical) paid one lambda per chunk and re-read the word
+    // array per slice.
+    val chunksCol = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.functions.WordChunksExpr(
+        GraftColumnBridge.expression(coalesce(col(textCol).cast("string"), lit(""))), k))
+    }
+    val withWords = docs.select(id.as("__cd_id"), chunksCol.as("__chunks"))
 
     // the packing precondition (scaladoc) is ENFORCED, not assumed: a silent
     // rank collision would corrupt winner selection, so out-of-range ids or
@@ -317,7 +322,7 @@ object Dedup {
     // localCheckpoint materializes them once inside the consuming action
     // (without it each consumer would re-scan and re-tokenize the corpus)
     val chunkRows = withWords
-      .select(col("__cd_id"), posexplode(chunksCol).as(Seq("__idx", "__chunk")))
+      .select(col("__cd_id"), posexplode(col("__chunks")).as(Seq("__idx", "__chunk")))
       .withColumn("__rank", packedRank)
       .localCheckpoint(false)
     val winnerRanks = chunkRows
@@ -339,6 +344,17 @@ object Dedup {
             x => x.getField("__chunk")),
           " ").as("cleaned_text"))
       .select(col("__cd_id").as(idCol), col("n_chunks"), col("n_kept"), col("cleaned_text"))
+  }
+
+  /** The interpreted chunking [[chunkDedup]] replaced — retained as the
+    * documented semantics (this is what the DuckDB oracle computes) and the
+    * DedupSpec bit-identity pin for [[graft.functions.WordChunksExpr]].
+    */
+  private[graft] def wordChunksColumns(text: Column, k: Int): Column = {
+    val ws = split(trim(coalesce(text, lit(""))), "\\s+")
+    val nChunks = ceil(size(ws).cast("double") / k).cast("long")
+    transform(sequence(lit(0L), nChunks - 1),
+      i => concat_ws(" ", slice(ws, (i * k + 1).cast("int"), lit(k))))
   }
 
   /** Jaccard similarity of two pre-deduped shingle arrays: one exact integer

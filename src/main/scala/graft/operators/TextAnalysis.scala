@@ -105,9 +105,21 @@ object TextAnalysis {
   }
 
   /** Stable content fingerprint: md5 of case-folded, whitespace-collapsed
-    * text — the exact-dedup key that survives formatting noise.
+    * text — the exact-dedup key that survives formatting noise. The
+    * collapse runs as a native byte pass ([[graft.functions.CollapseWsExpr]]
+    * ≡ `trim(regexp_replace(lower(text), "\\s+", " "))`, fuzz-pinned);
+    * case folding stays with Spark's `lower` for full unicode semantics.
     */
-  def fingerprint(text: Column): Column =
+  def fingerprint(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    md5(GraftColumnBridge.column(graft.functions.CollapseWsExpr(
+      GraftColumnBridge.expression(lower(text.cast("string"))))))
+  }
+
+  /** The regex formulation [[fingerprint]] replaced (spec pin + oracle SQL
+    * documentation).
+    */
+  private[graft] def fingerprintRegex(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
   /** One-pass native fusion of the per-document statistics above

@@ -105,6 +105,27 @@ class DedupSpec extends SparkSpecBase {
       s"expected a left join keyed on the packed rank:\n$plan")
   }
 
+  test("native word chunks are bit-identical to the transform/slice formulation") {
+    val rng = new scala.util.Random(99)
+    val alphabet = "ab \t\nc€字 d "
+    val fuzz = Seq.fill(80)(
+      Seq.fill(rng.nextInt(50))(alphabet(rng.nextInt(alphabet.length))).mkString)
+    val samples = Seq("a b c d e f g h i j", "", " ", "\tlead", "trail\t",
+      "one", "a  b   c", "exactly eight words in this tiny test here", null) ++ fuzz
+    for (k <- Seq(1, 3, 8)) {
+      val df = samples.toDF("text").select(
+        {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.WordChunksExpr(
+            GraftColumnBridge.expression(coalesce(col("text").cast("string"), lit(""))), k))
+        }.as("native"),
+        Dedup.wordChunksColumns(col("text"), k).as("interp"))
+      df.collect().zip(samples).foreach { case (r, s) =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"k=$k mismatch on '$s'")
+      }
+    }
+  }
+
   test("jaccard: 1 for identical sets, 0 for disjoint, symmetric in between") {
     val df = Seq((docA, docA), (docA, docC), (docA, docB)).toDF("a", "b")
       .select(Dedup.jaccard(

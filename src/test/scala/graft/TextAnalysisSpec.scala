@@ -113,6 +113,21 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("native fingerprint collapse is bit-identical to the regex formulation") {
+    val rng = new scala.util.Random(77)
+    val alphabet = "aB \t\n\r\f€字. K"
+    val fuzz = Seq.fill(100)(
+      Seq.fill(rng.nextInt(30))(alphabet(rng.nextInt(alphabet.length))).mkString)
+    val samples = Seq("", " ", "  ", "\t", "a", " a ", "a  b", "\ta\tb\t",
+      "Mixed CASE Text", "uni çode 字 here", "\n\n\n", "x", null) ++ fuzz
+    val df = samples.toDF("text").select(
+      TextAnalysis.fingerprint(col("text")).as("native"),
+      TextAnalysis.fingerprintRegex(col("text")).as("regex"))
+    df.collect().zip(samples).foreach { case (r, s) =>
+      assert(r.getAs[String]("native") === r.getAs[String]("regex"), s"mismatch on '$s'")
+    }
+  }
+
   test("fingerprint is whitespace/case insensitive, content sensitive") {
     val f1 = one[String]("Hello   World", TextAnalysis.fingerprint(col("text")))
     val f2 = one[String]("  hello world ", TextAnalysis.fingerprint(col("text")))
