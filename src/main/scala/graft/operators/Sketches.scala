@@ -117,6 +117,16 @@ object Sketches {
     * (adversarial single-value groups still collapse to one bucket, the
     * data's own degeneracy). `value` must be non-null and numeric; `tie`
     * must totally order within (group, value) for a deterministic result.
+    *
+    * The explicit `broadcast` hints are part of the design contract, not an
+    * optimization: joining the data against per-group stats via a shuffle
+    * join would hash-partition the DATA on the group key — the exact hot-
+    * partition shape this operator exists to avoid. That pins the operator
+    * to GROUP-CARDINALITY-sized broadcast tables (stats: G rows; located:
+    * G×|ps|), i.e. dimension-like grouping keys. For a grouping key too
+    * large to broadcast, per-group quantiles are a different problem (the
+    * output itself is G-sized): range-partition on (group, value) and rank
+    * within range buckets via partial counts instead.
     */
   def exactQuantilesByRank(
       df: DataFrame,
