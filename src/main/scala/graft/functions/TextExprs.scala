@@ -411,3 +411,68 @@ case class WordChunksExpr(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): WordChunksExpr =
     copy(child = newChild)
 }
+
+/** Per-document term counts as `map<string,int>` in one pass — the native
+  * fusion of `explode(split(x, "\\s+"))` + `filter(w != "")` +
+  * `groupBy(doc, w).count()`: the per-document aggregation happens inside
+  * the expression (documents are rows, so the grouping is row-local by
+  * construction), so no exploded word rows exist and the first hash
+  * aggregate of the TF-IDF plan disappears. Tokens are maximal runs of
+  * non-ASCII-`\s` bytes — identical to the composed form because the
+  * empty tokens `split(-1)` can produce are exactly what the `!= ""`
+  * filter drops. Case folding stays with the caller (`lower`), as in the
+  * composed form.
+  */
+case class WordCountsExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, MapType}
+
+  override def dataType: DataType = MapType(StringType, IntegerType, valueContainsNull = false)
+  override def prettyName: String = "word_counts"
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes
+    val counts = new java.util.LinkedHashMap[UTF8String, Integer]()
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(s.getByte(i))) i += 1
+      val start = i
+      while (i < n && !isWs(s.getByte(i))) i += 1
+      if (i > start) {
+        val buf = new Array[Byte](i - start)
+        var p = start
+        while (p < i) { buf(p - start) = s.getByte(p); p += 1 }
+        counts.merge(UTF8String.fromBytes(buf), Integer.valueOf(1),
+          (a, b) => Integer.valueOf(a + b))
+      }
+    }
+    val keys = new Array[Any](counts.size())
+    val vals = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = e.getKey
+      vals(k) = e.getValue.intValue()
+      k += 1
+    }
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("wordCounts", this, classOf[WordCountsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"(MapData) $ref.evalCounts($c)")
+  }
+
+  def evalCounts(s: UTF8String): Any = nullSafeEval(s)
+
+  override protected def withNewChildInternal(newChild: Expression): WordCountsExpr =
+    copy(child = newChild)
+}

@@ -240,14 +240,22 @@ object TextAnalysis {
       k: Int = 3): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val id = col(idCol)
-    val words = docs
-      .select(id.as("__tid"), explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
-      .filter(col("__w") =!= "")
+    // per-doc term counts are computed INSIDE one native map expression
+    // ([[graft.functions.WordCountsExpr]] — the grouping key is the row, so
+    // no exploded word rows and no first hash aggregate exist; the composed
+    // explode+filter+groupBy form is retained below for the spec pin)
+    val countsCol = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.functions.WordCountsExpr(
+        GraftColumnBridge.expression(lower(trim(col(textCol).cast("string"))))))
+    }
     // lazy checkpoint: tf feeds BOTH the df aggregate and the join probe —
     // self-join attribute dedup defeats exchange reuse, so without it the
     // corpus is scanned and tokenized twice (the chunkDedup pathology); the
     // (doc, word, tf) rows are far thinner than the text they summarize
-    val tf = words.groupBy(col("__tid"), col("__w")).agg(count(lit(1)).as("tf"))
+    val tf = docs
+      .select(id.as("__tid"), explode(countsCol).as(Seq("__w", "__tf")))
+      .select(col("__tid"), col("__w"), col("__tf").cast("long").as("tf"))
       .localCheckpoint(false)
     val dfreq = tf.groupBy(col("__w")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("__n"))
@@ -261,6 +269,20 @@ object TextAnalysis {
       .select(col("__tid").as(idCol), col("rnk"), col("__w").as("term"),
         round(col("score"), 6).as("score"))
   }
+
+  /** The composed per-doc term-count formulation [[tfIdfTopTerms]] replaced
+    * (spec pin for [[graft.functions.WordCountsExpr]]; also what the q58
+    * oracle SQL computes).
+    */
+  private[graft] def wordCountsColumns(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("__tid"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__tid"), col("__w")).agg(count(lit(1)).as("tf"))
 
   /** Karp-Rabin rolling hash over words (polynomial accumulate) — cheap
     * order-sensitive fingerprint for shift detection; xxhash64-based

@@ -113,6 +113,27 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("native word counts equal the explode+filter+groupBy formulation") {
+    val rng = new scala.util.Random(55)
+    val alphabet = "ab the ab \t\n字 c "
+    val fuzz = Seq.fill(60)(
+      Seq.fill(rng.nextInt(40))(alphabet(rng.nextInt(alphabet.length))).mkString)
+    val samples = Seq("the the the cat", "", " ", "\tx\ty\tx", "solo",
+      "a  b   a", "UPPER upper", null) ++ fuzz
+    val docs = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = docs.select(col("doc_id").as("__tid"),
+        explode({
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.WordCountsExpr(
+            GraftColumnBridge.expression(lower(trim(col("text").cast("string"))))))
+        }).as(Seq("__w", "tf")))
+      .select(col("__tid"), col("__w"), col("tf").cast("long").as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val composed = TextAnalysis.wordCountsColumns(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(native === composed)
+  }
+
   test("native fingerprint collapse is bit-identical to the regex formulation") {
     val rng = new scala.util.Random(77)
     val alphabet = "aB \t\n\r\f€字. K"
