@@ -3,7 +3,6 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * sentinel, which sorts above any md5 hex.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -64,6 +63,20 @@ case class MinHashSig(child: Expression, numHashes: Int)
     }
     new GenericArrayData(out)
   }
+
+  // Real codegen (LangIdExpr recipe): one virtual call on the already-
+  // evaluated shingle array keeps the projection inside whole-stage codegen
+  // instead of the fallback's per-call input-row materialization.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    defineCodeGen(ctx, ev, c => s"(ArrayData) $ref.evalSig($c)")
+  }
+
+  /** Codegen entry point (nullSafeEval is protected in the Java view). */
+  def evalSig(arr: ArrayData): Any = nullSafeEval(arr)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)

@@ -3,7 +3,6 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -15,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `bits` ≤ 32 (nibbles of an md5 digest).
   */
 case class SimHashExpr(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(bits >= 1 && bits <= 32, "bits must be in [1, 32]")
 
   override def dataType: DataType = StringType
@@ -48,6 +47,19 @@ case class SimHashExpr(child: Expression, bits: Int)
     UTF8String.fromString(sb.toString)
   }
 
+  // Real codegen (LangIdExpr recipe): reference-object call on the evaluated
+  // input keeps the surrounding projection in whole-stage codegen.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this, classOf[SimHashExpr].getName)
+    defineCodeGen(ctx, ev, c => s"(UTF8String) $ref.evalHash($c)")
+  }
+
+  /** Codegen entry point (nullSafeEval is protected in the Java view). */
+  def evalHash(s: UTF8String): Any = nullSafeEval(s)
+
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
 }
@@ -64,7 +76,7 @@ case class SimHashExpr(child: Expression, bits: Int)
   * token for the empty string — exactly the Spark column semantics.
   */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -93,6 +105,19 @@ case class SimHash64Expr(child: Expression)
     }
     out
   }
+
+  // Real codegen: the method returns a primitive long, so the generated
+  // assignment needs no boxing or cast.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("simHash64", this, classOf[SimHash64Expr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.evalHash64($c)")
+  }
+
+  /** Codegen entry point (primitive return for the generated assignment). */
+  def evalHash64(s: UTF8String): Long = nullSafeEval(s).asInstanceOf[Long]
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)

@@ -132,7 +132,15 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
   *     lowercases INTO a marker string: the only ASCII-producing single
   *     mappings are U+212A→k and U+0130→i, and no marker is reachable from
   *     them), and `en_hits` counts every occurrence — exactly
-  *     `size(filter(split(lower(trim(text))), isin(markers)))`;
+  *     `size(filter(split(lower(trim(text))), isin(markers)))`. NOTE the
+  *     'no codepoint lowercases into a marker' analysis assumes the JVM
+  *     default locale is Locale.ROOT-compatible for ASCII: Spark's `lower`
+  *     delegates its non-ASCII slow path to `String.toLowerCase` with the
+  *     DEFAULT locale, so under a Turkish/Azeri default a mixed token like
+  *     "IS 字" lowers to "ıs" in the COLUMN formulation (no marker hit) but
+  *     "is" here (hit). The locale sensitivity lives in the column
+  *     formulation, not this expression — run oracle/bench JVMs with an
+  *     en/ROOT default locale (they do by default in this harness);
   *   - `lang_id` is [[LangIdExpr]]'s fixed-order strictly-greater argmax.
   */
 case class TextStatsExpr(child: Expression, markers: Seq[(String, Seq[String])])

@@ -89,13 +89,20 @@ object TimeUuid {
 case class TimeUuidExpr(
     left: org.apache.spark.sql.catalyst.expressions.Expression,
     right: org.apache.spark.sql.catalyst.expressions.Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   import org.apache.spark.sql.catalyst.expressions.Expression
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-  import org.apache.spark.sql.types.{DataType, StringType}
+  import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
 
   override def dataType: DataType = StringType
   override def prettyName: String = "timeuuid"
+
+  // Analysis inserts the same casts the Scala API applies explicitly, so the
+  // SQL-registered graft_timeuuid keeps the old UDF's implicit coercion —
+  // without this, graft_timeuuid(42, s) passed analysis but the interpreted
+  // path threw ClassCastException while codegen silently widened int→long.
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, StringType)
 
   override protected def nullSafeEval(micros: Any, seed: Any): Any =
     TimeUuid.computeUtf8(micros.asInstanceOf[Long],

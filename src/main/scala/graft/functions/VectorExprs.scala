@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -14,7 +13,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * cost ~9µs per vector pair and dominated the ANN bench queries.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
@@ -44,6 +43,20 @@ case class CosineSim(left: Expression, right: Expression)
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
+  // Real codegen (LangIdExpr recipe): the double return is primitive, so the
+  // generated assignment stays unboxed inside whole-stage codegen.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("cosineSim", this, classOf[CosineSim].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.evalCos($a, $b)")
+  }
+
+  /** Codegen entry point (primitive return for the generated assignment). */
+  def evalCos(a: ArrayData, b: ArrayData): Double =
+    nullSafeEval(a, b).asInstanceOf[Double]
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
@@ -57,7 +70,7 @@ case class CosineSim(left: Expression, right: Expression)
   * lambda pipelines.
   */
 case class CosineSimLong(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim_long"
@@ -82,6 +95,18 @@ case class CosineSimLong(left: Expression, right: Expression)
     while (i < yn) { val v = y.getLong(i); ny += (v * v).toDouble; i += 1 }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("cosineSimLong", this, classOf[CosineSimLong].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.evalCos($a, $b)")
+  }
+
+  /** Codegen entry point (primitive return for the generated assignment). */
+  def evalCos(a: ArrayData, b: ArrayData): Double =
+    nullSafeEval(a, b).asInstanceOf[Double]
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimLong =

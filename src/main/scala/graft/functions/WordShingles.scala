@@ -3,7 +3,6 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * dominates corpus-scale dedup.
   */
 case class WordShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
@@ -38,6 +37,19 @@ case class WordShinglesExpr(child: Expression, n: Int)
     }
     new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[AnyRef])
   }
+
+  // Real codegen (LangIdExpr recipe): reference-object call on the evaluated
+  // input keeps the surrounding projection in whole-stage codegen.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShinglesExpr].getName)
+    defineCodeGen(ctx, ev, c => s"(ArrayData) $ref.evalShingles($c)")
+  }
+
+  /** Codegen entry point (nullSafeEval is protected in the Java view). */
+  def evalShingles(s: org.apache.spark.unsafe.types.UTF8String): Any = nullSafeEval(s)
 
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
     copy(child = newChild)

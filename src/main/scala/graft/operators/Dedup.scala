@@ -408,12 +408,18 @@ object Dedup {
     }
   }
 
-  /** Hamming distance between two equal-length bit strings. */
+  /** Hamming distance between two equal-length '0'/'1' bit strings. Bit
+    * arithmetic, not the interpreted zip_with/aggregate chain it replaces:
+    * each string parses to a long (bits ≤ 32 everywhere this is used —
+    * [[simHashBits]] caps at 32), then xor + bit_count counts differing
+    * positions in one codegen'd expression. For the 64-bit simhash path the
+    * values are ALREADY longs — xor + bit_count directly, no strings.
+    */
   def hammingBits(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(split(a, ""), split(b, ""), (x, y) => when(x =!= y, 1).otherwise(0)),
-      lit(0),
-      (acc, x) => acc + x)
+    bit_count(conv(a, 2, 10).cast("long").bitwiseXOR(conv(b, 2, 10).cast("long")))
+
+  /** Hamming distance between two 64-bit simhash longs ([[simHash64]]). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Sign bits needed to keep the EXPECTED bucket size ≈ `targetBucketSize`
     * under a balanced split: ⌈log₂(n / target)⌉. Each within-bucket
