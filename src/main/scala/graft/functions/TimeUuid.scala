@@ -90,10 +90,10 @@ case class TimeUuidExpr(
     left: org.apache.spark.sql.catalyst.expressions.Expression,
     right: org.apache.spark.sql.catalyst.expressions.Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   import org.apache.spark.sql.catalyst.expressions.Expression
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-  import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+  import org.apache.spark.sql.types.{DataType, LongType, StringType}
 
   override def dataType: DataType = StringType
   override def prettyName: String = "timeuuid"
@@ -102,7 +102,9 @@ case class TimeUuidExpr(
   // SQL-registered graft_timeuuid keeps the old UDF's implicit coercion —
   // without this, graft_timeuuid(42, s) passed analysis but the interpreted
   // path threw ClassCastException while codegen silently widened int→long.
-  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, StringType)
+  // Declared as Seq[DataType] (covariant) because AbstractDataType is
+  // private[sql] and unnameable from this package.
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
 
   override protected def nullSafeEval(micros: Any, seed: Any): Any =
     TimeUuid.computeUtf8(micros.asInstanceOf[Long],

@@ -30,4 +30,19 @@ class TimeUuidSpec extends SparkSpecBase {
     val extracted = times.map(t => TimeUuid.extractEpochMicros(TimeUuid.compute(t, "s")))
     assert(extracted === extracted.sorted)
   }
+
+  test("SQL graft_timeuuid coerces int literal to long on codegen and interpreted paths") {
+    // graft_timeuuid(42, s): 42 is an IntegerType literal; ExpectsInputTypes
+    // must insert the int→long cast so both evaluation modes agree with the
+    // Scala-side compute(42L, s) — the interpreted path used to throw
+    // ClassCastException without the inputTypes declaration.
+    val expected = TimeUuid.compute(42L, "seed")
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val got = spark.sql("SELECT graft_timeuuid(42, 'seed') AS u").collect()(0).getString(0)
+        assert(got === expected, s"mode=$codegen")
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
