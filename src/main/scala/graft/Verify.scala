@@ -16,13 +16,41 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The LSH bucket guard diverges from plain-join semantics the moment it
+    // activates (star-collapse / sub-split / drop). Oracle SQL computes the
+    // plain join, so a query whose guard metrics are nonzero must FAIL the
+    // gate loudly instead of letting DuckDB compare diverged semantics
+    // (VERDICT r6 #4). Observed-metric delivery is async — poll briefly and
+    // diff against the names already seen before each query.
+    val mc = new graft.run.MetricsCollector(spark)
+    def guardViolations(before: Set[String]): Seq[String] = {
+      Thread.sleep(200)
+      mc.snapshot.toSeq
+        .filter { case (name, _) => name.startsWith("lsh_bucket_guard_") && !before(name) }
+        .flatMap { case (name, fields) =>
+          fields.collect {
+            case (f, v: Long) if v != 0L => s"$name.$f=$v"
+            case (f, v: Double) if v != 0.0 => s"$name.$f=$v"
+          }
+        }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val seen = mc.snapshot.keySet
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val bad = guardViolations(seen)
+        if (bad.nonEmpty) {
+          System.err.println(
+            s"[verify] $name failed: LSH bucket guard active (${bad.mkString(", ")}) — " +
+              "pair semantics diverge from the plain-join oracle; output withheld")
+          deleteRecursively(new java.io.File(s"$outDir/$name"))
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    mc.close()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -39,5 +67,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
   }
 }

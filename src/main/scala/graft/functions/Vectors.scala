@@ -85,4 +85,18 @@ object Vectors {
     concat(
       (1 to bits).map(i =>
         when(element_at(vec, offset + i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** [[signBucket]] with positions wrapped modulo the vector's dimension —
+    * safe when `offset + bits` may exceed it (the guard sub-key is taken
+    * PAST the bucket prefix, and a short vector has no headroom there).
+    * Wrapped positions land back on prefix coordinates, which are constant
+    * within a bucket: the sub-key then simply splits less (degrading toward
+    * the drop path), never throws, and is still similarity-preserving on
+    * whatever honest headroom exists.
+    */
+  def signBucketWrapped(vec: Column, bits: Int, offset: Int): Column =
+    concat(
+      (0 until bits).map(i =>
+        when(element_at(vec, pmod(lit(offset + i), greatest(size(vec), lit(1))) + 1) >= 0f,
+          lit("1")).otherwise(lit("0"))): _*)
 }
