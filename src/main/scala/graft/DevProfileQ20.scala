@@ -22,6 +22,7 @@ object DevProfileQ20 {
     for (_ <- 1 to reps) {
       t("stats-only")(docs.select(col("doc_id"), TextAnalysis.textStats(col("text")).as("st")))
       t("fp-only")(docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")))
+      t("fp64-only")(docs.select(col("doc_id"), TextAnalysis.fingerprint64(col("text")).as("fp")))
       t("md5-only")(docs.select(col("doc_id"), md5(col("text")).as("fp")))
       t("regex-only")(docs.select(col("doc_id"),
         trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("c")))

@@ -461,14 +461,24 @@ object Dedup {
   }
 
   /** Hamming distance between two equal-length '0'/'1' bit strings. Bit
-    * arithmetic, not the interpreted zip_with/aggregate chain it replaces:
-    * each string parses to a long (bits ≤ 32 everywhere this is used —
-    * [[simHashBits]] caps at 32), then xor + bit_count counts differing
-    * positions in one codegen'd expression. For the 64-bit simhash path the
-    * values are ALREADY longs — xor + bit_count directly, no strings.
+    * arithmetic on the hot path: each string parses to a long (bits ≤ 32
+    * everywhere this is used — [[simHashBits]] caps at 32), then
+    * xor + bit_count counts differing positions in one codegen'd
+    * expression. `conv` saturates past unsigned-64, so strings longer than
+    * 63 bits take the per-character fold instead (the pre-r6 formulation) —
+    * the public API accepts ANY length without a silent wrong answer, and
+    * the length predicate folds away at planning time for literal-width
+    * callers. For the 64-bit simhash path the values are ALREADY longs —
+    * [[hamming64]] xors them directly, no strings.
     */
-  def hammingBits(a: Column, b: Column): Column =
-    bit_count(conv(a, 2, 10).cast("long").bitwiseXOR(conv(b, 2, 10).cast("long")))
+  def hammingBits(a: Column, b: Column): Column = {
+    val fast = bit_count(conv(a, 2, 10).cast("long").bitwiseXOR(conv(b, 2, 10).cast("long")))
+    val anyLength = aggregate(
+      zip_with(split(a, ""), split(b, ""), (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0),
+      (acc, x) => acc + x)
+    when(length(a) <= 63 && length(b) <= 63, fast).otherwise(anyLength)
+  }
 
   /** Hamming distance between two 64-bit simhash longs ([[simHash64]]). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

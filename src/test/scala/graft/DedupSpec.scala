@@ -431,6 +431,22 @@ class DedupSpec extends SparkSpecBase {
     } finally mc.close()
   }
 
+  test("hammingBits is exact past 63 bits (conv would saturate) and agrees with the fold") {
+    // 80-bit strings: the long fast path cannot represent them (Spark conv
+    // saturates at unsigned-64 max), so the per-character fold must take
+    // over — silently wrong answers here were the r6 ADVICE low item
+    val a80 = "10" * 40
+    val b80 = "01" * 40                  // differs at every position
+    val c80 = "10" * 39 + "11"           // differs from a80 at one position
+    val a63 = "101" * 21
+    val b63 = "011" * 21
+    val rows = Seq((a80, b80, 80), (a80, c80, 1), (a80, a80, 0), (a63, b63, 42))
+      .toDF("a", "b", "expected")
+    val got = rows.select(Dedup.hammingBits(col("a"), col("b")).cast("int").as("d"),
+      col("expected")).collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1), s"row $r"))
+  }
+
   test("embeddingLshBandPairs: any-band collision finds near-dups, gates the rest") {
     val base = (0 until 32).map(i => if (i % 2 == 0) 1.0f else -1.0f).toArray
     val near = base.clone(); near(0) = 0.9f          // tiny perturbation

@@ -157,6 +157,23 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(f1 !== f3)
   }
 
+  test("fingerprint64 groups exactly like the md5 fingerprint (scale twin)") {
+    // same normalization, different hash: the 64-bit twin must induce the
+    // SAME partition of documents as the oracle-checked md5 form, and match
+    // the xxhash64-over-regex-collapse column formulation bit-for-bit
+    val samples = Seq("Hello   World", "  hello world ", "hello worlds",
+      "", " ", "\ta\tb\t", "a  b", "uni çode 字 here", null)
+    val rows = samples.toDF("text").select(
+      TextAnalysis.fingerprint(col("text")).as("md5fp"),
+      TextAnalysis.fingerprint64(col("text")).as("fp64"),
+      xxhash64(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp64regex"))
+      .collect()
+    rows.foreach(r => assert(r.get(1) === r.get(2)))
+    val byMd5 = rows.groupBy(_.get(0)).view.mapValues(_.map(_.get(1)).toSet)
+    byMd5.foreach { case (_, fp64s) => assert(fp64s.size === 1) }
+    assert(rows.map(_.get(1)).toSet.size === byMd5.size)
+  }
+
   test("subword estimate >= word count, rolling hash order-sensitive") {
     val sub = one[Int]("internationalization is long", TextAnalysis.subwordCountEstimate(col("text")))
     assert(sub >= 3)
