@@ -39,18 +39,24 @@ object DevProfile {
   * CodegenFallback shim — same interpreted eval, same row materialization
   * cost the fallback paid inside whole-stage codegen.
   */
-object DevProfileLangId {
-  import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-  import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-  import org.apache.spark.sql.types.DataType
+/** CodegenFallback shim shared by the A/B harnesses below: same interpreted
+  * eval, same row-materialization cost a fallback expression pays inside
+  * whole-stage codegen — wrapping a native expression in it reproduces its
+  * pre-`doGenCode` behavior exactly.
+  */
+private[graft] case class NoCodegen(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = child.eval(input)
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NoCodegen =
+    copy(child = newChild)
+}
 
-  private case class NoCodegen(child: Expression) extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = child.dataType
-    override def nullable: Boolean = child.nullable
-    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = child.eval(input)
-    override protected def withNewChildInternal(newChild: Expression): NoCodegen =
-      copy(child = newChild)
-  }
+object DevProfileLangId {
 
   def main(args: Array[String]): Unit = {
     val rows = if (args.length > 0) args(0).toLong else 2000000L
@@ -135,6 +141,111 @@ object DevProfileTimeUuid {
       t("legacy-udf")(base.select(legacyUdf(col("micros"), col("seed")).as("u")))
       t("current-udf")(base.select(currentUdf(col("micros"), col("seed")).as("u")))
       t("native-expr")(base.select(nativeCol(col("micros"), col("seed")).as("u")))
+    }
+    spark.stop()
+  }
+}
+
+/** Dev harness: per-expression A/B of the round-6 `doGenCode` work
+  * (`runMain graft.DevProfileCodegen [sfDir] [reps]`) — each native
+  * expression vs the same expression behind the [[NoCodegen]] shim, i.e.
+  * exactly its pre-round-6 CodegenFallback form, on the real corpus
+  * columns each one runs over in the bench queries.
+  */
+object DevProfileCodegen {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/tmp/sf1"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = Engine.session(master = "local[32]", shufflePartitions = 32, appName = "prof")
+    import org.apache.spark.sql.{Column, GraftColumnBridge => B}
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import graft.functions._
+
+    def native(e: Expression): Column = B.column(e)
+    def fallback(e: Expression): Column = B.column(NoCodegen(e))
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        B.column(WordShinglesExpr(B.expression(col("text").cast("string")), 2)).as("sh"))
+      .localCheckpoint(true)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("va"),
+        reverse(col("embedding")).as("vb"),
+        graft.functions.Vectors.quantizeI8(col("embedding")).as("qa"),
+        graft.functions.Vectors.quantizeI8(reverse(col("embedding"))).as("qb"))
+      .localCheckpoint(true)
+
+    def t(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.queryExecution.toRdd.count()
+      println(f"PROF $label rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
+    val cases: Seq[(String, Expression)] = Seq(
+      "WordShinglesExpr" -> WordShinglesExpr(B.expression(col("text").cast("string")), 2),
+      "MinHashSig16" -> MinHashSig(B.expression(col("sh")), 16),
+      "SimHashExpr16" -> SimHashExpr(B.expression(col("text").cast("string")), 16),
+      "SimHash64Expr" -> SimHash64Expr(B.expression(col("text").cast("string"))))
+    val vecCases: Seq[(String, Expression)] = Seq(
+      "CosineSim" -> CosineSim(B.expression(col("va")), B.expression(col("vb"))),
+      "CosineSimLong" -> CosineSimLong(B.expression(col("qa")), B.expression(col("qb"))))
+    for (r <- 1 to reps) {
+      println(s"--- rep $r ---")
+      cases.foreach { case (name, e) =>
+        t(s"$name-fallback")(docs.select(fallback(e).as("x")))
+        t(s"$name-codegen")(docs.select(native(e).as("x")))
+      }
+      vecCases.foreach { case (name, e) =>
+        t(s"$name-fallback")(vecs.select(fallback(e).as("x")))
+        t(s"$name-codegen")(vecs.select(native(e).as("x")))
+      }
+    }
+    spark.stop()
+  }
+}
+
+/** Dev harness: q58 vocabulary-skew probe (`runMain graft.DevProfileQ58
+  * [docs] [wordsPerDoc]`) — VERDICT r5 #6. Generates a synthetic Zipf
+  * corpus (log-uniform rank ⇒ P(term) ∝ 1/rank, so the top term lands in
+  * ~every document = the hottest possible tf⨝df join key), runs
+  * [[graft.operators.TextAnalysis.tfIdfTopTerms]], and reports which join
+  * strategy the tf⨝df edge actually took: (a) at defaults — does the
+  * vocabulary-sized df side broadcast (no word shuffle at all)?; (b) with
+  * broadcast disabled (the 100 TB case where the vocabulary outgrows the
+  * threshold) — does AQE's skew-join splitting absorb the stopword key?
+  * Salting gets added only if (b) shows an unsplit hot partition.
+  */
+object DevProfileQ58 {
+  def main(args: Array[String]): Unit = {
+    val docsN = if (args.length > 0) args(0).toLong else 500000L
+    val wordsPerDoc = if (args.length > 1) args(1).toInt else 60
+    val vocab = 200000
+    val spark = Engine.session(master = "local[32]", shufflePartitions = 32, appName = "prof")
+    import graft.operators.TextAnalysis
+    val lnV = math.log(vocab.toDouble)
+    def term(i: Int) = concat(lit("t"),
+      floor(exp((pmod(xxhash64(col("id") * 131L + i.toLong), lit(1000000L)) / 1000000.0) * lnV))
+        .cast("long"))
+    val docs = spark.range(docsN).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until wordsPerDoc).map(term): _*).as("text"))
+      .localCheckpoint(true)
+
+    def run(label: String): Unit = {
+      val t0 = System.nanoTime()
+      val out = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", 3)
+      val n = out.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val plan = out.queryExecution.executedPlan.toString
+      println(f"PROF $label rows=$n sec=$sec%.3f skewSplit=${plan.contains("isSkew=true") || plan.contains("skew=true")}")
+      plan.linesIterator.filter(_.contains("Join")).foreach(l => println("  JOIN " + l.trim.take(140)))
+    }
+    run("default")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try run("no-broadcast")
+    finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
     spark.stop()
   }
