@@ -37,8 +37,6 @@ def main(sfdir, outdir):
     con = duckdb.connect()
     ids = [r[0] for r in con.execute(
         f"SELECT doc_id FROM '{sfdir}/documents.parquet'").fetchall()]
-    pairs = con.execute(PAIRS_SQL.format(sf=sfdir)).fetchall()
-    print(f"docs={len(ids)} candidate_pairs={len(pairs)}")
 
     parent = {}
 
@@ -50,10 +48,22 @@ def main(sfdir, outdir):
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+    # Stream the pair set in batches: at 100x it is hundreds of millions of
+    # rows and a fetchall() would hold them all as Python tuples at once.
+    # Union-find folds each batch immediately, so peak memory is one batch
+    # plus the (num_docs-sized) parent map.
+    res = con.execute(PAIRS_SQL.format(sf=sfdir))
+    npairs = 0
+    while True:
+        batch = res.fetchmany(2_000_000)
+        if not batch:
+            break
+        npairs += len(batch)
+        for a, b in batch:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    print(f"docs={len(ids)} candidate_pairs={npairs}")
     # min-id label per root: roots are minimal by construction (we always
     # attach the larger root beneath the smaller), so label == find(x)
     want = {x: find(x) for x in ids}

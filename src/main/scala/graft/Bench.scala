@@ -10,6 +10,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Same spill-aware sizing as Engine.session: shuffles START at 8x
+      // cores so a 100x scale factor can't put one aggregation's whole
+      // state in a single task (q45/q38 died exactly that way at /tmp/sf10
+      // with a flat 32); AQE's parallelismFirst coalesces small stages
+      // back to core count, so sf0.1 numbers are unaffected.
+      .config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", (cpus.toInt * 8).toString))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

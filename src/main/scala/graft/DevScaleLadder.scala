@@ -19,7 +19,15 @@ object DevScaleLadder {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/sf10"
     val outDir = if (args.length > 1) args(1) else "/tmp/ladder_out"
-    val spark = Engine.session(master = "local[32]", shufflePartitions = 32, appName = "ladder")
+    // 100× on one JVM needs the brief's spill-aware sizing: a flat 32
+    // shuffle partitions put an entire replica-cluster pair aggregation in
+    // one task (AGGREGATE_OUT_OF_MEMORY at 64 g). Engine.session now sets
+    // AQE initialPartitionNum = 8x partitions, so the base count stays at
+    // core count and oversized stages fan out to 256 on their own; the arg
+    // remains for A/Bing the sizing itself.
+    val partitions = if (args.length > 2) args(2).toInt else 32
+    val spark = Engine.session(master = "local[32]", shufflePartitions = partitions,
+      appName = "ladder")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val mc = new graft.run.MetricsCollector(spark)

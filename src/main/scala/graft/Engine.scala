@@ -23,6 +23,19 @@ object Engine {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Spill-aware shuffle sizing: AQE coalescing can only merge partitions
+      // DOWN from the initial count — it can never split an oversized
+      // aggregation state. Start shuffles at max(8x cores, cores) partitions
+      // and let AQE coalesce small stages back to core count
+      // (parallelismFirst keeps the floor at default parallelism), so the
+      // same session survives a 100x data step without per-task aggregation
+      // state outgrowing executor memory. On a real cluster this is the
+      // "thousands of initial partitions, AQE right-sizes" pattern.
+      .config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse(
+          "SPARK_GRAFT_INIT_PARTITIONS",
+          math.max(shufflePartitions * 8, shufflePartitions).toString))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
