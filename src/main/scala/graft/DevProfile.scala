@@ -238,14 +238,20 @@ object DevProfileQ58 {
       println(f"PROF $label rows=$n sec=$sec%.3f skewSplit=${plan.contains("isSkew=true") || plan.contains("skew=true")}")
       plan.linesIterator.filter(_.contains("Join")).foreach(l => println("  JOIN " + l.trim.take(140)))
     }
-    run("default")
+    // Two alternating reps per mode: the first run of the JVM pays all the
+    // codegen/JIT warmup, which would otherwise bias whichever mode goes
+    // first (a single-pass version showed broadcast 2.6x "slower" purely
+    // from ordering).
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    try run("no-broadcast")
-    finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    for (r <- 1 to 2) {
+      run(s"default-r$r")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try run(s"no-broadcast-r$r")
+      finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
     }
     spark.stop()
   }
