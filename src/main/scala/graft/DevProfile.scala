@@ -183,6 +183,7 @@ object DevProfileCodegen {
     val cases: Seq[(String, Expression)] = Seq(
       "WordShinglesExpr" -> WordShinglesExpr(B.expression(col("text").cast("string")), 2),
       "MinHashSig16" -> MinHashSig(B.expression(col("sh")), 16),
+      "MinHashSig64x16" -> MinHashSig64(B.expression(col("sh")), 16),
       "SimHashExpr16" -> SimHashExpr(B.expression(col("text").cast("string")), 16),
       "SimHash64Expr" -> SimHash64Expr(B.expression(col("text").cast("string"))))
     val vecCases: Seq[(String, Expression)] = Seq(

@@ -798,6 +798,16 @@ object SparkEntry {
   }
 
   // ---- shard-local sequence packing (token bins for training batches) ----
+  // ---- 64-bit MinHash-LSH (scale twin of q17: one xxhash64 per shingle +
+  // affine permutations instead of K md5s, long band keys instead of hex.
+  // xxhash64 has no DuckDB equivalent, so the driver records a rows-only
+  // check; DedupSpec pins the signature against an independent
+  // reimplementation and the pair semantics on fixtures) -------------------
+  private def q61Minhash64Pairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashLshPairs64(T(s, d, "documents"), "doc_id", "text",
+        shingleLen = 2, bands = 4, rowsPerBand = 2)
+      .orderBy("id1", "id2")
+
   private def q60PackBins(s: SparkSession, d: String): DataFrame =
     graft.operators.Sampling.packBins(
       T(s, d, "documents").select("doc_id", "source", "n_chars"),
@@ -865,7 +875,8 @@ object SparkEntry {
     "q57_source_quota" -> (q57SourceQuota _),
     "q58_tfidf_terms" -> (q58TfidfTerms _),
     "q59_pgm_decode" -> (q59PgmDecode _),
-    "q60_pack_bins" -> (q60PackBins _)
+    "q60_pack_bins" -> (q60PackBins _),
+    "q61_minhash64_pairs" -> (q61Minhash64Pairs _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

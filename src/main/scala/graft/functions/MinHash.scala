@@ -82,6 +82,84 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** 64-bit MinHash signature — the scale twin of [[MinHashSig]] (same
+  * relationship as `fingerprint64` to the md5 fingerprint). [[MinHashSig]]
+  * computes `numHashes` full md5 digests PER SHINGLE because that form is
+  * recomputable by an external SQL oracle; at cluster scale the oracle
+  * constraint doesn't apply and the standard one-hash-plus-K-permutations
+  * construction (Broder's original min-wise scheme) does the same job with
+  * ONE xxhash64 per shingle: element k = min over shingles of
+  * `A(k) * xxh64(shingle) + B(k)` (unsigned), with `A(k)` odd so each map
+  * is a bijection on Z/2^64. ~`numHashes`× less hashing per shingle and
+  * 8-byte signature elements instead of 32-char hex (4× lighter bands and
+  * shuffles). Not oracle-recomputable (DuckDB has no xxhash64) — covered by
+  * spec fixtures and the driver's rows-only check instead.
+  *
+  * Null shingles are skipped ([[MinHashSig]] semantics); an empty/all-null
+  * array yields all-ones (unsigned max, the "~" sentinel's ordering twin).
+  */
+case class MinHashSig64(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig64"
+
+  private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(k => MinHashSig64.mix(2L * k) | 1L)
+  private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(k => MinHashSig64.mix(2L * k + 1L))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(-1L) // unsigned max sentinel
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, MinHashSig64.Seed)
+        var k = 0
+        while (k < numHashes) {
+          val v = as(k) * h + bs(k)
+          if (java.lang.Long.compareUnsigned(v, mins(k)) < 0) mins(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig64", this, classOf[MinHashSig64].getName)
+    defineCodeGen(ctx, ev, c => s"(ArrayData) $ref.evalSig($c)")
+  }
+
+  /** Codegen entry point (nullSafeEval is protected in the Java view). */
+  def evalSig(arr: ArrayData): Any = nullSafeEval(arr)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig64 =
+    copy(child = newChild)
+}
+
+object MinHashSig64 {
+  /** xxhash64 seed — Spark's default (`xxhash64(...)` the SQL function). */
+  private[functions] val Seed = 42L
+
+  /** splitmix64 finalizer: derives the per-row affine constants from k. */
+  private[functions] def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
 object MinHashSig {
 
   def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {

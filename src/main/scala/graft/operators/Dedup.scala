@@ -85,6 +85,18 @@ object Dedup {
       graft.functions.MinHashSig(GraftColumnBridge.expression(shingles), numHashes))
   }
 
+  /** 64-bit MinHash signature — the scale twin of [[minHashSignature]]
+    * ([[graft.functions.MinHashSig64]]): one xxhash64 per shingle + K affine
+    * permutations instead of K md5s per shingle, long elements instead of
+    * hex strings. Use where no external SQL oracle must recompute the
+    * signature; md5 stays the oracle default.
+    */
+  def minHashSignature64(shingles: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.MinHashSig64(GraftColumnBridge.expression(shingles), numHashes))
+  }
+
   /** LSH band keys: hash `rowsPerBand`-sized slices of the signature. Two
     * documents sharing any band key are near-dup candidates.
     */
@@ -151,6 +163,41 @@ object Dedup {
       .select(col("doc"), xxhash64(col("__sig")).as("fp"),
         xxhash64(slice(col("__sig"), bands * rowsPerBand + 1, GuardSubRows)).as("sub"),
         posexplode(lshBands(col("__sig"), bands, rowsPerBand)))
+      .toDF("id", "fp", "sub", "band", "bucket")
+      .select("id", "fp", "band", "bucket", "sub")
+      .localCheckpoint(false)
+    guardedBandPairs(banded, maxBucketSize)
+      .distinct()
+  }
+
+  /** [[minHashLshPairs]] on the 64-bit signature twin — identical pipeline
+    * shape (shingle → signature → band explode → guarded band join →
+    * distinct), but every per-shingle hash is one xxhash64 instead of
+    * `bands*rowsPerBand+2` md5s, and the banded table shuffles 8-byte longs
+    * (fp/bucket/sub) instead of 32-char hex strings. The pair SET differs
+    * from the md5 pipeline's only via hash randomness — same expected
+    * collision probability at equal Jaccard — so it is the production
+    * default at scale; [[minHashLshPairs]] remains the oracle-checked form.
+    */
+  def minHashLshPairs64(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val withSig = docs.select(
+      col(idCol).as("doc"),
+      minHashSignature64(
+        wordShingles(col(textCol), shingleLen),
+        bands * rowsPerBand + GuardSubRows).as("__sig"))
+    val banded = withSig
+      .select(col("doc"), xxhash64(col("__sig")).as("fp"),
+        xxhash64(slice(col("__sig"), bands * rowsPerBand + 1, GuardSubRows)).as("sub"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))
+        }: _*)))
       .toDF("id", "fp", "sub", "band", "bucket")
       .select("id", "fp", "band", "bucket", "sub")
       .localCheckpoint(false)

@@ -153,6 +153,60 @@ class DedupSpec extends SparkSpecBase {
     assert(sigs(0).size === 8)
   }
 
+  test("minhash64 signature matches an independent reimplementation") {
+    // Re-derive the one-hash-plus-affine-permutations construction in plain
+    // Scala over the SAME shingle set, so the expression's wiring (seed,
+    // constant derivation, unsigned min, skip-null, sentinel) is pinned
+    // against something that shares none of its code paths.
+    val k = 6
+    // Explicit shingle arrays: shingling semantics are WordShinglesExpr's
+    // own contract, pinned elsewhere — here only the signature is on trial.
+    val rows = Seq(
+      (1L, Seq("the quick", "quick brown", "brown fox")),
+      (2L, Seq("the quick", "quick brown", "brown cat")),
+      (3L, Seq("unrelated content", "content entirely")),
+      (4L, Seq.empty[String]))
+    val got = rows.toDF("doc_id", "sh")
+      .select(col("doc_id"), Dedup.minHashSignature64(col("sh"), k).as("sig"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def expected(shingles: Seq[String]): Seq[Long] = {
+      val mins = Array.fill(k)(-1L)
+      shingles.foreach { s =>
+        val b = s.getBytes("UTF-8")
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            b.length, 42L)
+        (0 until k).foreach { i =>
+          val v = (mix(2L * i) | 1L) * h + mix(2L * i + 1L)
+          if (java.lang.Long.compareUnsigned(v, mins(i)) < 0) mins(i) = v
+        }
+      }
+      mins.toSeq
+    }
+    rows.foreach { case (id, sh) =>
+      assert(got(id.toInt - 1)._2 === expected(sh), s"doc $id")
+    }
+    assert(got(3)._2 === Seq.fill(k)(-1L)) // empty array → unsigned-max sentinel
+    // different shingle sets must not collapse to identical signatures
+    assert(got(0)._2 != got(1)._2)
+  }
+
+  test("minhash64-lsh: near-identical docs collide, unrelated docs do not") {
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs64(docs, "doc_id", "text",
+      shingleLen = 2, bands = 8, rowsPerBand = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
   test("simhash: near-dups differ in few bits, unrelated docs in many") {
     val df = Seq((docA, docB), (docA, docC)).toDF("a", "b")
       .select(Dedup.hammingBits(
