@@ -617,6 +617,15 @@ object Dedup {
     * the call site).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // the RDD a localCheckpoint persisted, so superseded rounds can free
+    // their blocks eagerly — at 100x each label snapshot is tens of
+    // millions of rows, and waiting for GC+ContextCleaner to reclaim 5-8
+    // generations of them is exactly the block-manager pressure that sent
+    // the spill path into missing-shuffle-file / sorter-crash territory
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct().localCheckpoint(true)
@@ -669,6 +678,11 @@ object Dedup {
               .filter(col("comp") =!= col("__prev"))
               .count()
         }
+        // `next` is materialized and `changed` resolved (the listener-miss
+        // fallback above was the last reader of the old labels): free the
+        // superseded snapshot now — only `edges` and the current labels
+        // stay resident, regardless of round count
+        if (labels ne next) ckptRdd(labels).foreach(_.unpersist(blocking = false))
         labels = next
         iter += 1
       }
@@ -678,7 +692,12 @@ object Dedup {
             s"($changed labels still changing) — labels would be wrong; raise maxIter")
       }
       labels
-    } finally mc.close()
+    } finally {
+      mc.close()
+      // the returned labels are lineage-truncated at their own checkpoint,
+      // so the edge blocks are dead weight once the loop ends
+      ckptRdd(edges).foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Banded hyperplane LSH near-duplicate pairs — the recall-controlled
