@@ -19,11 +19,30 @@ object Bench {
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", (cpus.toInt * 8).toString))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // At big scale factors coalescing back to core count re-creates the
+      // oversized tasks initialPartitionNum exists to avoid — a 100x run
+      // sets this to false so AQE targets advisoryPartitionSizeInBytes
+      // (the multi-executor-cluster behavior) instead of local core count.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Big-SF drives need partial runs: SPARK_GRAFT_ONLY=q45,q17 restricts
+    // to a subset (so one multi-hour rung can't zero a whole suite run and
+    // a crashing query can be rerun in isolation); SPARK_GRAFT_WARMUP=0
+    // skips the untimed pass (at 100x a third full pass costs an hour —
+    // the "cold" rep absorbs JIT and the table reads "warm");
+    // SPARK_GRAFT_BENCH_OUT redirects the JSON so chunked runs don't
+    // clobber each other. All default to the driver-contract behavior.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
+    val doWarmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json")
 
     // Runs one query and returns (seconds, error). Failures are NEVER
     // silent: they go to stderr here and into the JSON's "failed" list —
@@ -46,6 +65,9 @@ object Bench {
             Some(t.toString)
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      // progress to stderr so a multi-hour big-SF run is observable (and a
+      // crashed run shows exactly how far it got) — stdout stays JSON-only
+      System.err.println(f"[bench] done $tag $name $elapsed%.2f s")
       // cache teardown happens OUTSIDE the timed window — it protects the
       // NEXT query from inherited session state, it is not this query's cost
       spark.catalog.clearCache()
@@ -55,21 +77,22 @@ object Bench {
     // untimed warmup pass: absorbs one-time JVM/JIT/whole-stage-codegen
     // compilation so the timed pass reflects steady-state throughput (the
     // long-running-cluster number; first-query cost was ~5 s of Janino/JIT)
-    SparkEntry.queries.foreach { case (name, fn) => run(name, fn, "warmup") }
+    if (doWarmup) queries.foreach { case (name, fn) => run(name, fn, "warmup") }
     // two timed reps per query: "queries" (the headline) and a second warm
     // rep so ordering/session effects can't masquerade as plan regressions
-    val cold = SparkEntry.queries.toSeq.map { case (name, fn) => name -> run(name, fn, "cold") }
-    val warm = SparkEntry.queries.toSeq.map { case (name, fn) => name -> run(name, fn, "warm") }
+    val cold = queries.toSeq.map { case (name, fn) => name -> run(name, fn, "cold") }
+    val warm = queries.toSeq.map { case (name, fn) => name -> run(name, fn, "warm") }
 
     // q31/q54 memoize their footer-stats rows per (session, dir), so both
     // timed reps above measure a map hit. Clear the memo and time one more
     // run each: the honest first-computation cost of the pushdown footer
     // scan (the number to read as scan cost; the cached entries show the
     // steady-state serving cost).
-    val firstComputation = Seq("q31_table_counts", "q54_minmax_stats").map { name =>
-      SparkEntry.resetStatsCaches()
-      name -> run(name, SparkEntry.queries(name), "first")
-    }
+    val firstComputation = Seq("q31_table_counts", "q54_minmax_stats")
+      .filter(queries.contains).map { name =>
+        SparkEntry.resetStatsCaches()
+        name -> run(name, queries(name), "first")
+      }
     // EVERY rep counts toward the failure contract — a first-computation
     // throw (e.g. the pushdown require tripping only on the uncached path)
     // must not read as a fast bench with a clean exit
@@ -89,7 +112,7 @@ object Bench {
     // bare JSON as the FINAL stdout line (after spark.stop(), so no late
     // executor log lines can interleave; build.sbt passes forked stdout
     // through unprefixed and suppresses the [success] trailer).
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out.json"), json + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     spark.stop()
     println(json)
     if (failed.nonEmpty) sys.exit(1)

@@ -53,6 +53,11 @@ object DevScaleLadder {
       .queryExecution.toRdd.count())
     drive("q17_minhash_lsh_pairs")(SparkEntry.queries("q17_minhash_lsh_pairs")(spark, sfDir)
       .queryExecution.toRdd.count())
+    // md5-vs-xxhash64 LSH A/B: q61 is q17's scale twin (one xxhash64 per
+    // shingle, long band keys) — same corpus, same band geometry as its
+    // SparkEntry entry, so the delta is the hashing + shuffle-width win.
+    drive("q61_minhash64_pairs")(SparkEntry.queries("q61_minhash64_pairs")(spark, sfDir)
+      .queryExecution.toRdd.count())
     drive("q25_embedding_neardup")(SparkEntry.queries("q25_embedding_neardup")(spark, sfDir)
       .queryExecution.toRdd.count())
     drive("q38_embedding_band_lsh")(SparkEntry.queries("q38_embedding_band_lsh")(spark, sfDir)
