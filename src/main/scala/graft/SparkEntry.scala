@@ -27,13 +27,23 @@ object SparkEntry {
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as a long (with
-    // spark.sql.legacy.parquet.nanosAsLong=true — set by Verify/Bench/Engine
-    // sessions). Integer-divide to micros (double division would lose
-    // precision above 2^53) and restore a proper UTC timestamp.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    // events.ts has shipped as two physical parquet types across testdata
+    // generations, and every downstream query expects a session-UTC
+    // TIMESTAMP — normalize here so the 60-query surface never branches:
+    //  - TIMESTAMP(NANOS): Spark reads it as a long (with
+    //    spark.sql.legacy.parquet.nanosAsLong=true — set by Verify/Bench/
+    //    Engine sessions). Integer-divide to micros (double division would
+    //    lose precision above 2^53) and restore a proper UTC timestamp.
+    //  - TIMESTAMP(MICROS) without tz: Spark reads TIMESTAMP_NTZ, which
+    //    unix_micros/window() reject; a cast under the UTC session zone is
+    //    a pure reinterpretation (no wall-clock shift).
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    } else df
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
