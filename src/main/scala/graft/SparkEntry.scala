@@ -41,6 +41,13 @@ object SparkEntry {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // The cast is only a pure reinterpretation under a UTC session zone;
+        // any other zone would silently shift every derived epoch value
+        // (unix_micros, window buckets, sessionize), so fail loudly instead.
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          s"events.ts is TIMESTAMP_NTZ: reading it requires " +
+            s"spark.sql.session.timeZone=UTC, got " +
+            s"'${s.conf.get("spark.sql.session.timeZone")}'")
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     } else df
