@@ -71,6 +71,16 @@ object Bench {
       // cache teardown happens OUTSIDE the timed window — it protects the
       // NEXT query from inherited session state, it is not this query's cost
       spark.catalog.clearCache()
+      // ContextCleaner frees shuffle files / broadcast blocks only when the
+      // driver GC collects their references; a 61-query x3-pass suite on a
+      // big heap GCs so rarely that debris accumulates and later passes ran
+      // 1.3-2x slower than earlier ones (r7 bench's warm-slower-than-cold
+      // was THIS, not box load: measured 62.1s warm/50.1s cold at 8g and
+      // 88.1s/71.4s at 16g — bigger heap = fewer GCs = worse). Forcing GC
+      // here keeps each query's measurement free of the previous queries'
+      // cleanup backlog, like a steady-state cluster where jobs don't share
+      // one never-collected driver heap.
+      System.gc()
       (elapsed, err)
     }
 
