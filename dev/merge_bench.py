@@ -1,0 +1,36 @@
+#!/usr/bin/env python3
+"""Merge chunked Bench JSONs (SPARK_GRAFT_ONLY runs) into one suite JSON.
+
+A 100x full-suite pass is driven as several SPARK_GRAFT_ONLY chunks so one
+multi-hour rung can't zero the whole run; each chunk writes its own
+SPARK_GRAFT_BENCH_OUT file. This merges them back into the single-JSON shape
+dev/scale_table.py consumes (queries/warm/first_computation/failed unioned,
+"value" = summed cold).
+
+Usage: python3 dev/merge_bench.py out.json chunk1.json chunk2.json ...
+"""
+import json
+import sys
+
+
+def main(out, chunks):
+    merged = {"metric": "total", "value": 0.0, "unit": "sec", "queries": {},
+              "warm": {}, "first_computation": {}, "failed": [], "sf": None}
+    for p in chunks:
+        j = json.load(open(p))
+        for k in ("queries", "warm", "first_computation"):
+            dup = set(merged[k]) & set(j.get(k, {}))
+            if dup:
+                sys.exit(f"duplicate {k} entries across chunks: {sorted(dup)}")
+            merged[k].update(j.get(k, {}))
+        merged["failed"].extend(j.get("failed", []))
+        merged["sf"] = merged["sf"] or j.get("sf")
+    merged["value"] = sum(merged["queries"].values())
+    merged["failed"] = sorted(set(merged["failed"]))
+    json.dump(merged, open(out, "w"))
+    print(f"{out}: {len(merged['queries'])} queries, cold {merged['value']:.1f}s, "
+          f"warm {sum(merged['warm'].values()):.1f}s, failed {merged['failed']}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2:])
