@@ -4,7 +4,7 @@ recursive-CTE closure is infeasible (the closure materializes O(component^2)
 rows; a 10x corpus produced a 2010-doc LSH bucket and the CTE ran >30 min).
 
 Recomputes the SAME edge set linearly (band-bucket equi-join, exactly the
-q45 LSH parameters: 2-word shingles, 8 md5 minhashes, 4 bands x 2 rows),
+q45 LSH parameters: 2-word shingles, 16 md5 minhashes, 4 bands x 4 rows),
 then runs union-find (path compression + union by size — a different
 algorithm from the engine's pointer-jumped min-label propagation, so this is
 an independent check), derives min-id labels, and compares against the Spark
@@ -21,10 +21,10 @@ WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
            FROM '{sf}/documents.parquet'),
 sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(ws)-1, 1)),
   i -> array_to_string(ws[i:i+1], ' '))) AS s FROM w),
-sig AS (SELECT doc_id, list_transform(generate_series(0, 7),
+sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
   k -> list_aggregate(list_transform(s, x -> md5(concat(k, ':', x))), 'min')) AS g FROM sh),
 bands AS (SELECT doc_id, list_transform(generate_series(0, 3),
-  b -> md5(array_to_string(g[b*2+1:b*2+2], '|'))) AS bl FROM sig),
+  b -> md5(array_to_string(g[b*4+1:b*4+4], '|'))) AS bl FROM sig),
 bexp AS (SELECT doc_id, t.b AS band, bl[t.b] AS bucket
   FROM bands, generate_series(1, 4) t(b))
 SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2

