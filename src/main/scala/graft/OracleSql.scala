@@ -380,8 +380,8 @@ object OracleSql {
     "q38_embedding_band_lsh" ->
       s"""WITH b AS (
          |  SELECT vec_id, band,
-         |    array_to_string(list_transform(generate_series(1, 8),
-         |      i -> CASE WHEN embedding[band*8 + i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |    array_to_string(list_transform(generate_series(1, 12),
+         |      i -> CASE WHEN embedding[band*12 + i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
          |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bands),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id1, bb.vec_id AS id2

@@ -472,9 +472,17 @@ object SparkEntry {
   }
 
   // ---- dedup: banded hyperplane LSH over embeddings (multi-band recall) --
+  // 12 sign bits per band (was 8): with b-bit bands a RANDOM vector pair
+  // co-buckets with prob ~(1/2)^b per band, so expected bucket size is
+  // n/2^b and the in-bucket self-join costs n²/2^b — at 100× (200k vecs)
+  // 8-bit buckets held ~780 members (~3·10⁸ candidate pairs); 12 bits
+  // bounds buckets near the duplicate-cluster size. Exact-copy recall is
+  // unaffected (identical vectors agree on every bit); like all hyperplane
+  // LSH the mid-similarity recall drops with b — the cosine gate below, not
+  // the bands, defines the output contract.
   private def q38EmbeddingBandLsh(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingLshBandPairs(T(s, d, "embeddings"), "vec_id", "embedding",
-        bands = 4, rowsPerBand = 8, threshold = 0.2)
+        bands = 4, rowsPerBand = 12, threshold = 0.2)
       .orderBy("id1", "id2")
 
   // ---- sampling: deterministic stratified training-mix weighting ---------
