@@ -343,10 +343,10 @@ object OracleSql {
         |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM gated),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(ws)-1, 1)),
         |  i -> array_to_string(ws[i:i+1], ' '))) AS s FROM w),
-        |sig AS (SELECT doc_id, list_transform(generate_series(0, 11),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
         |  k -> list_aggregate(list_transform(s, x -> md5(concat(k, ':', x))), 'min')) AS g FROM sh),
         |bandsq AS (SELECT doc_id, list_transform(generate_series(0, 3),
-        |  b -> md5(array_to_string(g[b*3+1:b*3+3], '|'))) AS bl FROM sig),
+        |  b -> md5(array_to_string(g[b*4+1:b*4+4], '|'))) AS bl FROM sig),
         |bexp AS (SELECT doc_id, t.b AS band, bl[t.b] AS bucket
         |  FROM bandsq, generate_series(1, 4) t(b)),
         |cand AS (

@@ -26,7 +26,15 @@ object Curation {
       languages: Seq[String] = Seq("en", "es", "fr", "de", "zh"),
       shingleLen: Int = 2,
       bands: Int = 4,
-      rowsPerBand: Int = 3, // s-curve threshold (1/b)^(1/r) ≈ 0.63 ≈ the verify bar
+      // r=4 (s-curve threshold (1/b)^(1/r) ≈ 0.71, slightly above the 0.6
+      // verify bar): r=3 matched the bar more closely but let the corpus'
+      // Jaccard≈0.1 similarity floor band-collide at ~4j³ ≈ 0.4% of ALL
+      // pairs — at 100× that was ~5·10⁸ candidates each paying the
+      // shingle-array verification join (679 s; the verify join, not LSH,
+      // is the explosion). r=4 cuts the floor to ~4·10⁻⁵ while j ≥ 0.71
+      // near-dups keep ≥ 97% recall; candidates stay proportional to honest
+      // duplicate content, which is what a 100 TB corpus requires.
+      rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.6): DataFrame = {
     val id = col(idCol)
     val text = col(textCol)
