@@ -425,6 +425,16 @@ object OracleSql {
         |FROM b e JOIN w ON e.tus >= w.w_start AND e.tus < w.w_end
         |GROUP BY w.err_id ORDER BY w.err_id""".stripMargin,
 
+    // the sweep-form interval count must hash-match the SAME pair-join SQL
+    // q42 is checked against — one aggregate, two engine algorithms
+    "q62_interval_count" ->
+      """WITH b AS (SELECT event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |w AS (SELECT event_id AS err_id, tus AS w_start, tus + 600000000 AS w_end
+        |      FROM b WHERE event_type = 'error')
+        |SELECT w.err_id, count(*) AS n_events_in_window
+        |FROM b e JOIN w ON e.tus >= w.w_start AND e.tus < w.w_end
+        |GROUP BY w.err_id ORDER BY w.err_id""".stripMargin,
+
     // single-phase reference for the engine's salted two-phase aggregation
     "q43_salted_agg" ->
       """SELECT event_type, count(*) AS n_events,

@@ -840,6 +840,24 @@ object SparkEntry {
         shingleLen = 2, bands = 4, rowsPerBand = 4) // r=4: see q17's S-curve note
       .orderBy("id1", "id2")
 
+  // ---- interval count, sweep form (q42's aggregate without the pair
+  // expansion — O((points+intervals)·log bucket) at any interval density;
+  // see Relational.intervalCount's scaladoc for the 100× measurement that
+  // motivated it). Same output contract as q42, same DuckDB oracle shape. --
+  private def q62IntervalCount(s: SparkSession, d: String): DataFrame = {
+    val base = T(s, d, "events").select(
+      col("event_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val windows = base.filter(col("event_type") === "error").select(
+      col("event_id").as("err_id"),
+      col("tus").as("w_start"),
+      (col("tus") + lit(600000000L)).as("w_end"))
+    Relational.intervalCount(
+        base.select("tus"), "tus", windows, "err_id", "w_start", "w_end",
+        bucketWidth = 600000000L)
+      .withColumnRenamed("n_points", "n_events_in_window")
+      .orderBy("err_id")
+  }
+
   private def q60PackBins(s: SparkSession, d: String): DataFrame =
     graft.operators.Sampling.packBins(
       T(s, d, "documents").select("doc_id", "source", "n_chars"),
@@ -908,7 +926,8 @@ object SparkEntry {
     "q58_tfidf_terms" -> (q58TfidfTerms _),
     "q59_pgm_decode" -> (q59PgmDecode _),
     "q60_pack_bins" -> (q60PackBins _),
-    "q61_minhash64_pairs" -> (q61Minhash64Pairs _)
+    "q61_minhash64_pairs" -> (q61Minhash64Pairs _),
+    "q62_interval_count" -> (q62IntervalCount _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

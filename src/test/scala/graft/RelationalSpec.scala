@@ -81,6 +81,37 @@ class RelationalSpec extends SparkSpecBase {
     }
   }
 
+  test("intervalCount: boundary semantics, zero-count omission, width independence") {
+    // points AT an interval start are in; AT the end are out; "B" is empty
+    // and must be absent (inner-join parity with rangeJoin + count)
+    val points = Seq(1L, 10L, 15L, 19L, 20L, 20L, 35L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val ivs = Seq(("A", 10L, 20L), ("B", 21L, 30L), ("C", 30L, 40L)).toDF("iv", "s", "e")
+    for (width <- Seq(3L, 7L, 10L, 100L)) {
+      val out = Relational.intervalCount(points, "t", ivs, "iv", "s", "e", width)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(out === Set(("A", 3L), ("C", 1L)), s"width=$width")
+    }
+  }
+
+  test("intervalCount matches rangeJoin + count on randomized dense input") {
+    // dense ties (t drawn from a small range) exercise the boundary-first
+    // ordering inside buckets; parity with the pair-expansion form is the
+    // operator's contract
+    val rnd = new scala.util.Random(42)
+    val points = (1 to 500).map(i => (i.toLong, rnd.nextInt(100).toLong)).toDF("id", "t")
+    val ivs = (1 to 60).map { i =>
+      val s = rnd.nextInt(100).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(20))
+    }.toDF("iv", "s", "e")
+    val expected = Relational.rangeJoin(points, "t", ivs, "s", "e", 8L)
+      .groupBy("iv").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Relational.intervalCount(points, "t", ivs, "iv", "s", "e", 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
   test("rangeJoin plans an equi-join, never a nested-loop scan") {
     val points = Seq((1L, 5L)).toDF("id", "t")
     val ivs = Seq(("A", 0L, 10L)).toDF("iv", "s", "e")
