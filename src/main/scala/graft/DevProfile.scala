@@ -285,7 +285,7 @@ object DevProfileCuration {
       t("gated")(gated.count())
       val shingled = gated.select(col("doc_id").as("__sid"),
         Dedup.wordShingles(col("text"), 2).as("__sh")).localCheckpoint(false)
-      val candidates = Dedup.minHashLshPairsFromShingles(shingled, "__sid", "__sh", 4, 3)
+      val candidates = Dedup.minHashLshPairsFromShingles(shingled, "__sid", "__sh", 4, 4)
       t("candidates")(candidates.count())
       val confirmed = candidates
         .join(shingled.withColumnRenamed("__sid", "id1").withColumnRenamed("__sh", "__sh1"), "id1")

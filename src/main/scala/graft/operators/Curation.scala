@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import Ckpt._
 
 /** The composed training-data curation pipeline — the end-to-end shape the
   * individual operators exist for:
@@ -59,7 +60,7 @@ object Curation {
     // later consumer reads the blocks, but unlike a session cache entry it
     // is reclaimed with the plan (repeated pipeline runs cannot accumulate
     // corpus-sized cached tables that bill unrelated queries for the memory).
-    val gated = gatedPlan.localCheckpoint(false)
+    val gated = gatedPlan.lazySerCkpt
 
     // 3. LSH candidates -> Jaccard-verified near-dups -> drop higher ids.
     // The corpus is shingled ONCE (lazy checkpoint): the same shingle arrays
@@ -67,7 +68,7 @@ object Curation {
     // verification join, so the whole pipeline is a single action with every
     // intermediate materialized exactly once.
     val shingled = gated.select(id.as("__sid"),
-      Dedup.wordShingles(text, shingleLen).as("__sh")).localCheckpoint(false)
+      Dedup.wordShingles(text, shingleLen).as("__sh")).lazySerCkpt
     val candidates = Dedup.minHashLshPairsFromShingles(shingled, "__sid", "__sh",
       bands, rowsPerBand)
     val confirmed = candidates

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import Ckpt._
 
 /** Document deduplication for training-data pipelines: exact, MinHash-LSH,
   * SimHash, and n-gram Jaccard.
@@ -423,7 +424,7 @@ object Dedup {
     val chunkRows = withWords
       .select(col("__cd_id"), posexplode(col("__chunks")).as(Seq("__idx", "__chunk")))
       .withColumn("__rank", packedRank)
-      .localCheckpoint(false)
+      .lazySerCkpt
     val winnerRanks = chunkRows
       .groupBy(md5(col("__chunk")).as("__h"))
       .agg(min(col("__rank")).as("__rank"))
@@ -628,7 +629,7 @@ object Dedup {
       }
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .distinct().localCheckpoint(true)
+      .distinct().eagerSerCkpt
     // seed labels with min(id, min(neighbor)) — the exact output of the
     // first propagation round against identity labels, for one groupBy
     // instead of a join+groupBy round (edges are symmetrized, so every
@@ -636,7 +637,7 @@ object Dedup {
     var labels = edges.groupBy(col("a").as("id"))
       .agg(min(col("b")).as("__nbr0"))
       .select(col("id"), least(col("id"), col("__nbr0")).as("comp"))
-      .localCheckpoint(true)
+      .eagerSerCkpt
     // convergence detection rides the checkpoint action as an observed
     // metric — a separate changed-count join would double the actions per
     // round (an iterative operator's cost is dominated by per-round jobs)
@@ -663,7 +664,7 @@ object Dedup {
           .observe(name, sum(when(col("__next") =!= col("comp"), 1L).otherwise(0L))
             .as("changed"))
           .select(col("id"), col("__next").as("comp"))
-          .localCheckpoint(true)
+          .eagerSerCkpt
         changed = mc.await(name) match {
           case Some(m) =>
             m("changed") match {

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import Ckpt._
 
 /** Text statistics for training-data curation: token counting, quality
   * scoring, language identification, and document fingerprinting.
@@ -271,7 +272,7 @@ object TextAnalysis {
     val tf = docs
       .select(id.as("__tid"), explode(countsCol).as(Seq("__w", "__tf")))
       .select(col("__tid"), col("__w"), col("__tf").cast("long").as("tf"))
-      .localCheckpoint(false)
+      .lazySerCkpt
     val dfreq = tf.groupBy(col("__w")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("__n"))
     val scored = tf.join(dfreq, Seq("__w"))
