@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dev harness: the dedup ladder (q16/q17/q25/q38/q45) at large scale
@@ -32,12 +33,22 @@ object DevScaleLadder {
     new java.io.File(outDir).mkdirs()
     val mc = new graft.run.MetricsCollector(spark)
 
-    def drive(name: String)(action: => Long): Unit = {
+    // CONSUME VIA A DATASET ACTION, never `queryExecution.toRdd.count()`:
+    // observed metrics (the guard counters this runner exists to surface)
+    // are computed by the plan's CollectMetrics accumulators but DELIVERED
+    // only through QueryExecutionListener.onSuccess, which fires for
+    // Dataset-API actions — an RDD-level consume runs the plan and then
+    // silently reports guard=[] even when every bucket was guarded (caught
+    // at 100×: q25's 16 fixed sign buckets of ~31k rows each showed empty).
+    // The noop sink executes the full physical plan; the row count rides an
+    // extra observe instead of a second action.
+    def drive(name: String)(df: => DataFrame): Unit = {
       val before = mc.snapshot.keySet
+      val rowsObs = s"ladder_rows_$name"
       val t0 = System.nanoTime()
-      val rows = action
+      mc.observeRows(df, rowsObs).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // listener delivery is async
+      val rows = mc.await(rowsObs).map(_("rows")).getOrElse(-1L)
       val guards = mc.snapshot.toSeq
         .filter { case (k, _) => k.startsWith("lsh_bucket_guard_") && !before(k) }
         .flatMap { case (k, fields) =>
@@ -49,23 +60,34 @@ object DevScaleLadder {
       println(f"LADDER $name rows=$rows sec=$sec%.1f guard=[${guards.sorted.mkString(", ")}]")
     }
 
-    drive("q16_dedup_exact")(SparkEntry.queries("q16_dedup_exact")(spark, sfDir)
-      .queryExecution.toRdd.count())
-    drive("q17_minhash_lsh_pairs")(SparkEntry.queries("q17_minhash_lsh_pairs")(spark, sfDir)
-      .queryExecution.toRdd.count())
+    drive("q16_dedup_exact")(SparkEntry.queries("q16_dedup_exact")(spark, sfDir))
+    drive("q17_minhash_lsh_pairs")(SparkEntry.queries("q17_minhash_lsh_pairs")(spark, sfDir))
     // md5-vs-xxhash64 LSH A/B: q61 is q17's scale twin (one xxhash64 per
     // shingle, long band keys) — same corpus, same band geometry as its
     // SparkEntry entry, so the delta is the hashing + shuffle-width win.
-    drive("q61_minhash64_pairs")(SparkEntry.queries("q61_minhash64_pairs")(spark, sfDir)
-      .queryExecution.toRdd.count())
-    drive("q25_embedding_neardup")(SparkEntry.queries("q25_embedding_neardup")(spark, sfDir)
-      .queryExecution.toRdd.count())
-    drive("q38_embedding_band_lsh")(SparkEntry.queries("q38_embedding_band_lsh")(spark, sfDir)
-      .queryExecution.toRdd.count())
-    drive("q45_dedup_components") {
+    drive("q61_minhash64_pairs")(SparkEntry.queries("q61_minhash64_pairs")(spark, sfDir))
+    drive("q25_embedding_neardup")(SparkEntry.queries("q25_embedding_neardup")(spark, sfDir))
+    drive("q38_embedding_band_lsh")(SparkEntry.queries("q38_embedding_band_lsh")(spark, sfDir))
+    locally {
+      // q45 keeps a real parquet write (its own Dataset action — metrics
+      // deliver the same way): dev/cc_check.py reads the labels from disk.
+      val before = mc.snapshot.keySet
+      val t0 = System.nanoTime()
       val labels = SparkEntry.queries("q45_dedup_components")(spark, sfDir)
       labels.coalesce(1).write.mode("overwrite").parquet(s"$outDir/q45_dedup_components")
-      spark.read.parquet(s"$outDir/q45_dedup_components").count()
+      val rows = spark.read.parquet(s"$outDir/q45_dedup_components").count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // listener delivery is async
+      val guards = mc.snapshot.toSeq
+        .filter { case (k, _) => k.startsWith("lsh_bucket_guard_") && !before(k) }
+        .flatMap { case (k, fields) =>
+          fields.toSeq.collect {
+            case (f, v: Long) if v != 0L => s"${k.split("_").last}.$f=$v"
+            case (f, v: Double) if v != 0.0 => f"${k.split("_").last}.$f=$v%.2f"
+          }
+        }
+      println(f"LADDER q45_dedup_components rows=$rows sec=$sec%.1f " +
+        f"guard=[${guards.sorted.mkString(", ")}]")
     }
     mc.close()
     spark.stop()
