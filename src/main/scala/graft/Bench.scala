@@ -71,6 +71,15 @@ object Bench {
       // cache teardown happens OUTSIDE the timed window — it protects the
       // NEXT query from inherited session state, it is not this query's cost
       spark.catalog.clearCache()
+      // clearCache only drops catalog-cached TABLES; a finished query's
+      // localCheckpoint blocks (operator-pinned corpora: pair-graph edges,
+      // shingle arrays) stay registered until the async ContextCleaner gets
+      // to them, and unified memory protects up to storageFraction of those
+      // dead blocks from execution-side eviction — at 100x, q33's lingering
+      // checkpoints left q45 short of heap and OOM'd a query that passes in
+      // isolation. Unpersist them explicitly (blocking, so the headroom is
+      // real before the next timer starts).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       // ContextCleaner frees shuffle files / broadcast blocks only when the
       // driver GC collects their references; a 61-query x3-pass suite on a
       // big heap GCs so rarely that debris accumulates and later passes ran

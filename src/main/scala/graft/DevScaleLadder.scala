@@ -58,6 +58,10 @@ object DevScaleLadder {
           }
         }
       println(f"LADDER $name rows=$rows sec=$sec%.1f guard=[${guards.sorted.mkString(", ")}]")
+      // free the finished rung's checkpoint blocks before the next timer
+      // starts (same debris-isolation teardown as Bench — see its comment)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
     }
 
     drive("q16_dedup_exact")(SparkEntry.queries("q16_dedup_exact")(spark, sfDir))
