@@ -122,11 +122,22 @@ object Bench {
       xs.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = cold.map(_._2._1).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Error strings belong IN the JSON, not only on stderr: a crashed run's
+    // final stderr lines can be lost when the forked JVM exits before sbt's
+    // output pump drains (observed: a warm-pass failure whose FAILED line
+    // never reached the log, leaving an unexplained "failed" entry).
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                  case '\r' => ""; case '\t' => "\\t"; case c => c.toString }
+    val errorsJson = (cold.map(n => n -> "cold") ++ warm.map(n => n -> "warm") ++
+        firstComputation.map(n => n -> "first"))
+      .collect { case ((n, (_, Some(e))), tag) => "\"" + n + ":" + tag + "\":\"" + esc(e.take(400)) + "\"" }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(cold)},""" +
         s""""warm":${timesJson(warm)},""" +
         s""""first_computation":${timesJson(firstComputation)},""" +
-        s""""failed":$failedJson,"sf":"$sfDir"}"""
+        s""""failed":$failedJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     // Machine-readable copies: a file the harness can always read, plus the
     // bare JSON as the FINAL stdout line (after spark.stop(), so no late
     // executor log lines can interleave; build.sbt passes forked stdout
