@@ -33,4 +33,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 task threads decompressing parquet through JNI critical sections
+  // (zstd/snappy GetPrimitiveArrayCritical) can block GC long enough that
+  // an allocation exhausts JDK 17's default 2 GCLocker retries and throws
+  // a SPURIOUS "Java heap space" with free heap — observed as warm-pass
+  // q45 at 100x dying on "Retried waiting for GCLocker too often
+  // allocating 3 words" (a 24-byte allocation cannot fail on a non-full
+  // heap unless GC is locked out). JDK-8192647; fixed-by-design in
+  // JDK 22+ region pinning. Until then, retry harder.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )

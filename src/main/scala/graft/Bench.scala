@@ -28,6 +28,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Same long-lived-driver status-store bounds as Engine.session: a
+      // 62-query x 3-pass suite otherwise retains every execution's plan
+      // graph and up to 100k task wrappers in driver heap for the whole run.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -40,6 +40,17 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Long-lived-driver hygiene: even with the UI off, AppStatusListener
+      // retains up to 100k task wrappers / 1000 jobs / 1000 SQL executions
+      // (per-execution plan graphs — an iterative operator's round plans
+      // add up) in driver heap. A driver that runs many heavy queries
+      // back-to-back accumulates tens-of-MB-to-GB of dead bookkeeping; on
+      // a real cluster these are exactly the confs ops teams bound on
+      // shared drivers. Results are unaffected.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "10")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
