@@ -455,6 +455,18 @@ object SparkEntry {
       .select("doc_id")
       .orderBy("doc_id")
 
+  // ---- curation pipeline: 64-bit scale twin (same twin structure as
+  // q17→q61). Identical gates and pipeline shape to q33; the LSH stage is
+  // one xxhash64/shingle + affine permutations and the Jaccard-verify join
+  // carries hashed long arrays instead of shingle strings. No SQL oracle
+  // (DuckDB lacks xxhash64) — rows-only here; CurationSpec pins output
+  // equality with the md5 pipeline on fixture corpora.
+  private def q63Curation64(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.pipeline(T(s, d, "documents"), "doc_id", "text",
+        hash64 = true)
+      .select("doc_id")
+      .orderBy("doc_id")
+
   // ---- §2.9 X12 JSON serialization of list/struct fields -----------------
   // The reference stores reaction lists as JSON text in the target table
   // (`field_mapper.py:449-459`); the simulated reactions here exercise the
@@ -927,7 +939,8 @@ object SparkEntry {
     "q59_pgm_decode" -> (q59PgmDecode _),
     "q60_pack_bins" -> (q60PackBins _),
     "q61_minhash64_pairs" -> (q61Minhash64Pairs _),
-    "q62_interval_count" -> (q62IntervalCount _)
+    "q62_interval_count" -> (q62IntervalCount _),
+    "q63_curation64" -> (q63Curation64 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -36,7 +36,15 @@ object Curation {
       // near-dups keep ≥ 97% recall; candidates stay proportional to honest
       // duplicate content, which is what a 100 TB corpus requires.
       rowsPerBand: Int = 4,
-      jaccardThreshold: Double = 0.6): DataFrame = {
+      jaccardThreshold: Double = 0.6,
+      // hash64 = the 100 TB path (same twin structure as q17→q61): one
+      // xxhash64 per shingle + affine permutations replaces bands*rows+2
+      // md5s per shingle, the banded table shuffles 8-byte longs instead of
+      // 32-char hex, and the Jaccard verification join carries hashed
+      // long arrays instead of shingle strings (equal Jaccard up to 64-bit
+      // collisions). The md5 form stays the default because the DuckDB
+      // oracle can recompute it; pair sets differ only via hash randomness.
+      hash64: Boolean = false): DataFrame = {
     val id = col(idCol)
     val text = col(textCol)
 
@@ -63,20 +71,42 @@ object Curation {
     val gated = gatedPlan.lazySerCkpt
 
     // 3. LSH candidates -> Jaccard-verified near-dups -> drop higher ids.
-    // The corpus is shingled ONCE (lazy checkpoint): the same shingle arrays
-    // feed MinHash candidate generation and both sides of the Jaccard
-    // verification join, so the whole pipeline is a single action with every
-    // intermediate materialized exactly once.
-    val shingled = gated.select(id.as("__sid"),
-      Dedup.wordShingles(text, shingleLen).as("__sh")).lazySerCkpt
-    val candidates = Dedup.minHashLshPairsFromShingles(shingled, "__sid", "__sh",
-      bands, rowsPerBand)
-    val confirmed = candidates
-      .join(shingled.withColumnRenamed("__sid", "id1").withColumnRenamed("__sh", "__sh1"), "id1")
-      .join(shingled.withColumnRenamed("__sid", "id2").withColumnRenamed("__sh", "__sh2"), "id2")
-      .filter(Dedup.jaccard(col("__sh1"), col("__sh2")) >= jaccardThreshold)
-      .select(col("id2").as(idCol))
-      .distinct()
+    // The corpus is shingled ONCE: the same shingle arrays feed MinHash
+    // candidate generation and both sides of the Jaccard verification join,
+    // so the whole pipeline is a single action with every intermediate
+    // materialized exactly once (lazy checkpoint).
+    val confirmed =
+      if (hash64) {
+        // One projection computes signature + hashed verify arrays from one
+        // shingling pass; only (id, sig: (b*r+2) longs, hsh: longs) is
+        // checkpointed — the shingle strings never leave the projection.
+        val prepped = gated
+          .select(id.as("__sid"), Dedup.wordShingles(text, shingleLen).as("__sh"))
+          .select(col("__sid"),
+            Dedup.minHashSignature64(col("__sh"),
+              bands * rowsPerBand + Dedup.GuardSubRows).as("__sig"),
+            Dedup.xxhash64Array(col("__sh")).as("__hsh"))
+          .lazySerCkpt
+        val candidates = Dedup.minHashLshPairs64FromSig(
+          prepped.select("__sid", "__sig"), "__sid", "__sig", bands, rowsPerBand)
+        candidates
+          .join(prepped.select(col("__sid").as("id1"), col("__hsh").as("__sh1")), "id1")
+          .join(prepped.select(col("__sid").as("id2"), col("__hsh").as("__sh2")), "id2")
+          .filter(Dedup.jaccard(col("__sh1"), col("__sh2")) >= jaccardThreshold)
+          .select(col("id2").as(idCol))
+          .distinct()
+      } else {
+        val shingled = gated.select(id.as("__sid"),
+          Dedup.wordShingles(text, shingleLen).as("__sh")).lazySerCkpt
+        val candidates = Dedup.minHashLshPairsFromShingles(shingled, "__sid", "__sh",
+          bands, rowsPerBand)
+        candidates
+          .join(shingled.withColumnRenamed("__sid", "id1").withColumnRenamed("__sh", "__sh1"), "id1")
+          .join(shingled.withColumnRenamed("__sid", "id2").withColumnRenamed("__sh", "__sh2"), "id2")
+          .filter(Dedup.jaccard(col("__sh1"), col("__sh2")) >= jaccardThreshold)
+          .select(col("id2").as(idCol))
+          .distinct()
+      }
 
     gated.join(confirmed, Seq(idCol), "left_anti")
   }

@@ -65,6 +65,19 @@ object Dedup {
       graft.functions.WordShinglesExpr(GraftColumnBridge.expression(text.cast("string")), n))
   }
 
+  /** Per-element xxhash64 of a shingle array (seed 42 = Spark's `xxhash64`
+    * SQL default) — backed by the native
+    * [[graft.functions.XxHash64Array]]; bit-identical to
+    * `transform(sh, x -> xxhash64(x))`. Jaccard over the hashed arrays
+    * equals Jaccard over the strings up to 64-bit collisions; use it to
+    * shrink what a verification join shuffles.
+    */
+  def xxhash64Array(shingles: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.XxHash64Array(GraftColumnBridge.expression(shingles)))
+  }
+
   /** Character n-gram shingles (distinct). */
   def charShingles(text: Column, n: Int): Column =
     array_distinct(
@@ -187,17 +200,34 @@ object Dedup {
       shingleLen: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 2,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    minHashLshPairs64FromSig(
+      docs.select(
+        col(idCol).as("__mh_id"),
+        minHashSignature64(
+          wordShingles(col(textCol), shingleLen),
+          bands * rowsPerBand + GuardSubRows).as("__mh_sig")),
+      "__mh_id", "__mh_sig", bands, rowsPerBand, maxBucketSize)
+
+  /** [[minHashLshPairs64]] over a precomputed 64-bit signature column (which
+    * must carry `bands*rowsPerBand + GuardSubRows` elements) — lets a
+    * composed pipeline ([[Curation.pipeline]] with `hash64 = true`) compute
+    * the signature and the hashed-shingle verification arrays in ONE
+    * projection over a single shingling pass.
+    */
+  def minHashLshPairs64FromSig(
+      withSig: DataFrame,
+      idCol: String,
+      sigCol: String,
+      bands: Int,
+      rowsPerBand: Int,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val withSig = docs.select(
-      col(idCol).as("doc"),
-      minHashSignature64(
-        wordShingles(col(textCol), shingleLen),
-        bands * rowsPerBand + GuardSubRows).as("__sig"))
+    val sig = col(sigCol)
     val banded = withSig
-      .select(col("doc"), xxhash64(col("__sig")).as("fp"),
-        xxhash64(slice(col("__sig"), bands * rowsPerBand + 1, GuardSubRows)).as("sub"),
+      .select(col(idCol), xxhash64(sig).as("fp"),
+        xxhash64(slice(sig, bands * rowsPerBand + 1, GuardSubRows)).as("sub"),
         posexplode(array((0 until bands).map { b =>
-          xxhash64(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))
+          xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand))
         }: _*)))
       .toDF("id", "fp", "sub", "band", "bucket")
       .select("id", "fp", "band", "bucket", "sub")

@@ -511,4 +511,42 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("xxhash64Array is bit-identical to the interpreted transform(xxhash64) form") {
+    val samples = Seq(docA, docB, docC, "", "  padded  ", "\u00fcn\u00efcod\u00e9 t\u00f6kens \u6f22\u5b57")
+    val df = samples.toDF("text")
+      .select(Dedup.wordShingles(col("text"), 2).as("sh"))
+      .select(
+        Dedup.xxhash64Array(col("sh")).as("native"),
+        transform(col("sh"), x => xxhash64(x)).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("curation pipeline64 drops the same documents as the md5 pipeline") {
+    // A corpus with exact dups, near-dups (one-word edits of a long base
+    // sentence -> Jaccard well over the 0.6 bar), and unrelated singletons.
+    // Both hash families must (a) collapse the exact group to its min id,
+    // (b) drop the higher id of every near-dup pair, (c) keep singletons.
+    // The pair sets can differ only via hash randomness on MARGINAL
+    // similarities; this fixture keeps every true pair far from the
+    // threshold so the confirmed sets must coincide (deterministic either
+    // way -- a divergence here means a real semantics bug, not noise).
+    val base = "the quick brown fox jumps over the lazy dog while the calm river flows past the old stone bridge in the quiet valley"
+    val docs = Seq(
+      1L -> base,
+      2L -> base, // exact dup of 1
+      3L -> base.replace("dog", "cat"), // near-dup of 1
+      4L -> base.replace("valley", "canyon"), // near-dup of 1
+      5L -> "completely unrelated content about spark query engines and the catalyst optimizer at cluster scale today",
+      6L -> "another distinct document discussing parquet encodings page indexes and predicate pushdown behavior in depth"
+    ).toDF("doc_id", "text")
+    val md5Out = graft.operators.Curation.pipeline(docs, "doc_id", "text")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val x64Out = graft.operators.Curation.pipeline(docs, "doc_id", "text", hash64 = true)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(md5Out === Seq(1L, 5L, 6L)) // pinned expectation, not just agreement
+    assert(x64Out === md5Out)
+  }
 }
