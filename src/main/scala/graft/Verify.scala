@@ -13,9 +13,20 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Same long-lived-driver status-store bounds as Engine.session: a
+      // 63-query dump at a big scale factor otherwise retains every
+      // execution's plan graph for the whole run.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Subset knob for big-SF spot checks, mirroring Bench's: the driver
+    // contract (no env set) still dumps every query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // The LSH bucket guard diverges from plain-join semantics the moment it
     // activates (star-collapse / sub-split / drop). Oracle SQL computes the
     // plain join, so a query whose guard metrics are nonzero must FAIL the
@@ -34,7 +45,7 @@ object Verify {
           }
         }
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }.foreach { case (name, fn) =>
       val seen = mc.snapshot.keySet
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
