@@ -21,6 +21,21 @@ object OracleSql {
        | (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
        |  sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
 
+  /** q49/q64 share this: the bloom-pruned path is exact, not a twin. */
+  private val DecontaminateSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      generate_series(1, greatest(len(ws) - 3, 1)),
+      |      i -> array_to_string(ws[i:i+3], ' ')))) AS gram
+      |  FROM w),
+      |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+      |SELECT DISTINCT doc_id FROM g
+      |WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM b)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -510,19 +525,11 @@ object OracleSql {
         |FROM s LEFT JOIN t ON s.doc_id = t.doc_id
         |ORDER BY s.doc_id""".stripMargin,
 
-    "q49_decontaminate" ->
-      """WITH w AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct(list_transform(
-        |      generate_series(1, greatest(len(ws) - 3, 1)),
-        |      i -> array_to_string(ws[i:i+3], ' ')))) AS gram
-        |  FROM w),
-        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
-        |SELECT DISTINCT doc_id FROM g
-        |WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM b)
-        |ORDER BY doc_id""".stripMargin,
+    "q49_decontaminate" -> DecontaminateSql,
+
+    // Bloom-pruned decontamination is exact (prune + verify), so it shares
+    // q49's oracle verbatim — same fixture, same output contract.
+    "q64_decontaminate_bloom" -> DecontaminateSql,
 
     "q50_quantized_topk" ->
       """WITH e AS (

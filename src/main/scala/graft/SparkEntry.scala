@@ -779,6 +779,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---- decontamination, bloom-pruned scale path. Same fixture and output
+  // contract as q49 (prune + exact verify — identical result, shared
+  // oracle); the exact distinct-gram table stays distributed and only a
+  // Bloom filter of it rides the plan.
+  private def q64DecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val benchmark = docs.filter(col("doc_id") % 97 === 0)
+    Dedup.contaminatedIdsBloom(docs.filter(col("doc_id") % 97 =!= 0), benchmark,
+        "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+  }
+
   // ---- PII scrub + audit counts over a deterministic PII-bearing payload
   // (the synthetic corpus carries no PII, so the payload grafts typed spans
   // derived from real columns onto the text — the regexes then have real
@@ -940,7 +952,8 @@ object SparkEntry {
     "q60_pack_bins" -> (q60PackBins _),
     "q61_minhash64_pairs" -> (q61Minhash64Pairs _),
     "q62_interval_count" -> (q62IntervalCount _),
-    "q63_curation64" -> (q63Curation64 _)
+    "q63_curation64" -> (q63Curation64 _),
+    "q64_decontaminate_bloom" -> (q64DecontaminateBloom _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

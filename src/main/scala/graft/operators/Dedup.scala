@@ -389,6 +389,77 @@ object Dedup {
       .distinct()
   }
 
+  /** [[contaminatedIds]] for benchmark suites too big to broadcast as an
+    * exact distinct-gram table: bloom-prune + exact-verify.
+    *
+    * [[contaminatedIds]] broadcasts the benchmark's distinct n-grams — the
+    * right plan while that set is dim-sized, but a 100 TB-era eval suite
+    * (thousands of benchmarks × contamination windows) can reach tens of GB
+    * of grams, past any broadcast budget. Here the exact gram table stays
+    * DISTRIBUTED and only a Bloom filter of it (a few MB at fpp=0.1%) rides
+    * the plan: corpus grams are probed map-side
+    * ([[graft.functions.BloomMightContain]] — no shuffle, no false
+    * negatives), and only the surviving ~fpp fraction plus true hits pay
+    * the shuffle semi-join against the real gram table. The verify join
+    * removes every false positive, so the output is EXACTLY
+    * [[contaminatedIds]]' — same DuckDB oracle, not a twin.
+    *
+    * Scale shape: corpus grams never move (probe is map-side); the shuffle
+    * carries corpus_grams × (hit_rate + fpp) rows. The filter build is one
+    * distributed pass over the benchmark grams (`mapPartitions` + merge —
+    * the one legitimate RDD use: folding a driver-side sketch).
+    */
+  def contaminatedIdsBloom(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      fpp: Double = 0.001): DataFrame = {
+    // thin (one string column, eval-suite-sized): materialized once, feeds
+    // the count, the filter build, and the verify join
+    val benchGrams = benchmark
+      .select(explode(wordShingles(col(textCol), n)).as("__g"))
+      .distinct()
+      .localCheckpoint(false)
+    val filterBytes = buildGramBloom(benchGrams, "__g", fpp)
+    val candidates = docs
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("__g"))
+      .filter(bloomMightContain(col("__g"), filterBytes))
+    candidates
+      .join(benchGrams, Seq("__g"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+  }
+
+  /** Serialized Bloom filter over a string column, built distributively
+    * (per-partition filters merged on the driver; the merged filter is the
+    * only thing that leaves the executors). UTF-8 `putBinary` convention —
+    * must match [[graft.functions.BloomMightContain]]'s probe.
+    */
+  private[graft] def buildGramBloom(
+      grams: DataFrame, colName: String, fpp: Double): Array[Byte] = {
+    val expected = math.max(grams.count(), 1L)
+    val merged = grams.select(col(colName)).na.drop().rdd
+      .mapPartitions { it =>
+        val f = org.apache.spark.util.sketch.BloomFilter.create(expected, fpp)
+        it.foreach(r => f.putBinary(
+          r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        Iterator(f)
+      }
+      .treeReduce((a, b) => a.mergeInPlace(b))
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Column wrapper for [[graft.functions.BloomMightContain]]. */
+  def bloomMightContain(gram: Column, filterBytes: Array[Byte]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.BloomMightContain(GraftColumnBridge.expression(gram), filterBytes))
+  }
+
   /** Span-level exact dedup (the C4 / "Deduplicating Training Data Makes
     * Language Models Better" rule at chunk granularity): split every document
     * into consecutive `k`-word chunks, keep only each chunk's globally FIRST

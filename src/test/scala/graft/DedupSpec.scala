@@ -549,4 +549,33 @@ class DedupSpec extends SparkSpecBase {
     assert(md5Out === Seq(1L, 5L, 6L)) // pinned expectation, not just agreement
     assert(x64Out === md5Out)
   }
+
+  test("bloom filter build/probe: no false negatives, fpp bounded on fixture") {
+    val grams = (1 to 2000).map(i => s"gram token number $i").toDF("g")
+    val bytes = Dedup.buildGramBloom(grams, "g", fpp = 0.01)
+    // every inserted gram MUST probe true (bloom's no-false-negative law)
+    val misses = grams.filter(!Dedup.bloomMightContain(col("g"), bytes)).count()
+    assert(misses === 0L)
+    // absent grams probe true only at ~fpp (allow generous slack: 2000
+    // probes at fpp=0.01 -> expect ~20, fail only past 5x that)
+    val absent = (1 to 2000).map(i => s"completely different text $i").toDF("g")
+    val fps = absent.filter(Dedup.bloomMightContain(col("g"), bytes)).count()
+    assert(fps <= 100L, s"false-positive rate implausibly high: $fps/2000")
+  }
+
+  test("contaminatedIdsBloom equals the broadcast-exact contaminatedIds") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (1L to 60L).map { i =>
+      // every 7th doc embeds a benchmark 4-gram; others are clean
+      if (i % 7 == 0) i -> s"prefix words then $base trailing tail $i"
+      else i -> s"document $i about unrelated topic number ${i * 13} entirely"
+    }.toDF("doc_id", "text")
+    val benchmark = Seq(100L -> base).toDF("doc_id", "text")
+    val exact = Dedup.contaminatedIds(docs, benchmark, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val bloom = Dedup.contaminatedIdsBloom(docs, benchmark, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(exact === (7L to 60L by 7L).toSeq) // pinned, not just agreement
+    assert(bloom === exact)
+  }
 }
