@@ -50,8 +50,22 @@ def scaled(src, dst, name, factor, offset_cols, text_col=None):
                                  pc.cast(suffixed, t.schema.field(i).type))
         parts.append(t)
     out = pa.concat_tables(parts)
-    pq.write_table(out, f"{dst}/{name}.parquet")
-    print(f"{name}: {len(tbl)} -> {len(out)} rows")
+    # Realistic row-group granularity for the row-heavy-but-byte-small
+    # tables: pyarrow's default (1Mi rows/group) packs 500k documents into
+    # ONE row group, and Spark can never split a scan below a row group —
+    # every map-heavy text/embedding query then runs its whole scan stage
+    # in a single task no matter how many cores the executor has (caught at
+    # 100x: q56 measured single-thread regex throughput on a 32-core box).
+    # A real corpus gets its scan parallelism from file count / 128MB row
+    # groups; these fixed row counts give the single-file harness corpus
+    # the same splittability (~2MB/group) without changing a byte of data.
+    rg = {"documents": 16384, "embeddings": 8192}.get(name)
+    if rg:
+        pq.write_table(out, f"{dst}/{name}.parquet", row_group_size=rg)
+    else:
+        pq.write_table(out, f"{dst}/{name}.parquet")
+    print(f"{name}: {len(tbl)} -> {len(out)} rows"
+          + (f" (rg={rg})" if rg else ""))
 
 
 def main(src, dst, factor):

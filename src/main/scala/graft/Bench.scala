@@ -19,6 +19,10 @@ object Bench {
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", (cpus.toInt * 8).toString))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Same scan-split sizing as Engine.session (byte-small row-heavy
+      // harness files; 128 MB default = single-task map stages).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
       // At big scale factors coalescing back to core count re-creates the
       // oversized tasks initialPartitionNum exists to avoid — a 100x run
       // sets this to false so AQE targets advisoryPartitionSizeInBytes

@@ -37,6 +37,16 @@ object Engine {
           "SPARK_GRAFT_INIT_PARTITIONS",
           math.max(shufflePartitions * 8, shufflePartitions).toString))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Scan-split sizing for the harness corpus: its parquet files are
+      // byte-small (0.6-60 MB) but row-heavy, so the 128 MB default puts
+      // an entire file — and therefore an entire map-heavy text/embedding
+      // stage — in ONE task (caught at 100x: q56 measured single-thread
+      // regex throughput on a 32-core box). 16 MB splits recover scan
+      // parallelism wherever row groups allow. A real deployment sizes
+      // this to its file/row-group layout (the 128 MB default is right
+      // for 128 MB+ row groups); env-overridable for A/B.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

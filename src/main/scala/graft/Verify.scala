@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Same scan-split sizing as Engine.session (byte-small row-heavy
+      // harness files; 128 MB default = single-task map stages).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
       // Same long-lived-driver status-store bounds as Engine.session: a
       // 63-query dump at a big scale factor otherwise retains every
       // execution's plan graph for the whole run.
