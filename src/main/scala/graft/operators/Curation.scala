@@ -11,7 +11,9 @@ import Ckpt._
   *   2. heuristic quality + language gates ([[TextAnalysis]]);
   *   3. near-dup removal: MinHash-LSH candidates ([[Dedup.minHashLshPairs]])
   *      verified by shingle Jaccard, dropping the higher id of each
-  *      confirmed pair (survivorship matches exact dedup's min-id rule).
+  *      confirmed pair (survivorship matches exact dedup's min-id rule);
+  *      `transitive = true` instead closes the confirmed-pair graph and
+  *      keeps one min-id survivor per near-dup component.
   *
   * Scale shape: stage 1 is one hash-shuffle on the fingerprint; stage 2 is
   * map-only; stage 3's only shuffle is the LSH band join — candidates, not
@@ -44,7 +46,18 @@ object Curation {
       // long arrays instead of shingle strings (equal Jaccard up to 64-bit
       // collisions). The md5 form stays the default because the DuckDB
       // oracle can recompute it; pair sets differ only via hash randomness.
-      hash64: Boolean = false): DataFrame = {
+      hash64: Boolean = false,
+      // transitive = close the confirmed-pair graph with
+      // [[Dedup.connectedComponents]] and keep ONE survivor (min id) per
+      // near-dup component. The default pair-drop rule removes the higher
+      // id of each confirmed pair, which leaves multiple survivors when a
+      // cluster's near-dup graph is incomplete (observed at 100×: ~125 of
+      // ~4.3k replica clusters kept >1 survivor, and WHICH extras survive
+      // differs between hash families). Transitive closure makes
+      // survivorship graph-shape- and hash-family-independent at the cost
+      // of the CC rounds; pair-drop stays the default for oracle parity
+      // (a recursive closure is what made q45's oracle need union-find).
+      transitive: Boolean = false): DataFrame = {
     val id = col(idCol)
     val text = col(textCol)
 
@@ -75,7 +88,7 @@ object Curation {
     // candidate generation and both sides of the Jaccard verification join,
     // so the whole pipeline is a single action with every intermediate
     // materialized exactly once (lazy checkpoint).
-    val confirmed =
+    val confirmedPairs =
       if (hash64) {
         // One projection computes signature + hashed verify arrays from one
         // shingling pass; only (id, sig: (b*r+2) longs, hsh: longs) is
@@ -93,8 +106,7 @@ object Curation {
           .join(prepped.select(col("__sid").as("id1"), col("__hsh").as("__sh1")), "id1")
           .join(prepped.select(col("__sid").as("id2"), col("__hsh").as("__sh2")), "id2")
           .filter(Dedup.jaccard(col("__sh1"), col("__sh2")) >= jaccardThreshold)
-          .select(col("id2").as(idCol))
-          .distinct()
+          .select("id1", "id2")
       } else {
         val shingled = gated.select(id.as("__sid"),
           Dedup.wordShingles(text, shingleLen).as("__sh")).lazySerCkpt
@@ -104,10 +116,21 @@ object Curation {
           .join(shingled.withColumnRenamed("__sid", "id1").withColumnRenamed("__sh", "__sh1"), "id1")
           .join(shingled.withColumnRenamed("__sid", "id2").withColumnRenamed("__sh", "__sh2"), "id2")
           .filter(Dedup.jaccard(col("__sh1"), col("__sh2")) >= jaccardThreshold)
-          .select(col("id2").as(idCol))
-          .distinct()
+          .select("id1", "id2")
       }
 
-    gated.join(confirmed, Seq(idCol), "left_anti")
+    // Survivor rule: pair-drop removes the higher id of each confirmed pair
+    // (min-id rule, locally); transitive closes the graph first so each
+    // component keeps exactly its min id — docs in no confirmed pair are
+    // absent from both drop sets and always survive.
+    val dropped =
+      if (transitive)
+        Dedup.connectedComponents(confirmedPairs)
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as(idCol))
+      else
+        confirmedPairs.select(col("id2").as(idCol)).distinct()
+
+    gated.join(dropped, Seq(idCol), "left_anti")
   }
 }

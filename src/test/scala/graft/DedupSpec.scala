@@ -578,4 +578,32 @@ class DedupSpec extends SparkSpecBase {
     assert(exact === (7L to 60L by 7L).toSeq) // pinned, not just agreement
     assert(bloom === exact)
   }
+
+  test("curation transitive closure keeps one survivor per near-dup component") {
+    // Bridge topology: C is a near-dup of BOTH A and B, but A and B share
+    // only their middle segment. Pair-drop removes only the higher id of
+    // each confirmed pair (C), leaving A AND B; transitive closure puts
+    // {A, B, C} in one component and keeps min id only. bands=16/r=1 makes
+    // the LSH candidate stage effectively exhaustive at these similarities
+    // so the test exercises the survivor rule, not LSH recall.
+    val segW = "the quick brown fox jumps over the lazy dog near the river"
+    val segX = "and the old stone bridge stands in the quiet green valley"
+    val segY = "while morning light falls softly on the distant snowy hills"
+    val segD = "because every sailor knows the harbor wind changes before rain"
+    val segE = "although the library kept ancient maps of forgotten trade roads"
+    val docs = Seq(
+      1L -> s"$segW $segX $segD", // A: W X D
+      2L -> s"$segE $segX $segY", // B: E X Y
+      3L -> s"$segW $segX $segY", // C: W X Y  (bridge)
+      4L -> "this is a different document and it talks about the weather in the city and what people said there"
+    ).toDF("doc_id", "text")
+    def run(transitive: Boolean, hash64: Boolean) =
+      graft.operators.Curation.pipeline(docs, "doc_id", "text",
+          minQuality = 0.0, bands = 16, rowsPerBand = 1,
+          jaccardThreshold = 0.4, hash64 = hash64, transitive = transitive)
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(run(transitive = false, hash64 = false) === Seq(1L, 2L, 4L))
+    assert(run(transitive = true, hash64 = false) === Seq(1L, 4L))
+    assert(run(transitive = true, hash64 = true) === Seq(1L, 4L))
+  }
 }
