@@ -36,6 +36,46 @@ object OracleSql {
       |WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM b)
       |ORDER BY doc_id""".stripMargin
 
+  /** Shared q33/q65 pipeline prefix (exact dedup -> gates -> shingles ->
+    * md5 minhash -> LSH band candidates -> Jaccard-confirmed PAIRS). The
+    * two queries differ only in the survivor rule applied to `cpairs`.
+    */
+  private val CurationPrefixSql: String =
+    """fp AS (SELECT doc_id, text, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM documents),
+      |winners AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+      |exact_kept AS (SELECT fp.doc_id, fp.text FROM fp JOIN winners ON fp.f = winners.f AND fp.doc_id = winners.doc_id),
+      |gated AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE)) * 0.5
+      |      + least((CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+      |          CAST(greatest(CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS DOUBLE)) / 8.0, 1.0) * 0.25
+      |      + (1.0 - least((CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE)) * 4.0, 1.0)) * 0.25 AS q,
+      |      len(list_filter(lw, x -> x IN ('the','and','of','to','is','a'))) AS s_en,
+      |      len(list_filter(lw, x -> x IN ('el','la','de','que','y','los'))) AS s_es,
+      |      len(list_filter(lw, x -> x IN ('le','la','les','des','est','et'))) AS s_fr,
+      |      len(list_filter(lw, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+      |      len(list_filter(lw, x -> x IN ('的','是','了','在','我','不'))) AS s_zh
+      |    FROM (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS lw FROM exact_kept))
+      |  WHERE q >= 0.3 AND greatest(s_en, s_es, s_fr, s_de, s_zh) > 0),
+      |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM gated),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(ws)-1, 1)),
+      |  i -> array_to_string(ws[i:i+1], ' '))) AS s FROM w),
+      |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
+      |  k -> list_aggregate(list_transform(s, x -> md5(concat(k, ':', x))), 'min')) AS g FROM sh),
+      |bandsq AS (SELECT doc_id, list_transform(generate_series(0, 3),
+      |  b -> md5(array_to_string(g[b*4+1:b*4+4], '|'))) AS bl FROM sig),
+      |bexp AS (SELECT doc_id, t.b AS band, bl[t.b] AS bucket
+      |  FROM bandsq, generate_series(1, 4) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bexp a JOIN bexp b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |cpairs AS (
+      |  SELECT c.id1, c.id2 FROM cand c
+      |  JOIN sh s1 ON s1.doc_id = c.id1 JOIN sh s2 ON s2.doc_id = c.id2
+      |  WHERE (CASE WHEN CAST(len(list_distinct(list_concat(s1.s, s2.s))) AS DOUBLE) = 0.0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(s1.s, s2.s))) AS DOUBLE) END) >= 0.6)""".stripMargin
+
   val all: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -338,42 +378,26 @@ object OracleSql {
         |FROM est CROSS JOIN (SELECT count(DISTINCT o_custkey) AS exact_distinct FROM orders) e""".stripMargin,
 
     "q33_curation_pipeline" ->
-      """WITH fp AS (SELECT doc_id, text, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM documents),
-        |winners AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
-        |exact_kept AS (SELECT fp.doc_id, fp.text FROM fp JOIN winners ON fp.f = winners.f AND fp.doc_id = winners.doc_id),
-        |gated AS (
-        |  SELECT doc_id, text FROM (
-        |    SELECT doc_id, text,
-        |      (CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE)) * 0.5
-        |      + least((CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
-        |          CAST(greatest(CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS DOUBLE)) / 8.0, 1.0) * 0.25
-        |      + (1.0 - least((CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE)) * 4.0, 1.0)) * 0.25 AS q,
-        |      len(list_filter(lw, x -> x IN ('the','and','of','to','is','a'))) AS s_en,
-        |      len(list_filter(lw, x -> x IN ('el','la','de','que','y','los'))) AS s_es,
-        |      len(list_filter(lw, x -> x IN ('le','la','les','des','est','et'))) AS s_fr,
-        |      len(list_filter(lw, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
-        |      len(list_filter(lw, x -> x IN ('的','是','了','在','我','不'))) AS s_zh
-        |    FROM (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS lw FROM exact_kept))
-        |  WHERE q >= 0.3 AND greatest(s_en, s_es, s_fr, s_de, s_zh) > 0),
-        |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM gated),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(ws)-1, 1)),
-        |  i -> array_to_string(ws[i:i+1], ' '))) AS s FROM w),
-        |sig AS (SELECT doc_id, list_transform(generate_series(0, 15),
-        |  k -> list_aggregate(list_transform(s, x -> md5(concat(k, ':', x))), 'min')) AS g FROM sh),
-        |bandsq AS (SELECT doc_id, list_transform(generate_series(0, 3),
-        |  b -> md5(array_to_string(g[b*4+1:b*4+4], '|'))) AS bl FROM sig),
-        |bexp AS (SELECT doc_id, t.b AS band, bl[t.b] AS bucket
-        |  FROM bandsq, generate_series(1, 4) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bexp a JOIN bexp b
-        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-        |confirmed AS (
-        |  SELECT DISTINCT c.id2 AS doc_id FROM cand c
-        |  JOIN sh s1 ON s1.doc_id = c.id1 JOIN sh s2 ON s2.doc_id = c.id2
-        |  WHERE (CASE WHEN CAST(len(list_distinct(list_concat(s1.s, s2.s))) AS DOUBLE) = 0.0 THEN 0.0
-        |         ELSE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(s1.s, s2.s))) AS DOUBLE) END) >= 0.6)
+      ("WITH " + CurationPrefixSql + """,
+        |confirmed AS (SELECT DISTINCT id2 AS doc_id FROM cpairs)
         |SELECT doc_id FROM gated g WHERE NOT EXISTS (SELECT 1 FROM confirmed c WHERE c.doc_id = g.doc_id)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
+
+    // Same pipeline, transitive survivor rule: close the confirmed-pair
+    // graph (recursive reachability over symmetrized edges), keep the min
+    // id per component. Feasible in DuckDB at the driver's sf0.01 oracle
+    // scale; the engine runs connectedComponents (pointer jumping).
+    "q65_curation_transitive" ->
+      ("WITH RECURSIVE " + CurationPrefixSql + """,
+        |edges AS (SELECT id1 AS a, id2 AS b FROM cpairs UNION SELECT id2, id1 FROM cpairs),
+        |reach AS (
+        |  SELECT a AS id, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+        |dropped AS (SELECT id AS doc_id FROM comp WHERE comp <> id)
+        |SELECT doc_id FROM gated g WHERE NOT EXISTS (SELECT 1 FROM dropped c WHERE c.doc_id = g.doc_id)
+        |ORDER BY doc_id""".stripMargin),
 
     "q31_table_counts" ->
       Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem",

@@ -779,6 +779,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---- curation pipeline, transitive survivor rule: close the confirmed
+  // near-dup pair graph (connectedComponents) and keep min id per
+  // component — survivorship independent of graph shape and hash family.
+  // Oracle: recursive-CTE closure over the same Jaccard-confirmed pairs.
+  private def q65CurationTransitive(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.pipeline(T(s, d, "documents"), "doc_id", "text",
+        transitive = true)
+      .select("doc_id")
+      .orderBy("doc_id")
+
   // ---- decontamination, bloom-pruned scale path. Same fixture and output
   // contract as q49 (prune + exact verify — identical result, shared
   // oracle); the exact distinct-gram table stays distributed and only a
@@ -953,7 +963,8 @@ object SparkEntry {
     "q61_minhash64_pairs" -> (q61Minhash64Pairs _),
     "q62_interval_count" -> (q62IntervalCount _),
     "q63_curation64" -> (q63Curation64 _),
-    "q64_decontaminate_bloom" -> (q64DecontaminateBloom _)
+    "q64_decontaminate_bloom" -> (q64DecontaminateBloom _),
+    "q65_curation_transitive" -> (q65CurationTransitive _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
