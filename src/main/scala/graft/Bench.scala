@@ -137,9 +137,12 @@ object Bench {
     // final stderr lines can be lost when the forked JVM exits before sbt's
     // output pump drains (observed: a warm-pass failure whose FAILED line
     // never reached the log, leaving an unexplained "failed" entry).
+    // every control char < 0x20 must be escaped, not just \n\t — a raw \b or
+    // NUL in an exception message is invalid JSON and an unparseable artifact
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-                  case '\r' => ""; case '\t' => "\\t"; case c => c.toString }
+                  case '\r' => ""; case '\t' => "\\t"
+                  case c if c < 0x20 => f"\\u${c.toInt}%04x"; case c => c.toString }
     val errorsJson = (cold.map(n => n -> "cold") ++ warm.map(n => n -> "warm") ++
         firstComputation.map(n => n -> "first"))
       .collect { case ((n, (_, Some(e))), tag) => "\"" + n + ":" + tag + "\":\"" + esc(e.take(400)) + "\"" }

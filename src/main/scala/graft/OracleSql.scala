@@ -268,8 +268,18 @@ object OracleSql {
          |SELECT query_id, rnk, neighbor_id FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "q25_embedding_neardup" ->
-      s"""WITH b AS (SELECT vec_id, embedding,
-         |  array_to_string(list_transform(generate_series(1, 4),
+      // bits mirrors graft Dedup.autoSignBits(count, target=64, max=24)
+      // .min(dim) EXACTLY, in integer arithmetic: m = ceil(n/64) via
+      // (n+63)//64, needed = bit length of (m-1) — so the bucket geometry
+      // (and the pair set) matches the Spark side at every scale factor.
+      s"""WITH p AS (
+         |  SELECT CASE WHEN m <= 1 THEN least(1, d)
+         |              ELSE least(length(printf('%b', m - 1)), 24, d) END AS bits
+         |  FROM (SELECT (count(*) + 63) // 64 AS m,
+         |               (SELECT len(embedding) FROM embeddings LIMIT 1) AS d
+         |        FROM embeddings)),
+         |b AS (SELECT vec_id, embedding,
+         |  array_to_string(list_transform(generate_series(1, (SELECT bits FROM p)),
          |    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
          |  FROM embeddings)
          |SELECT a.vec_id AS id1, bb.vec_id AS id2

@@ -310,9 +310,16 @@ object SparkEntry {
   }
 
   // ---- similarity: LSH sign-bucket near-dup pairs ------------------------
+  // Operator-default auto geometry (autoSignBits: bucket count sized to the
+  // corpus so expected bucket size ≈ 64) at EVERY scale — the oracle SQL
+  // recomputes the identical integer bit count from count(*), so the oracle
+  // compare stays exact from sf0.001 through 100× instead of pinning a fixed
+  // signBits that goes quadratic the moment the corpus outgrows it (the old
+  // signBits=4 ran a ~156 M-candidate verify at 10× while 100× happened to
+  // clear the guard — backwards scaling from fixed geometry).
   private def q25EmbeddingNeardup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairs(T(s, d, "embeddings"), "vec_id", "embedding",
-        signBits = 4, threshold = 0.2)
+        threshold = 0.2)
       .orderBy("id1", "id2")
 
   // ---- §2.9 scalar library X1-X14 ----------------------------------------
@@ -789,6 +796,21 @@ object SparkEntry {
       .select("doc_id")
       .orderBy("doc_id")
 
+  // ---- curation pipeline, PRODUCTION configuration: hash64 LSH + transitive
+  // survivorship — the two 100 TB halves composed the way a real pipeline
+  // runs them (q63 proves hash64 alone, q65 proves transitive alone; this is
+  // the combination where transitive matters most, because hash64 is the
+  // family whose pair-drop survivor set diverges without it). No SQL oracle
+  // (DuckDB lacks xxhash64) — rows-only here; DedupSpec pins all four
+  // (hash family × survivor rule) quadrants on the bridge-topology fixture,
+  // with the transitive survivors identical across hash families (q65's
+  // semantics exactly).
+  private def q66CurationProduction(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.pipeline(T(s, d, "documents"), "doc_id", "text",
+        hash64 = true, transitive = true)
+      .select("doc_id")
+      .orderBy("doc_id")
+
   // ---- decontamination, bloom-pruned scale path. Same fixture and output
   // contract as q49 (prune + exact verify — identical result, shared
   // oracle); the exact distinct-gram table stays distributed and only a
@@ -964,7 +986,8 @@ object SparkEntry {
     "q62_interval_count" -> (q62IntervalCount _),
     "q63_curation64" -> (q63Curation64 _),
     "q64_decontaminate_bloom" -> (q64DecontaminateBloom _),
-    "q65_curation_transitive" -> (q65CurationTransitive _)
+    "q65_curation_transitive" -> (q65CurationTransitive _),
+    "q66_curation_production" -> (q66CurationProduction _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -14,8 +14,16 @@ import org.apache.spark.util.sketch.BloomFilter
   * the filter rides the plan as a byte array (a few MB for eval-set-sized
   * gram sets — broadcast-cheap where the exact distinct-gram table no
   * longer is), executors deserialize it once per JVM (transient lazy), and
-  * the probe is a read-only hash loop — safe across task threads, no
-  * per-row allocation (UTF-8 bytes probed directly).
+  * the probe is a read-only hash loop — safe across task threads. Per row
+  * it costs one `UTF8String.getBytes` (which copies unless the string
+  * exactly spans its backing array) plus the hash loop; the filter itself
+  * is never touched per row.
+  *
+  * Equality is by filter CONTENT (`Arrays.equals`), not array reference —
+  * a case class holding a raw `Array[Byte]` would otherwise never compare
+  * equal to a semantically identical probe, defeating canonicalization and
+  * common-subexpression elimination when the same filter is probed twice
+  * in one plan.
   *
   * Membership convention: UTF-8 bytes via putBinary/mightContainBinary on
   * BOTH the build and probe side — the builder
@@ -49,6 +57,14 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
   /** Codegen entry point (nullSafeEval is protected in the Java view). */
   def probe(s: org.apache.spark.unsafe.types.UTF8String): Boolean =
     filter.mightContainBinary(s.getBytes)
+
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(filterBytes, b.filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)

@@ -219,6 +219,12 @@ case class XxHash64Array(child: Expression) extends UnaryExpression {
         val s = arr.getUTF8String(i)
         out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
           .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, MinHashSig64.Seed)
+      } else {
+        // xxhash64(NULL) = the seed in Spark SQL (hash of zero bytes is the
+        // running state = seed) — match it so the transform() bit-identity
+        // claim above holds for nullable element arrays too, not only for
+        // wordShingles' containsNull=false output
+        out(i) = MinHashSig64.Seed
       }
       i += 1
     }

@@ -640,8 +640,16 @@ object Dedup {
     * already means 16M buckets).
     */
   def autoSignBits(corpusSize: Long, targetBucketSize: Int = 64, maxBits: Int = 24): Int = {
-    val needed = math.ceil(
-      math.log((corpusSize.toDouble / targetBucketSize).max(1.0)) / math.log(2.0)).toInt
+    // Exact integer arithmetic (bit length of ceil(n/target) - 1), not
+    // ceil(log2(...)): floating log2 can round either way at power-of-two
+    // boundaries, and the DuckDB oracle recomputes this same bit count from
+    // SQL (`length(printf('%b', m-1))`) — both sides must agree exactly for
+    // the bucket geometry, and therefore the pair set, to be deterministic
+    // across engines at every scale factor.
+    // overflow-safe ceil division (corpusSize + target - 1 wraps at Long.Max)
+    val m = corpusSize / targetBucketSize +
+      (if (corpusSize % targetBucketSize != 0) 1 else 0)
+    val needed = if (m <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
     needed.max(1).min(maxBits)
   }
 

@@ -524,6 +524,39 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("xxhash64Array hashes null elements to the seed, like xxhash64(NULL)") {
+    // bit-identity with transform(arr, x -> xxhash64(x)) must hold for
+    // NULLABLE element arrays too: Spark's xxhash64 leaves the running hash
+    // at the seed (42) for a null input, so a null element hashes to 42
+    val df = Seq(Tuple1(Seq[String]("a", null, "b")))
+      .toDF("arr")
+      .select(
+        Dedup.xxhash64Array(col("arr")).as("native"),
+        transform(col("arr"), x => xxhash64(x)).as("hof"))
+    val r = df.collect().head
+    assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    assert(r.getSeq[Long](0)(1) === 42L)
+  }
+
+  test("bloomMightContain compares by filter content, not array reference") {
+    import graft.functions.BloomMightContain
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val child = Literal.create("probe-me", org.apache.spark.sql.types.StringType)
+    val grams = Seq("x", "y", "z").toDF("g")
+    val bytes1 = Dedup.buildGramBloom(grams, "g", fpp = 0.01)
+    val bytes2 = bytes1.clone() // same content, different array instance
+    val e1 = BloomMightContain(child, bytes1)
+    val e2 = BloomMightContain(child, bytes2)
+    // content equality -> equal expressions (so canonicalization and CSE
+    // can merge two probes of the same filter in one plan)
+    assert(e1 === e2)
+    assert(e1.hashCode() === e2.hashCode())
+    assert(e1.canonicalized === e2.canonicalized)
+    // and distinct filters stay distinct
+    val other = Dedup.buildGramBloom(Seq("different").toDF("g"), "g", fpp = 0.01)
+    assert(e1 !== BloomMightContain(child, other))
+  }
+
   test("curation pipeline64 drops the same documents as the md5 pipeline") {
     // A corpus with exact dups, near-dups (one-word edits of a long base
     // sentence -> Jaccard well over the 0.6 bar), and unrelated singletons.
@@ -602,7 +635,13 @@ class DedupSpec extends SparkSpecBase {
           minQuality = 0.0, bands = 16, rowsPerBand = 1,
           jaccardThreshold = 0.4, hash64 = hash64, transitive = transitive)
         .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    // all four (hash family × survivor rule) quadrants, pinned: pair-drop
+    // leaves both bridge endpoints regardless of hash family; transitive
+    // keeps exactly the component min regardless of hash family — so the
+    // production configuration (hash64 + transitive, q66) is pinned to the
+    // oracle-checked q65's survivor semantics.
     assert(run(transitive = false, hash64 = false) === Seq(1L, 2L, 4L))
+    assert(run(transitive = false, hash64 = true) === Seq(1L, 2L, 4L))
     assert(run(transitive = true, hash64 = false) === Seq(1L, 4L))
     assert(run(transitive = true, hash64 = true) === Seq(1L, 4L))
   }
