@@ -29,6 +29,15 @@ object Bench {
       // (the multi-executor-cluster behavior) instead of local core count.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+      // With parallelismFirst=false AQE coalesces to this size target.
+      // local[32] conflates cluster parallelism with 32 threads, so at big
+      // SF parallelism-first targets (total/32) can exceed the per-task
+      // memory fair share and spill (q34 at 100×: 36 tasks × ~300 MB
+      // deserialized → 3.3 GB spill; false+16m → 145 tasks, zero spill,
+      // 1.48× faster). On a real cluster parallelism-first stays right —
+      // defaultParallelism is cluster-wide, so its targets stay small.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
