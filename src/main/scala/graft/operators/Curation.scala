@@ -18,6 +18,40 @@ import Ckpt._
   * Scale shape: stage 1 is one hash-shuffle on the fingerprint; stage 2 is
   * map-only; stage 3's only shuffle is the LSH band join — candidates, not
   * the corpus, pay the pairwise Jaccard cost.
+  *
+  * ==Choosing a configuration (the four-way matrix)==
+  *
+  * Measured on the 100× corpus (500 k docs; SCALE_r08/r09; warm sec,
+  * same-run pairs where marked †):
+  *
+  * {{{
+  *                      pair-drop            transitive
+  *   md5 (default)      q33   277.7          q65   244.9†
+  *   hash64             q63    76.0†         q66   114.3†
+  * }}}
+  *
+  * - `hash64 = true` — ALWAYS at scale (2-5× less wall time: long band
+  *   keys and hashed verify arrays instead of md5 hex strings/shingle
+  *   strings). `false` exists because an offline SQL engine (the DuckDB
+  *   oracle) can recompute md5 but not xxhash64 — it is the
+  *   verifiability twin, not the production path.
+  * - `transitive = true` — whenever survivor IDENTITY matters (training
+  *   replicas, dataset diffs across hash families, incremental re-runs):
+  *   it closes the confirmed-pair graph (one connectedComponents pass on
+  *   pairs, not the corpus) and keeps exactly the min id per near-dup
+  *   component, so survivorship does not depend on how pair-drop happens
+  *   to walk an incomplete near-dup graph. Cost: the CC rounds, ~+38 s at
+  *   100× (+50% on the hash64 path). `false` (pair-drop) is cheaper and
+  *   keeps the SAME CONTENT (base docs agree 99.9% at 100×) but WHICH
+  *   replica survives varies with graph shape — fine for pure
+  *   token-count reduction, wrong if downstream joins on doc id.
+  * - What transitive does NOT remove: candidate-set divergence between
+  *   hash families (different minhash families sample different marginal
+  *   candidates; q66 vs q65 differ on 29 of ~4,350 survivors at 10×).
+  *   Within one family it is deterministic and graph-shape-independent.
+  * - Production configuration = `pipeline(hash64 = true, transitive =
+  *   true)` (q66): full transitive survivorship at 2.1× less wall time
+  *   than the md5 family needs for it.
   */
 object Curation {
 
