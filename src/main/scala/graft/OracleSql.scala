@@ -409,6 +409,58 @@ object OracleSql {
         |SELECT doc_id FROM gated g WHERE NOT EXISTS (SELECT 1 FROM dropped c WHERE c.doc_id = g.doc_id)
         |ORDER BY doc_id""".stripMargin),
 
+    // Near-superset containment pairs — mirrors Dedup.containmentPairs
+    // step-for-step: same shingles, same df, same (df, shingle)-ordered
+    // anchor top-k (k=10, cap 1000), same m-of-k co-occurrence rule
+    // (HAVING count >= 4), same containment division (denominator
+    // greatest(|A|,1) exactly as the engine's containment()).
+    "q67_containment_pairs" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(ws)-1, 1)),
+        |  i -> array_to_string(ws[i:i+1], ' '))) AS s FROM w),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |dfreq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+        |ranked AS (SELECT e.doc_id, e.g, d.df,
+        |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.g) AS rn
+        |  FROM ex e JOIN dfreq d ON e.g = d.g WHERE d.df <= 1000),
+        |anchors AS (SELECT doc_id, g FROM ranked WHERE rn <= 10),
+        |cand AS (SELECT a.doc_id AS ida, e.doc_id AS idb
+        |  FROM anchors a JOIN ex e ON a.g = e.g WHERE a.doc_id <> e.doc_id
+        |  GROUP BY a.doc_id, e.doc_id HAVING count(*) >= 4),
+        |ver AS (SELECT c.ida, c.idb,
+        |    round(CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / CAST(greatest(len(s1.s), 1) AS DOUBLE), 6) AS containment
+        |  FROM cand c JOIN sh s1 ON s1.doc_id = c.ida JOIN sh s2 ON s2.doc_id = c.idb)
+        |SELECT ida AS id1, idb AS id2, containment FROM ver
+        |WHERE containment >= 0.8 ORDER BY id1, id2""".stripMargin,
+
+    // Embedding dedup, transitive survivors — q25's auto-geometry bucket
+    // pairs closed with the q65-style recursive reachability; survivors =
+    // every vec_id not dropped (min id per component survives).
+    "q68_embedding_dedup" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT CASE WHEN m <= 1 THEN least(1, d)
+         |              ELSE least(length(printf('%b', m - 1)), 24, d) END AS bits
+         |  FROM (SELECT (count(*) + 63) // 64 AS m,
+         |               (SELECT len(embedding) FROM embeddings LIMIT 1) AS d
+         |        FROM embeddings)),
+         |b AS (SELECT vec_id, embedding,
+         |  array_to_string(list_transform(generate_series(1, (SELECT bits FROM p)),
+         |    i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS id1, bb.vec_id AS id2
+         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |  WHERE ${cosSql("a.embedding", "bb.embedding")} > 0.2),
+         |edges AS (SELECT id1 AS a, id2 AS e2 FROM pairs UNION SELECT id2, id1 FROM pairs),
+         |reach AS (
+         |  SELECT a AS id, e2 AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.e2 FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+         |dropped AS (SELECT id FROM comp WHERE comp <> id)
+         |SELECT vec_id FROM embeddings v
+         |WHERE NOT EXISTS (SELECT 1 FROM dropped c WHERE c.id = v.vec_id)
+         |ORDER BY vec_id""".stripMargin,
+
     "q31_table_counts" ->
       Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem",
         "events", "documents", "embeddings")

@@ -811,6 +811,29 @@ object SparkEntry {
       .select("doc_id")
       .orderBy("doc_id")
 
+  // ---- near-superset (containment) duplicate pairs: doc-inside-doc
+  // duplication that Jaccard-LSH structurally misses (C(A→B)=|∩|/|A| high
+  // while J=|∩|/|∪| low for |B|≫|A|). Rare-shingle anchor candidates +
+  // exact containment verify; fully deterministic, oracle recomputes df,
+  // the (df, shingle)-ordered anchor top-k, and the division exactly.
+  private def q67ContainmentPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(T(s, d, "documents"), "doc_id", "text")
+      .orderBy("id1", "id2")
+
+  // ---- embedding dedup with transitive survivorship: sign-bucket LSH
+  // near-dup pairs (q25's auto geometry) closed into components
+  // (connectedComponents), one min-id survivor per cluster — q65's
+  // survivor rule applied to the embedding modality. Oracle: q25's
+  // bucket-pair SQL + the q65-style recursive reachability closure.
+  private def q68EmbeddingDedup(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings")
+    val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.2)
+    val dropped = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp")).select(col("id").as("vec_id"))
+    e.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   // ---- decontamination, bloom-pruned scale path. Same fixture and output
   // contract as q49 (prune + exact verify — identical result, shared
   // oracle); the exact distinct-gram table stays distributed and only a
@@ -987,7 +1010,9 @@ object SparkEntry {
     "q63_curation64" -> (q63Curation64 _),
     "q64_decontaminate_bloom" -> (q64DecontaminateBloom _),
     "q65_curation_transitive" -> (q65CurationTransitive _),
-    "q66_curation_production" -> (q66CurationProduction _)
+    "q66_curation_production" -> (q66CurationProduction _),
+    "q67_containment_pairs" -> (q67ContainmentPairs _),
+    "q68_embedding_dedup" -> (q68EmbeddingDedup _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -612,6 +612,54 @@ class DedupSpec extends SparkSpecBase {
     assert(bloom === exact)
   }
 
+  test("containmentPairs finds doc-inside-doc duplication that Jaccard misses") {
+    val small = "aurora borealis shimmered over the frozen tundra last night"
+    val bigTail = (1 to 80).map(i => s"filler$i token$i").mkString(" ")
+    val docs = Seq(
+      1L -> small,
+      2L -> s"$small $bigTail", // contains every shingle of doc 1 + 10x more
+      3L -> "completely different text about catalyst optimizer internals and shuffle exchange"
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // direction matters: doc 1 is contained in doc 2, not vice versa
+    assert(pairs.exists { case (a, b, c) => a == 1L && b == 2L && c >= 0.99 })
+    assert(!pairs.exists { case (a, b, _) => a == 2L && b == 1L })
+    assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L })
+    // and the pair's JACCARD is tiny — a Jaccard-LSH pipeline at the 0.6
+    // bar structurally misses it (that asymmetry is this operator's reason
+    // to exist)
+    val j = docs.filter(col("doc_id").isin(1L, 2L))
+      .select(Dedup.wordShingles(col("text"), 2).as("sh"))
+      .collect().map(_.getSeq[String](0).toSet)
+    val jac = j(0).intersect(j(1)).size.toDouble / j(0).union(j(1)).size
+    assert(jac < 0.2)
+  }
+
+  test("containmentPairs: identical twins emit both directions at 1.0") {
+    val text = "the migration pipeline resolves foreign keys through broadcast joins at scale"
+    val docs = Seq(1L -> text, 2L -> text,
+      3L -> "unrelated filler content that shares no two word sequence with the twins at all"
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs === Set((1L, 2L, 1.0), (2L, 1L, 1.0)))
+  }
+
+  test("embedding transitive dedup keeps one min-id survivor per cluster") {
+    // three identical-vector clusters; cross-cluster cosine is 0 (< 0.2)
+    // so components = clusters exactly; one-hot sign patterns put all
+    // vectors in one bucket (zero >= 0 -> '1'), exercising the cos gate
+    def oneHot(k: Int) = Array.tabulate(16)(i => if (i == k) 1.0f else 0.0f)
+    val e = (0L until 10L).map(i => (i, oneHot((i % 3).toInt))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.2)
+    val dropped = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp")).select(col("id").as("vec_id"))
+    val survivors = e.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(survivors === Seq(0L, 1L, 2L))
+  }
+
   test("curation transitive closure keeps one survivor per near-dup component") {
     // Bridge topology: C is a near-dup of BOTH A and B, but A and B share
     // only their middle segment. Pair-drop removes only the higher id of
