@@ -410,19 +410,21 @@ object OracleSql {
         |ORDER BY doc_id""".stripMargin),
 
     // Near-superset containment pairs — mirrors Dedup.containmentPairs
-    // step-for-step: same shingles, same df, same (df, shingle)-ordered
-    // anchor top-k (k=10, cap 1000), same m-of-k co-occurrence rule
-    // (HAVING count >= 4), same containment division (denominator
-    // greatest(|A|,1) exactly as the engine's containment()).
+    // step-for-step: same shingles, same df, same corpus-relative anchor
+    // cap (greatest(ceil(0.2·n), 16)), same (df, shingle)-ordered anchor
+    // top-k (k=10), same m-of-k co-occurrence rule (HAVING count >= 4),
+    // same containment division (denominator greatest(|A|,1) exactly as
+    // the engine's containment()).
     "q67_containment_pairs" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |cap AS (SELECT greatest(CAST(ceil(0.2 * count(*)) AS BIGINT), 16) AS v FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(ws)-1, 1)),
         |  i -> array_to_string(ws[i:i+1], ' '))) AS s FROM w),
         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
         |dfreq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
         |ranked AS (SELECT e.doc_id, e.g, d.df,
         |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.g) AS rn
-        |  FROM ex e JOIN dfreq d ON e.g = d.g WHERE d.df <= 1000),
+        |  FROM ex e JOIN dfreq d ON e.g = d.g WHERE d.df <= (SELECT v FROM cap)),
         |anchors AS (SELECT doc_id, g FROM ranked WHERE rn <= 10),
         |cand AS (SELECT a.doc_id AS ida, e.doc_id AS idb
         |  FROM anchors a JOIN ex e ON a.g = e.g WHERE a.doc_id <> e.doc_id

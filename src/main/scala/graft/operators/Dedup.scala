@@ -598,10 +598,18 @@ object Dedup {
     * anchor df 257 — "rare" is relative on generated text), while m=4/
     * k=10 needs four independent co-occurrences (68 k candidates, 67×
     * fewer, IDENTICAL verified output on the same corpus). Anchors are
-    * further restricted to shingles with df ≤ `maxAnchorDf`: this bounds
-    * every inverted-index bucket the join touches, and a doc whose EVERY
-    * shingle is more frequent than the cap is boilerplate by definition
-    * and generates no candidates as the contained side.
+    * further restricted to shingles with df ≤ ceil(`maxAnchorDfFrac` · n)
+    * (floored at 16 for tiny corpora): this bounds every inverted-index
+    * bucket the join touches, and a doc whose EVERY shingle is more
+    * frequent than the cap is boilerplate by definition and generates no
+    * candidates as the contained side. The cap is a FRACTION of corpus
+    * size, not an absolute count — idf-style rarity. An absolute cap is a
+    * scale defect: on a 10×-replicated corpus every shingle's df
+    * multiplies by the replication factor, a fixed cap classifies every
+    * document as boilerplate, and the operator silently returns zero rows
+    * (measured — that is how this parameter became a fraction). Relative
+    * rarity keeps the semantics invariant under corpus growth; the
+    * corpus count it needs is one footer-only count(*) job.
     *
     * Scale shape: one shingling pass (checkpointed); df is one map-side-
     * combined count shuffle; the anchor top-k is a per-doc window over the
@@ -620,8 +628,10 @@ object Dedup {
       shingleLen: Int = 2,
       anchorsPerDoc: Int = 10,
       minAnchorHits: Int = 4,
-      maxAnchorDf: Long = 1000L,
+      maxAnchorDfFrac: Double = 0.2,
       threshold: Double = 0.8): DataFrame = {
+    val maxAnchorDf =
+      math.max(math.ceil(maxAnchorDfFrac * docs.select(idCol).count()).toLong, 16L)
     val shingled = docs
       .select(col(idCol).as("__cid"), wordShingles(col(textCol), shingleLen).as("__csh"))
       .lazySerCkpt
