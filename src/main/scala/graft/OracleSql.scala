@@ -435,6 +435,39 @@ object OracleSql {
         |SELECT ida AS id1, idb AS id2, containment FROM ver
         |WHERE containment >= 0.8 ORDER BY id1, id2""".stripMargin,
 
+    // Containment dedup in production order: q65's transitive-curation
+    // survivors (CurationPrefixSql + recursive closure — `sh` already
+    // holds gated docs' shingle arrays, so the containment tier reuses it
+    // semi-joined to the survivor set) feeding q67's containment pipeline
+    // (c-prefixed CTEs; same corpus-relative cap computed over SURVIVORS,
+    // same anchor top-k, same m-of-k rule, same division).
+    "q69_containment_curated" ->
+      ("WITH RECURSIVE " + CurationPrefixSql + """,
+        |edges AS (SELECT id1 AS a, id2 AS b FROM cpairs UNION SELECT id2, id1 FROM cpairs),
+        |reach AS (
+        |  SELECT a AS id, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+        |dropped AS (SELECT id AS doc_id FROM comp WHERE comp <> id),
+        |csh AS (SELECT s1.doc_id, s1.s FROM sh s1
+        |  WHERE NOT EXISTS (SELECT 1 FROM dropped c WHERE c.doc_id = s1.doc_id)),
+        |ccap AS (SELECT greatest(CAST(ceil(0.2 * count(*)) AS BIGINT), 16) AS v FROM csh),
+        |cex AS (SELECT doc_id, unnest(s) AS g FROM csh),
+        |cdfreq AS (SELECT g, count(*) AS df FROM cex GROUP BY g),
+        |cranked AS (SELECT e.doc_id, e.g, d.df,
+        |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.g) AS rn
+        |  FROM cex e JOIN cdfreq d ON e.g = d.g WHERE d.df <= (SELECT v FROM ccap)),
+        |canchors AS (SELECT doc_id, g FROM cranked WHERE rn <= 10),
+        |ccand AS (SELECT a.doc_id AS ida, e.doc_id AS idb
+        |  FROM canchors a JOIN cex e ON a.g = e.g WHERE a.doc_id <> e.doc_id
+        |  GROUP BY a.doc_id, e.doc_id HAVING count(*) >= 4),
+        |cver AS (SELECT c.ida, c.idb,
+        |    round(CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / CAST(greatest(len(s1.s), 1) AS DOUBLE), 6) AS containment
+        |  FROM ccand c JOIN csh s1 ON s1.doc_id = c.ida JOIN csh s2 ON s2.doc_id = c.idb)
+        |SELECT ida AS id1, idb AS id2, containment FROM cver
+        |WHERE containment >= 0.8 ORDER BY id1, id2""".stripMargin),
+
     // Embedding dedup, transitive survivors — q25's auto-geometry bucket
     // pairs closed with the q65-style recursive reachability; survivors =
     // every vec_id not dropped (min id per component survives).

@@ -820,6 +820,33 @@ object SparkEntry {
     Dedup.containmentPairs(T(s, d, "documents"), "doc_id", "text")
       .orderBy("id1", "id2")
 
+  // ---- containment dedup, PRODUCTION order: curate first (exact dedup +
+  // quality/lang gates + transitive near-dup removal, q65's configuration),
+  // THEN hunt doc-inside-doc containment among the survivors. Order matters
+  // at scale: near-dup clusters make rare-shingle anchors non-rare (each
+  // anchor's df multiplies by the cluster size), inflating the candidate
+  // expansion ~F² on an F×-replicated corpus — measured 224 s at 10× raw vs
+  // seconds on survivors (SCALE_r09.md). Containment is the operator that
+  // finds what curation's Jaccard stage structurally cannot; running it
+  // downstream of curation is both the cheap order and the semantic one.
+  // On the fixture corpus the verified answer is EMPTY — every raw
+  // containment pair is a symmetric near-dup (J ≥ 0.82, size ratio ≈ 1)
+  // that curation removes, and the synthetic text has no |B| ≫ |A|
+  // doc-inside-doc structure. Non-vacuous: the full pipeline still runs
+  // (sf0.01: 280 survivor candidates evaluated, max containment 0.45 —
+  // nowhere near the 0.8 bar) and the DuckDB oracle derives the same
+  // empty set from the same stages; DedupSpec pins the non-empty case on
+  // a fixture where the structure exists.
+  private def q69ContainmentCurated(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val survivors = graft.operators.Curation
+      .pipeline(docs, "doc_id", "text", transitive = true)
+      .select("doc_id")
+    Dedup.containmentPairs(
+        docs.join(survivors, Seq("doc_id"), "left_semi"), "doc_id", "text")
+      .orderBy("id1", "id2")
+  }
+
   // ---- embedding dedup with transitive survivorship: sign-bucket LSH
   // near-dup pairs (q25's auto geometry) closed into components
   // (connectedComponents), one min-id survivor per cluster — q65's
@@ -1012,7 +1039,8 @@ object SparkEntry {
     "q65_curation_transitive" -> (q65CurationTransitive _),
     "q66_curation_production" -> (q66CurationProduction _),
     "q67_containment_pairs" -> (q67ContainmentPairs _),
-    "q68_embedding_dedup" -> (q68EmbeddingDedup _)
+    "q68_embedding_dedup" -> (q68EmbeddingDedup _),
+    "q69_containment_curated" -> (q69ContainmentCurated _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -660,6 +660,30 @@ class DedupSpec extends SparkSpecBase {
     assert(survivors === Seq(0L, 1L, 2L))
   }
 
+  test("containment after curation: replicas collapse first, doc-inside-doc found among survivors") {
+    // Production order (q69): near-dup replicas B/B' would each contain A
+    // and each other, inflating anchors' document frequency and the pair
+    // output; curation (transitive) collapses {B, B'} to B first, then
+    // containment finds the one semantic pair A→B.
+    val small = "the quick brown fox jumps over the lazy dog near the river"
+    val tail = (1 to 60).map(i => s"the filler$i and token$i").mkString(" ")
+    val docs = Seq(
+      1L -> small, // A
+      2L -> s"$small $tail", // B: contains A
+      3L -> s"$small $tail extra", // B': near-dup replica of B
+      4L -> "this is a different document and it talks about the weather in the city and what people said there"
+    ).toDF("doc_id", "text")
+    val survivors = graft.operators.Curation.pipeline(docs, "doc_id", "text",
+        minQuality = 0.0, bands = 16, rowsPerBand = 1, jaccardThreshold = 0.4,
+        transitive = true)
+      .select("doc_id")
+    val pairs = Dedup.containmentPairs(
+        docs.join(survivors, Seq("doc_id"), "left_semi"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // B' was curated away; exactly the A-in-B pair remains, one direction
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("curation transitive closure keeps one survivor per near-dup component") {
     // Bridge topology: C is a near-dup of BOTH A and B, but A and B share
     // only their middle segment. Pair-drop removes only the higher id of
