@@ -630,11 +630,14 @@ object Dedup {
       minAnchorHits: Int = 4,
       maxAnchorDfFrac: Double = 0.2,
       threshold: Double = 0.8): DataFrame = {
-    val maxAnchorDf =
-      math.max(math.ceil(maxAnchorDfFrac * docs.select(idCol).count()).toLong, 16L)
     val shingled = docs
       .select(col(idCol).as("__cid"), wordShingles(col(textCol), shingleLen).as("__csh"))
       .lazySerCkpt
+    // corpus count for the relative rarity cap, off the checkpoint — a
+    // separate docs.count() would recompute an expensive input (q69 feeds
+    // a whole curation pipeline in here) a second time
+    val maxAnchorDf =
+      math.max(math.ceil(maxAnchorDfFrac * shingled.count()).toLong, 16L)
     val ex = shingled.select(col("__cid"), explode(col("__csh")).as("__g"))
     val dfreq = ex.groupBy("__g").agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window
