@@ -1,8 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** The bench session, shared with `DevStageMetrics` so the stages that
+    * tool audits are the stages this bench measures — the config block
+    * must live in exactly one place (a conf added to only one of the two
+    * silently breaks the mirror contract).
+    */
+  def benchSession(): SparkSession = {
     // the harness machine is 32-way; size parallelism to it unless told otherwise
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -50,6 +55,12 @@ object Bench {
       .config("spark.sql.ui.retainedExecutions", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = benchSession()
 
     // Big-SF drives need partial runs: SPARK_GRAFT_ONLY=q45,q17 restricts
     // to a subset (so one multi-hour rung can't zero a whole suite run and
@@ -150,7 +161,7 @@ object Bench {
     // NUL in an exception message is invalid JSON and an unparseable artifact
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-                  case '\r' => ""; case '\t' => "\\t"
+                  case '\r' => "\\r"; case '\t' => "\\t"
                   case c if c < 0x20 => f"\\u${c.toInt}%04x"; case c => c.toString }
     val errorsJson = (cold.map(n => n -> "cold") ++ warm.map(n => n -> "warm") ++
         firstComputation.map(n => n -> "first"))

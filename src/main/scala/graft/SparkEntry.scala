@@ -837,6 +837,12 @@ object SparkEntry {
   // nowhere near the 0.8 bar) and the DuckDB oracle derives the same
   // empty set from the same stages; DedupSpec pins the non-empty case on
   // a fixture where the structure exists.
+  // Known redundancy, accepted: containmentPairs re-shingles the survivor
+  // corpus although Curation.pipeline shingled the gated superset
+  // internally (the oracle reuses its `sh` CTE). One extra tokenization
+  // pass over ~N survivors vs keeping the operator APIs composable on
+  // plain (id, text) frames — revisit only if a profile shows it matters
+  // (at 100× the whole containment tier adds ~2 s on top of curation).
   private def q69ContainmentCurated(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents")
     val survivors = graft.operators.Curation

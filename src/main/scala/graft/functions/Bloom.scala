@@ -63,8 +63,12 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
       child == b.child && java.util.Arrays.equals(filterBytes, b.filterBytes)
     case _ => false
   }
+  // cached: Catalyst hashes expressions repeatedly during planning
+  // (ExpressionSet, EquivalentExpressions) and the filter is MB-sized
+  @transient private lazy val filterBytesHash: Int =
+    java.util.Arrays.hashCode(filterBytes)
   override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
+    31 * child.hashCode() + filterBytesHash
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)

@@ -611,6 +611,18 @@ object Dedup {
     * rarity keeps the semantics invariant under corpus growth; the
     * corpus count it needs is one footer-only count(*) job.
     *
+    * Deliberate recall boundary: a doc with fewer than `minAnchorHits`
+    * distinct shingles can never be reported as the contained side (its
+    * anchor set is smaller than m, so no candidate forms even at
+    * containment 1.0). That is a precision choice, not an oversight: a
+    * ≤4-word fragment "contained" in thousands of documents is boilerplate
+    * (its pair set is near-quadratic and dedup-useless), and the m-of-k
+    * rule is what keeps candidate generation bounded. Callers who need
+    * micro-doc containment should length-partition those docs out and
+    * handle them with exact match (they have almost no shingle structure
+    * to fuzzily contain). The oracle mirrors the same m, so the compare
+    * pins the implemented semantics.
+    *
     * Scale shape: one shingling pass (checkpointed); df is one map-side-
     * combined count shuffle; the anchor top-k is a per-doc window over the
     * exploded grams (docs are bounded, no skew); the candidate join
