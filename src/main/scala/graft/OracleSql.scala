@@ -468,6 +468,36 @@ object OracleSql {
         |SELECT ida AS id1, idb AS id2, containment FROM cver
         |WHERE containment >= 0.8 ORDER BY id1, id2""".stripMargin),
 
+    // Substring-level duplication report — mirrors Dedup.duplicatedSpans
+    // step-for-step: same stride-1 8-token windows over the same
+    // tokenizer, same two-step global-first rule (min doc_id, then min
+    // pos within that doc), same gap->8 merge flag (null lag folds to 0
+    // in both engines), same [pos, pos+8) span arithmetic.
+    "q70_substring_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |wins AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(0, len(ws) - 8),
+        |      i -> struct_pack(pos := i, g := array_to_string(ws[i+1:i+8], ' ')))) AS u
+        |  FROM w WHERE len(ws) >= 8)),
+        |grp AS (SELECT g, count(*) AS c, min(doc_id) AS md FROM wins GROUP BY g),
+        |dup AS (SELECT g, md FROM grp WHERE c > 1),
+        |firsts AS (SELECT w2.g, min(w2.pos) AS mp FROM wins w2
+        |  JOIN dup ON w2.g = dup.g AND w2.doc_id = dup.md GROUP BY w2.g),
+        |marked AS (SELECT w3.doc_id, w3.pos FROM wins w3
+        |  JOIN dup ON w3.g = dup.g JOIN firsts f ON w3.g = f.g
+        |  WHERE NOT (w3.doc_id = dup.md AND w3.pos = f.mp)),
+        |flag AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM marked),
+        |sid AS (SELECT doc_id, pos,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flag),
+        |spans AS (SELECT doc_id, sid, min(pos) AS s, max(pos) + 8 AS e
+        |  FROM sid GROUP BY doc_id, sid)
+        |SELECT doc_id, count(*) AS dup_spans, CAST(sum(e - s) AS BIGINT) AS dup_tokens
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Embedding dedup, transitive survivors — q25's auto-geometry bucket
     // pairs closed with the q65-style recursive reachability; survivors =
     // every vec_id not dropped (min id per component survives).

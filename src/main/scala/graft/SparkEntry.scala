@@ -853,6 +853,15 @@ object SparkEntry {
       .orderBy("id1", "id2")
   }
 
+  // ---- substring-level duplication report: stride-1 8-token windows,
+  // corpus-wide duplicate detection, global-first survivor rule, merged
+  // spans per doc (Lee et al. 2021 operator family — duplication at ANY
+  // alignment, vs q55's chunk-boundary-aligned form). One count shuffle +
+  // one marking join + a per-doc window pass; native WordWindowsExpr.
+  private def q70SubstringDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicatedSpans(T(s, d, "documents"), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+
   // ---- embedding dedup with transitive survivorship: sign-bucket LSH
   // near-dup pairs (q25's auto geometry) closed into components
   // (connectedComponents), one min-id survivor per cluster — q65's
@@ -1046,7 +1055,8 @@ object SparkEntry {
     "q66_curation_production" -> (q66CurationProduction _),
     "q67_containment_pairs" -> (q67ContainmentPairs _),
     "q68_embedding_dedup" -> (q68EmbeddingDedup _),
-    "q69_containment_curated" -> (q69ContainmentCurated _)
+    "q69_containment_curated" -> (q69ContainmentCurated _),
+    "q70_substring_dedup" -> (q70SubstringDedup _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -420,6 +420,101 @@ case class WordChunksExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** OVERLAPPING stride-1 `k`-word windows of a document, in positional
+  * order (element i = words i..i+k-1 joined with single spaces) — the
+  * native form of
+  * `transform(sequence(0, n-k), i -> array_join(slice(ws, i+1, k), ' '))`
+  * over `ws = split(trim(text), "\\s+")`, which pays one interpreted
+  * lambda + slice + join per window (~n windows per doc — 10× the
+  * chunk count of [[WordChunksExpr]], so the HOF tax lands 10× harder).
+  * Returns the EMPTY array when the doc has fewer than `k` tokens (the
+  * SQL mirror is `WHERE len(ws) >= k` on the exploded form). Tokenizer
+  * semantics are identical to [[WordChunksExpr]] (split(-1) quirks, 0x20
+  * trim, `[""]` for empty text), so a sub-k doc contributes nothing and
+  * every window string is bit-identical to DuckDB's
+  * `array_to_string(ws[i+1:i+k], ' ')`. Fuzz-pinned in DedupSpec.
+  *
+  * The stride-1 shape is what substring-level dedup needs (reference for
+  * the operator family: Lee et al. 2021, "Deduplicating Training Data
+  * Makes Language Models Better" — repeated ≥k-token substrings across a
+  * corpus, at ANY alignment): chunked windows (q55) only catch
+  * duplication aligned to chunk boundaries; positional windows catch a
+  * copied sentence wherever it lands.
+  */
+case class WordWindowsExpr(child: Expression, k: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  require(k >= 1, "window size >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_windows"
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes
+    var start = 0
+    var end = n
+    while (start < end && s.getByte(start) == ' ') start += 1
+    while (end > start && s.getByte(end - 1) == ' ') end -= 1
+
+    // token boundaries as (start, end) byte offsets, split(-1) semantics
+    val tokStarts = new java.util.ArrayList[Integer]()
+    val tokEnds = new java.util.ArrayList[Integer]()
+    if (start == end) { tokStarts.add(0); tokEnds.add(0) } // [""]
+    else {
+      var tokStart = start
+      var j = start
+      while (j < end) {
+        if (isWs(s.getByte(j))) {
+          tokStarts.add(tokStart); tokEnds.add(j)
+          while (j < end && isWs(s.getByte(j))) j += 1
+          tokStart = j
+        } else j += 1
+      }
+      tokStarts.add(tokStart); tokEnds.add(end)
+    }
+
+    val nTok = tokStarts.size()
+    val nWin = Math.max(nTok - k + 1, 0)
+    val wins = new Array[UTF8String](nWin)
+    var w = 0
+    while (w < nWin) {
+      val until = w + k
+      var bytes = k - 1 // single-space joins, concat_ws-style
+      var t = w
+      while (t < until) { bytes += tokEnds.get(t) - tokStarts.get(t); t += 1 }
+      val buf = new Array[Byte](bytes)
+      var o = 0
+      t = w
+      while (t < until) {
+        if (t > w) { buf(o) = ' '; o += 1 }
+        var p = tokStarts.get(t).intValue()
+        val e = tokEnds.get(t).intValue()
+        while (p < e) { buf(o) = s.getByte(p); o += 1; p += 1 }
+        t += 1
+      }
+      wins(w) = UTF8String.fromBytes(buf)
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(wins.asInstanceOf[Array[Any]])
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("wordWindows", this, classOf[WordWindowsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"(ArrayData) $ref.evalWindows($c)")
+  }
+
+  def evalWindows(s: UTF8String): Any = nullSafeEval(s)
+
+  override protected def withNewChildInternal(newChild: Expression): WordWindowsExpr =
+    copy(child = newChild)
+}
+
 /** Per-document term counts as `map<string,int>` in one pass — the native
   * fusion of `explode(split(x, "\\s+"))` + `filter(w != "")` +
   * `groupBy(doc, w).count()`: the per-document aggregation happens inside

@@ -689,6 +689,71 @@ object Dedup {
       .select(col("__ida").as("id1"), col("__idb").as("id2"), col("containment"))
   }
 
+  /** Substring-level duplication report: per document, the number of
+    * MERGED duplicated spans and the total duplicated token count, where a
+    * position is "duplicated" when its stride-1 `k`-token window occurs at
+    * ≥ 2 (doc, pos) positions corpus-wide and this occurrence is not the
+    * group's global first (min doc id, then min position — the surviving
+    * copy). Operator family: Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better" — repeated ≥ k-token substrings at ANY
+    * alignment, which chunk-level dedup ([[chunkDedup]], q55) only catches
+    * when the copy lands on a chunk boundary. A within-doc repeat counts:
+    * its first position survives, later positions mark.
+    *
+    * Marked stride-1 intervals [pos, pos+k) merge when contiguous or
+    * overlapping (gap ≤ k); each merged span contributes (end − start)
+    * duplicated tokens — the tokens a removal pass would delete.
+    *
+    * Scale shape: windows are one native one-pass expression
+    * ([[graft.functions.WordWindowsExpr]]) + posexplode (~tokens-per-doc
+    * rows, checkpointed — consumed by the group stats, the first-position
+    * lookup, and the marking join); duplicate detection is ONE map-side-
+    * combined count shuffle on the window string; marking is a hash join
+    * back on the same key (AQE skew-join armed for degenerate hot
+    * windows); span merging is a per-doc window pass (bounded partitions —
+    * positions per doc ≤ tokens). Every step is mirrored by portable SQL:
+    * the same two-step first-occurrence rule (min doc, then min pos within
+    * that doc), the same gap-> k merge flag (null lag folds to 0 in both
+    * engines), the same [pos, pos+k) arithmetic.
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val winsCol = GraftColumnBridge.column(graft.functions.WordWindowsExpr(
+      GraftColumnBridge.expression(coalesce(col(textCol).cast("string"), lit(""))), k))
+    val wins = docs
+      .select(col(idCol).as("__did"), winsCol.as("__ws"))
+      .select(col("__did"), posexplode(col("__ws")).as(Seq("__pos", "__g")))
+      .lazySerCkpt
+    val dupGrams = wins.groupBy("__g")
+      .agg(count(lit(1)).as("__c"), min("__did").as("__md"))
+      .filter(col("__c") > 1)
+      .select("__g", "__md")
+    val firsts = wins.join(dupGrams, Seq("__g"))
+      .filter(col("__did") === col("__md"))
+      .groupBy("__g").agg(min("__pos").as("__mp"))
+    val marked = wins
+      .join(dupGrams.join(firsts, Seq("__g")), Seq("__g"))
+      .filter(!(col("__did") === col("__md") && col("__pos") === col("__mp")))
+      .select("__did", "__pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__did")).orderBy(col("__pos"))
+    marked
+      // gap > k starts a new span; first row's null lag folds to 0
+      .withColumn("__new",
+        when(col("__pos") - lag(col("__pos"), 1).over(w) > k, lit(1)).otherwise(lit(0)))
+      .withColumn("__sid", sum(col("__new")).over(w))
+      .groupBy(col("__did"), col("__sid"))
+      .agg(min(col("__pos")).as("__s"), (max(col("__pos")) + lit(k)).as("__e"))
+      .groupBy(col("__did"))
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("__e") - col("__s")).as("dup_tokens"))
+      .select(col("__did").as(idCol), col("dup_spans"), col("dup_tokens"))
+  }
+
   /** SimHash as a bit string: bit j is the sign of the majority vote over
     * tokens of bit j of md5(token) (the j-th hex nibble's high bit). `bits`
     * ≤ 32. Near-duplicates differ in few bits → bucket by prefix to find

@@ -126,6 +126,55 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("native word windows are bit-identical to the transform/slice formulation") {
+    val rng = new scala.util.Random(101)
+    val alphabet = "ab \t\nc€字 d "
+    val fuzz = Seq.fill(80)(
+      Seq.fill(rng.nextInt(50))(alphabet(rng.nextInt(alphabet.length))).mkString)
+    val samples = Seq("a b c d e f g h i j", "", " ", "\tlead", "trail\t",
+      "one", "a  b   c", "exactly eight words in this tiny test here", null) ++ fuzz
+    for (k <- Seq(1, 3, 8)) {
+      val df = samples.toDF("text").select(
+        {
+          import org.apache.spark.sql.GraftColumnBridge
+          GraftColumnBridge.column(graft.functions.WordWindowsExpr(
+            GraftColumnBridge.expression(coalesce(col("text").cast("string"), lit(""))), k))
+        }.as("native"),
+        // sequence(0, n-k) DESCENDS when n < k (and ANSI slice throws on
+        // start 0), so the interpreted form needs the emptiness guard the
+        // native expression builds in
+        expr(s"""CASE WHEN size(split(trim(coalesce(text, '')), '\\\\s+')) >= $k
+             THEN transform(
+               sequence(0, size(split(trim(coalesce(text, '')), '\\\\s+')) - $k),
+               i -> array_join(slice(split(trim(coalesce(text, '')), '\\\\s+'), i + 1, $k), ' '))
+             ELSE array() END""")
+          .as("interp"))
+      df.collect().zip(samples).foreach { case (r, s) =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"k=$k mismatch on '$s'")
+      }
+    }
+  }
+
+  test("duplicatedSpans: global-first survives, spans merge, within-doc repeats count") {
+    // doc 1 owns the first occurrence of the repeated sentence (8 tokens);
+    // doc 2 contains it twice (both marked — cross-doc dup), at positions
+    // 2 and 10: windows 2..10 all duplicated? no — only the exact 8-token
+    // windows that repeat corpus-wide mark, i.e. pos 2 and pos 10, which
+    // are k apart and merge into ONE contiguous span of 16 tokens.
+    val sent = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      1L -> s"unique lead-in words here then $sent",
+      2L -> s"aa bb $sent $sent zz",
+      3L -> "completely different filler content with no repeated sequences at all today"
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: its window at pos 5 is the global first (min doc) -> survives,
+    // doc 1 reports nothing; doc 2: positions 2 and 10 marked, gap == k
+    // -> one merged span covering [2, 18) = 16 tokens; doc 3: clean
+    assert(out === Array((2L, 1L, 16L)))
+  }
+
   test("jaccard: 1 for identical sets, 0 for disjoint, symmetric in between") {
     val df = Seq((docA, docA), (docA, docC), (docA, docB)).toDF("a", "b")
       .select(Dedup.jaccard(
