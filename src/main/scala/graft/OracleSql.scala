@@ -498,6 +498,42 @@ object OracleSql {
         |SELECT doc_id, count(*) AS dup_spans, CAST(sum(e - s) AS BIGINT) AS dup_tokens
         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Actionable substring dedup (q70's removal form) — same CTEs through
+    // `spans`, then every doc rebuilt from its kept token positions (the
+    // [s, e) containment test mirrors the engine's exists() lambda; null
+    // span list folds to "keep everything" via the coalesce).
+    "q71_substring_clean" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |wins AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(0, len(ws) - 8),
+        |      i -> struct_pack(pos := i, g := array_to_string(ws[i+1:i+8], ' ')))) AS u
+        |  FROM w WHERE len(ws) >= 8)),
+        |grp AS (SELECT g, count(*) AS c, min(doc_id) AS md FROM wins GROUP BY g),
+        |dup AS (SELECT g, md FROM grp WHERE c > 1),
+        |firsts AS (SELECT w2.g, min(w2.pos) AS mp FROM wins w2
+        |  JOIN dup ON w2.g = dup.g AND w2.doc_id = dup.md GROUP BY w2.g),
+        |marked AS (SELECT w3.doc_id, w3.pos FROM wins w3
+        |  JOIN dup ON w3.g = dup.g JOIN firsts f ON w3.g = f.g
+        |  WHERE NOT (w3.doc_id = dup.md AND w3.pos = f.mp)),
+        |flag AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM marked),
+        |sid AS (SELECT doc_id, pos,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flag),
+        |spans AS (SELECT doc_id, sid, min(pos) AS s, max(pos) + 8 AS e
+        |  FROM sid GROUP BY doc_id, sid),
+        |spanlist AS (SELECT doc_id AS sdoc, list(struct_pack(s := s, e := e)) AS sp
+        |  FROM spans GROUP BY doc_id)
+        |SELECT w.doc_id, coalesce(array_to_string(
+        |  list_transform(
+        |    list_filter(
+        |      list_transform(generate_series(1, len(w.ws)), i -> struct_pack(w := w.ws[i], i := i - 1)),
+        |      x -> coalesce(len(list_filter(sl.sp, spn -> x.i >= spn.s AND x.i < spn.e)), 0) = 0),
+        |    x -> x.w), ' '), '') AS clean_text
+        |FROM w LEFT JOIN spanlist sl ON w.doc_id = sl.sdoc ORDER BY w.doc_id""".stripMargin,
+
     // Embedding dedup, transitive survivors — q25's auto-geometry bucket
     // pairs closed with the q65-style recursive reachability; survivors =
     // every vec_id not dropped (min id per component survives).

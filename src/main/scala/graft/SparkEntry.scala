@@ -862,6 +862,14 @@ object SparkEntry {
     Dedup.duplicatedSpans(T(s, d, "documents"), "doc_id", "text", k = 8)
       .orderBy("doc_id")
 
+  // ---- the actionable form of q70: duplicated token ranges DELETED —
+  // the keep-one-copy removal pass a training pipeline runs. Rows
+  // preserved; clean_text whitespace-canonicalized for every doc
+  // (deterministic, exactly SQL-mirrorable).
+  private def q71SubstringClean(s: SparkSession, d: String): DataFrame =
+    Dedup.removeDuplicatedSpans(T(s, d, "documents"), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+
   // ---- embedding dedup with transitive survivorship: sign-bucket LSH
   // near-dup pairs (q25's auto geometry) closed into components
   // (connectedComponents), one min-id survivor per cluster — q65's
@@ -1056,7 +1064,8 @@ object SparkEntry {
     "q67_containment_pairs" -> (q67ContainmentPairs _),
     "q68_embedding_dedup" -> (q68EmbeddingDedup _),
     "q69_containment_curated" -> (q69ContainmentCurated _),
-    "q70_substring_dedup" -> (q70SubstringDedup _)
+    "q70_substring_dedup" -> (q70SubstringDedup _),
+    "q71_substring_clean" -> (q71SubstringClean _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

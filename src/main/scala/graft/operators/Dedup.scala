@@ -720,7 +720,23 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8): DataFrame =
+    markedSpans(docs, idCol, textCol, k)
+      .groupBy(col("__did"))
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("__e") - col("__s")).as("dup_tokens"))
+      .select(col("__did").as(idCol), col("dup_spans"), col("dup_tokens"))
+
+  /** Shared stage of [[duplicatedSpans]]/[[removeDuplicatedSpans]]: the
+    * merged duplicated token intervals per doc as (__did, __s, __e) —
+    * token positions [s, e) whose k-window occurrences are not their
+    * group's global first.
+    */
+  private def markedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val winsCol = GraftColumnBridge.column(graft.functions.WordWindowsExpr(
       GraftColumnBridge.expression(coalesce(col(textCol).cast("string"), lit(""))), k))
@@ -748,10 +764,47 @@ object Dedup {
       .withColumn("__sid", sum(col("__new")).over(w))
       .groupBy(col("__did"), col("__sid"))
       .agg(min(col("__pos")).as("__s"), (max(col("__pos")) + lit(k)).as("__e"))
-      .groupBy(col("__did"))
-      .agg(count(lit(1)).as("dup_spans"),
-        sum(col("__e") - col("__s")).as("dup_tokens"))
-      .select(col("__did").as(idCol), col("dup_spans"), col("dup_tokens"))
+      .select("__did", "__s", "__e")
+  }
+
+  /** The actionable form of [[duplicatedSpans]]: every document with its
+    * duplicated token ranges DELETED — the pass a training pipeline runs
+    * (Lee et al. 2021 keep-one-copy removal). Every doc comes back (rows
+    * preserved), `clean_text` = the kept tokens joined with single spaces
+    * — whitespace canonicalizes for every doc, including untouched ones,
+    * which keeps the transform deterministic and exactly mirrorable in
+    * SQL (same tokenizer, same [s, e) containment test, same join).
+    *
+    * Scale shape: [[markedSpans]]'s cost plus one left join of the corpus
+    * against the per-doc span lists (spans per doc are merged intervals —
+    * bounded and small) and one per-row rebuild expression; the rebuild's
+    * per-token lambda is interpreted, but spans-per-doc is tiny so the
+    * inner `exists` is O(spans) with small constants.
+    */
+  def removeDuplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    val spans = markedSpans(docs, idCol, textCol, k)
+      .groupBy("__did")
+      .agg(collect_list(struct(col("__s").as("s"), col("__e").as("e"))).as("__spans"))
+    docs
+      .select(col(idCol), coalesce(col(textCol).cast("string"), lit("")).as("__t"))
+      .join(spans, col(idCol) === col("__did"), "left")
+      .withColumn("__sp", coalesce(col("__spans"),
+        expr("CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>)")))
+      .withColumn("clean_text", expr(
+        """array_join(
+          |  transform(
+          |    filter(
+          |      zip_with(split(trim(__t), '\\s+'),
+          |               sequence(0, size(split(trim(__t), '\\s+')) - 1),
+          |               (w, i) -> struct(w AS w, i AS i)),
+          |      x -> NOT exists(__sp, sp -> x.i >= sp.s AND x.i < sp.e)),
+          |    x -> x.w),
+          |  ' ')""".stripMargin))
+      .select(col(idCol), col("clean_text"))
   }
 
   /** SimHash as a bit string: bit j is the sign of the majority vote over

@@ -175,6 +175,23 @@ class DedupSpec extends SparkSpecBase {
     assert(out === Array((2L, 1L, 16L)))
   }
 
+  test("removeDuplicatedSpans deletes marked ranges, keeps the global first copy") {
+    val sent = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      1L -> s"unique lead-in words here then $sent",
+      2L -> s"aa bb $sent $sent zz",
+      3L -> "completely different filler content with no repeated sequences at all today"
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // doc 1 holds the surviving copy — untouched (canonicalized); doc 2's
+    // merged span [2, 18) deletes both copies of the sentence; doc 3 clean
+    assert(out(0) === ((1L, s"unique lead-in words here then $sent")))
+    assert(out(1) === ((2L, "aa bb zz")))
+    assert(out(2) === ((3L,
+      "completely different filler content with no repeated sequences at all today")))
+  }
+
   test("jaccard: 1 for identical sets, 0 for disjoint, symmetric in between") {
     val df = Seq((docA, docA), (docA, docC), (docA, docB)).toDF("a", "b")
       .select(Dedup.jaccard(
