@@ -470,7 +470,7 @@ object OracleSql {
 
     // Substring-level duplication report — mirrors Dedup.duplicatedSpans
     // step-for-step: same stride-1 8-token windows over the same
-    // tokenizer, same two-step global-first rule (min doc_id, then min
+    // tokenizer, same lexicographic min(doc, pos) global-first rule (min doc_id, then min
     // pos within that doc), same gap->8 merge flag (null lag folds to 0
     // in both engines), same [pos, pos+8) span arithmetic.
     "q70_substring_dedup" ->
@@ -479,13 +479,12 @@ object OracleSql {
         |  SELECT doc_id, unnest(list_transform(generate_series(0, len(ws) - 8),
         |      i -> struct_pack(pos := i, g := array_to_string(ws[i+1:i+8], ' ')))) AS u
         |  FROM w WHERE len(ws) >= 8)),
-        |grp AS (SELECT g, count(*) AS c, min(doc_id) AS md FROM wins GROUP BY g),
-        |dup AS (SELECT g, md FROM grp WHERE c > 1),
-        |firsts AS (SELECT w2.g, min(w2.pos) AS mp FROM wins w2
-        |  JOIN dup ON w2.g = dup.g AND w2.doc_id = dup.md GROUP BY w2.g),
+        |grp AS (SELECT g, count(*) AS c,
+        |    min(struct_pack(d := doc_id, p := pos)) AS first FROM wins GROUP BY g),
+        |dup AS (SELECT g, first FROM grp WHERE c > 1),
         |marked AS (SELECT w3.doc_id, w3.pos FROM wins w3
-        |  JOIN dup ON w3.g = dup.g JOIN firsts f ON w3.g = f.g
-        |  WHERE NOT (w3.doc_id = dup.md AND w3.pos = f.mp)),
+        |  JOIN dup ON w3.g = dup.g
+        |  WHERE NOT (w3.doc_id = dup.first.d AND w3.pos = dup.first.p)),
         |flag AS (SELECT doc_id, pos,
         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
         |         THEN 1 ELSE 0 END AS nw
@@ -508,13 +507,12 @@ object OracleSql {
         |  SELECT doc_id, unnest(list_transform(generate_series(0, len(ws) - 8),
         |      i -> struct_pack(pos := i, g := array_to_string(ws[i+1:i+8], ' ')))) AS u
         |  FROM w WHERE len(ws) >= 8)),
-        |grp AS (SELECT g, count(*) AS c, min(doc_id) AS md FROM wins GROUP BY g),
-        |dup AS (SELECT g, md FROM grp WHERE c > 1),
-        |firsts AS (SELECT w2.g, min(w2.pos) AS mp FROM wins w2
-        |  JOIN dup ON w2.g = dup.g AND w2.doc_id = dup.md GROUP BY w2.g),
+        |grp AS (SELECT g, count(*) AS c,
+        |    min(struct_pack(d := doc_id, p := pos)) AS first FROM wins GROUP BY g),
+        |dup AS (SELECT g, first FROM grp WHERE c > 1),
         |marked AS (SELECT w3.doc_id, w3.pos FROM wins w3
-        |  JOIN dup ON w3.g = dup.g JOIN firsts f ON w3.g = f.g
-        |  WHERE NOT (w3.doc_id = dup.md AND w3.pos = f.mp)),
+        |  JOIN dup ON w3.g = dup.g
+        |  WHERE NOT (w3.doc_id = dup.first.d AND w3.pos = dup.first.p)),
         |flag AS (SELECT doc_id, pos,
         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
         |         THEN 1 ELSE 0 END AS nw

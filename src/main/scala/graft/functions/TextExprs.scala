@@ -432,7 +432,11 @@ case class WordChunksExpr(child: Expression, k: Int) extends UnaryExpression {
   * semantics are identical to [[WordChunksExpr]] (split(-1) quirks, 0x20
   * trim, `[""]` for empty text), so a sub-k doc contributes nothing and
   * every window string is bit-identical to DuckDB's
-  * `array_to_string(ws[i+1:i+k], ' ')`. Fuzz-pinned in DedupSpec.
+  * `array_to_string(ws[i+1:i+k], ' ')` — with ONE known divergence class,
+  * shared with every split-based oracle in this repo: Java `\s` includes
+  * vertical tab (0x0B) while DuckDB's RE2 `\s` does not, so a corpus
+  * containing `\v` inside tokens would tokenize differently (no fixture
+  * or generated corpus does). Fuzz-pinned in DedupSpec.
   *
   * The stride-1 shape is what substring-level dedup needs (reference for
   * the operator family: Lee et al. 2021, "Deduplicating Training Data

@@ -712,7 +712,7 @@ object Dedup {
     * back on the same key (AQE skew-join armed for degenerate hot
     * windows); span merging is a per-doc window pass (bounded partitions —
     * positions per doc ≤ tokens). Every step is mirrored by portable SQL:
-    * the same two-step first-occurrence rule (min doc, then min pos within
+    * the same lexicographic min(doc, pos) first-occurrence rule (min doc, then min pos within
     * that doc), the same gap-> k merge flag (null lag folds to 0 in both
     * engines), the same [pos, pos+k) arithmetic.
     */
@@ -744,16 +744,18 @@ object Dedup {
       .select(col(idCol).as("__did"), winsCol.as("__ws"))
       .select(col("__did"), posexplode(col("__ws")).as(Seq("__pos", "__g")))
       .lazySerCkpt
+    // global-first rule (min doc id, then min position) in ONE aggregation:
+    // min over struct(doc, pos) is lexicographic in both engines, so the
+    // two-step formulation's extra join + second aggregation over the
+    // tokens-scale wins relation is unnecessary
     val dupGrams = wins.groupBy("__g")
-      .agg(count(lit(1)).as("__c"), min("__did").as("__md"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("__did"), col("__pos"))).as("__first"))
       .filter(col("__c") > 1)
-      .select("__g", "__md")
-    val firsts = wins.join(dupGrams, Seq("__g"))
-      .filter(col("__did") === col("__md"))
-      .groupBy("__g").agg(min("__pos").as("__mp"))
+      .select("__g", "__first")
     val marked = wins
-      .join(dupGrams.join(firsts, Seq("__g")), Seq("__g"))
-      .filter(!(col("__did") === col("__md") && col("__pos") === col("__mp")))
+      .join(dupGrams, Seq("__g"))
+      .filter(struct(col("__did"), col("__pos")) =!= col("__first"))
       .select("__did", "__pos")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__did")).orderBy(col("__pos"))
@@ -769,8 +771,16 @@ object Dedup {
 
   /** The actionable form of [[duplicatedSpans]]: every document with its
     * duplicated token ranges DELETED — the pass a training pipeline runs
-    * (Lee et al. 2021 keep-one-copy removal). Every doc comes back (rows
-    * preserved), `clean_text` = the kept tokens joined with single spaces
+    * (Lee et al. 2021 keep-one-copy removal). The survivor rule is
+    * occurrence-level, per window group: a group's global-first window
+    * position is never MARKED, but when duplicated regions from different
+    * groups overlap, another group's span may still delete tokens inside
+    * it — so "at least one intact copy of every duplicated substring
+    * corpus-wide" is NOT guaranteed under overlapping duplication (the
+    * same property as any independent-span removal, Lee et al.'s
+    * included; both engines mirror it exactly). Every doc comes back
+    * (rows preserved), `clean_text` = the kept tokens joined with single
+    * spaces
     * — whitespace canonicalizes for every doc, including untouched ones,
     * which keeps the transform deterministic and exactly mirrorable in
     * SQL (same tokenizer, same [s, e) containment test, same join).
@@ -794,12 +804,14 @@ object Dedup {
       .join(spans, col(idCol) === col("__did"), "left")
       .withColumn("__sp", coalesce(col("__spans"),
         expr("CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>)")))
+      // tokenize ONCE — interpreted HOF projections get no codegen CSE, so
+      // referencing split(...) twice would regex-split every doc twice
+      .withColumn("__tok", split(trim(col("__t")), "\\s+"))
       .withColumn("clean_text", expr(
         """array_join(
           |  transform(
           |    filter(
-          |      zip_with(split(trim(__t), '\\s+'),
-          |               sequence(0, size(split(trim(__t), '\\s+')) - 1),
+          |      zip_with(__tok, sequence(0, size(__tok) - 1),
           |               (w, i) -> struct(w AS w, i AS i)),
           |      x -> NOT exists(__sp, sp -> x.i >= sp.s AND x.i < sp.e)),
           |    x -> x.w),

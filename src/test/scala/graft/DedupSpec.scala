@@ -162,17 +162,24 @@ class DedupSpec extends SparkSpecBase {
     // windows that repeat corpus-wide mark, i.e. pos 2 and pos 10, which
     // are k apart and merge into ONE contiguous span of 16 tokens.
     val sent = "alpha bravo charlie delta echo foxtrot golf hotel"
+    // a second 8-token sequence duplicated ONLY inside doc 3: its global
+    // first is within the same doc (min pos survives, the later marks) —
+    // the within-doc branch of the survivor rule, which the cross-doc
+    // fixture alone never exercises
+    val inner = "india juliet kilo lima mike november oscar papa"
     val docs = Seq(
       1L -> s"unique lead-in words here then $sent",
       2L -> s"aa bb $sent $sent zz",
-      3L -> "completely different filler content with no repeated sequences at all today"
+      3L -> s"cc $inner dd ee ff gg hh ii jj kk $inner"
     ).toDF("doc_id", "text")
     val out = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // doc 1: its window at pos 5 is the global first (min doc) -> survives,
     // doc 1 reports nothing; doc 2: positions 2 and 10 marked, gap == k
-    // -> one merged span covering [2, 18) = 16 tokens; doc 3: clean
-    assert(out === Array((2L, 1L, 16L)))
+    // -> one merged span covering [2, 18) = 16 tokens; doc 3: inner at
+    // pos 1 (first, survives) and pos 17 (marked) -> one span [17, 25) =
+    // 8 tokens
+    assert(out === Array((2L, 1L, 16L), (3L, 1L, 8L)))
   }
 
   test("removeDuplicatedSpans deletes marked ranges, keeps the global first copy") {
