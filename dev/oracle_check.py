@@ -32,6 +32,15 @@ def norm(v):
 
 def main(sfdir, outdir, skip=()):
     con = duckdb.connect()
+    # Bound the engine explicitly: at 10x the heavier oracles (q71's
+    # recursive curation + rebuild) overcommit under the default
+    # (80%-of-RAM) limit and get OOM-killed by the OS mid-run. A cap
+    # under physical RAM plus a spill directory makes DuckDB spill
+    # instead of dying; 32 GB is too tight for q67's anchor-join
+    # expansion (hard OOM error), 80 GB fits every oracle at 10x.
+    con.execute("SET memory_limit='80GB'")
+    con.execute("SET threads=16")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
