@@ -412,9 +412,12 @@ object OracleSql {
     // Near-superset containment pairs — mirrors Dedup.containmentPairs
     // step-for-step: same shingles, same df, same corpus-relative anchor
     // cap (greatest(ceil(0.2·n), 16)), same (df, shingle)-ordered anchor
-    // top-k (k=10), same m-of-k co-occurrence rule (HAVING count >= 4),
-    // same containment division (denominator greatest(|A|,1) exactly as
-    // the engine's containment()).
+    // top-k (k=10), same candidate-budget posting cap (prn <= 409 =
+    // maxCandidatesPerDoc/anchorsPerDoc = 4096/10, each anchor-vocabulary
+    // gram keeps its 409 lowest doc ids — inert below ~2k-doc near-dup
+    // clusters, measured 0 drops at sf0.01/sf0.1), same m-of-k
+    // co-occurrence rule (HAVING count >= 4), same containment division
+    // (denominator greatest(|A|,1) exactly as the engine's containment()).
     "q67_containment_pairs" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         |cap AS (SELECT greatest(CAST(ceil(0.2 * count(*)) AS BIGINT), 16) AS v FROM documents),
@@ -426,9 +429,13 @@ object OracleSql {
         |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.g) AS rn
         |  FROM ex e JOIN dfreq d ON e.g = d.g WHERE d.df <= (SELECT v FROM cap)),
         |anchors AS (SELECT doc_id, g FROM ranked WHERE rn <= 10),
-        |cand AS (SELECT a.doc_id AS ida, e.doc_id AS idb
-        |  FROM anchors a JOIN ex e ON a.g = e.g WHERE a.doc_id <> e.doc_id
-        |  GROUP BY a.doc_id, e.doc_id HAVING count(*) >= 4),
+        |postings AS (SELECT e.g, e.doc_id,
+        |    row_number() OVER (PARTITION BY e.g ORDER BY e.doc_id) AS prn
+        |  FROM ex e WHERE e.g IN (SELECT g FROM anchors)),
+        |kept AS (SELECT g, doc_id FROM postings WHERE prn <= 409),
+        |cand AS (SELECT a.doc_id AS ida, k.doc_id AS idb
+        |  FROM anchors a JOIN kept k ON a.g = k.g WHERE a.doc_id <> k.doc_id
+        |  GROUP BY a.doc_id, k.doc_id HAVING count(*) >= 4),
         |ver AS (SELECT c.ida, c.idb,
         |    round(CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / CAST(greatest(len(s1.s), 1) AS DOUBLE), 6) AS containment
         |  FROM cand c JOIN sh s1 ON s1.doc_id = c.ida JOIN sh s2 ON s2.doc_id = c.idb)
@@ -459,9 +466,13 @@ object OracleSql {
         |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.g) AS rn
         |  FROM cex e JOIN cdfreq d ON e.g = d.g WHERE d.df <= (SELECT v FROM ccap)),
         |canchors AS (SELECT doc_id, g FROM cranked WHERE rn <= 10),
-        |ccand AS (SELECT a.doc_id AS ida, e.doc_id AS idb
-        |  FROM canchors a JOIN cex e ON a.g = e.g WHERE a.doc_id <> e.doc_id
-        |  GROUP BY a.doc_id, e.doc_id HAVING count(*) >= 4),
+        |cpostings AS (SELECT e.g, e.doc_id,
+        |    row_number() OVER (PARTITION BY e.g ORDER BY e.doc_id) AS prn
+        |  FROM cex e WHERE e.g IN (SELECT g FROM canchors)),
+        |ckept AS (SELECT g, doc_id FROM cpostings WHERE prn <= 409),
+        |ccand AS (SELECT a.doc_id AS ida, k.doc_id AS idb
+        |  FROM canchors a JOIN ckept k ON a.g = k.g WHERE a.doc_id <> k.doc_id
+        |  GROUP BY a.doc_id, k.doc_id HAVING count(*) >= 4),
         |cver AS (SELECT c.ida, c.idb,
         |    round(CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / CAST(greatest(len(s1.s), 1) AS DOUBLE), 6) AS containment
         |  FROM ccand c JOIN csh s1 ON s1.doc_id = c.ida JOIN csh s2 ON s2.doc_id = c.idb)

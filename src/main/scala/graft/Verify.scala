@@ -38,8 +38,8 @@ object Verify {
     // (VERDICT r6 #4). Observed-metric delivery is async — poll briefly and
     // diff against the names already seen before each query.
     val mc = new graft.run.MetricsCollector(spark)
+    // caller drains the async metric bus (one 200 ms sleep) before calling
     def guardViolations(before: Set[String]): Seq[String] = {
-      Thread.sleep(200)
       mc.snapshot.toSeq
         .filter { case (name, _) => name.startsWith("lsh_bucket_guard_") && !before(name) }
         .flatMap { case (name, fields) =>
@@ -58,6 +58,21 @@ object Verify {
         // rows-only queries (no oracleSql entry, e.g. q61's xxhash64
         // pipeline) keep their output: guard activation is their designed
         // bounded-work behavior, not a gate violation.
+        Thread.sleep(200) // observed-metric delivery is async — drain once
+        // Containment's candidate-budget guard is SQL-mirrored (the oracle
+        // computes the same posting cap), so activation never diverges from
+        // the oracle — report it, don't withhold (VERDICT r9 #2: "drop
+        // metric visible in Verify's guard report").
+        val info = mc.snapshot.toSeq
+          .filter { case (n2, _) => n2.startsWith("containment_guard_") && !seen(n2) }
+          .flatMap { case (n2, fields) =>
+            fields.collect { case (f, v: Long) if f == "dropped_postings" && v != 0L =>
+              s"$n2.$f=$v" }
+          }
+        if (info.nonEmpty)
+          System.err.println(s"[verify] $name note: containment candidate-budget " +
+            s"guard active (${info.mkString(", ")}) — oracle mirrors the cap; " +
+            "curate-first (q69 order) avoids the recall loss")
         val bad =
           if (SparkEntry.oracleSql.contains(name)) guardViolations(seen)
           else Seq.empty

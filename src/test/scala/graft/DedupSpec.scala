@@ -709,6 +709,36 @@ class DedupSpec extends SparkSpecBase {
     assert(jac < 0.2)
   }
 
+  test("containmentPairs candidate-budget guard bounds replica clusters, keeps true pairs") {
+    // A true containment pair (1 inside 2, rare anchors, df=2) plus a
+    // 12-replica identical-text cluster (each shared gram's posting list
+    // has df=12). With maxCandidatesPerDoc=50 / anchorsPerDoc=10 the
+    // posting cap C=5 keeps each anchor gram's 5 LOWEST doc ids, so every
+    // replica can only pair against replicas 10..14 — candidate output is
+    // hard-bounded and deterministic — while the true pair's postings
+    // (df=2 <= C) are untouched. n=14 docs keeps the df-frac cap at its
+    // floor 16 >= 12, so the cluster grams stay anchor-ELIGIBLE (this
+    // guard is the layer the df cap cannot provide).
+    val small = "aurora borealis shimmered over the frozen tundra last night"
+    val bigTail = (1 to 80).map(i => s"filler$i token$i").mkString(" ")
+    val replicaText = "the shared replica body repeats verbatim across every cluster member here"
+    val docs = (Seq(1L -> small, 2L -> s"$small $bigTail") ++
+      (10L to 21L).map(i => i -> replicaText)).toDF("doc_id", "text")
+    def run(budget: Int) = Dedup.containmentPairs(docs, "doc_id", "text",
+        maxCandidatesPerDoc = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = run(50)
+    val uncapped = run(1000000)
+    // true pair survives both configurations
+    assert(capped.contains((1L, 2L)) && uncapped.contains((1L, 2L)))
+    // uncapped replica cluster goes all-pairs (12*11); capped pairs only
+    // against the 5 kept lowest ids (12*5 - 5 self-pairs)
+    assert(uncapped.count(_._1 >= 10L) === 132)
+    val cluster = capped.filter(_._1 >= 10L)
+    assert(cluster.size === 55)
+    assert(cluster.forall { case (_, b) => b >= 10L && b <= 14L })
+  }
+
   test("containmentPairs: identical twins emit both directions at 1.0") {
     val text = "the migration pipeline resolves foreign keys through broadcast joins at scale"
     val docs = Seq(1L -> text, 2L -> text,
@@ -746,15 +776,21 @@ class DedupSpec extends SparkSpecBase {
       3L -> s"$small $tail extra", // B': near-dup replica of B
       4L -> "this is a different document and it talks about the weather in the city and what people said there"
     ).toDF("doc_id", "text")
-    val survivors = graft.operators.Curation.pipeline(docs, "doc_id", "text",
-        minQuality = 0.0, bands = 16, rowsPerBand = 1, jaccardThreshold = 0.4,
-        transitive = true)
-      .select("doc_id")
-    val pairs = Dedup.containmentPairs(
-        docs.join(survivors, Seq("doc_id"), "left_semi"), "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // B' was curated away; exactly the A-in-B pair remains, one direction
-    assert(pairs === Set((1L, 2L)))
+    def run(hash64: Boolean) = {
+      val survivors = graft.operators.Curation.pipeline(docs, "doc_id", "text",
+          minQuality = 0.0, bands = 16, rowsPerBand = 1, jaccardThreshold = 0.4,
+          hash64 = hash64, transitive = true)
+        .select("doc_id")
+      Dedup.containmentPairs(
+          docs.join(survivors, Seq("doc_id"), "left_semi"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // B' was curated away; exactly the A-in-B pair remains, one direction.
+    // Both hash families: transitive survivorship is hash-family-independent
+    // (quadrant test below), so the production stack (hash64 curation →
+    // containment, q72) emits the same pairs as the md5 oracle twin (q69).
+    assert(run(hash64 = false) === Set((1L, 2L)))
+    assert(run(hash64 = true) === Set((1L, 2L)))
   }
 
   test("curation transitive closure keeps one survivor per near-dup component") {
