@@ -874,6 +874,27 @@ object SparkEntry {
       .orderBy("id1", "id2")
   }
 
+  // ---- the FULL training-data preparation pipeline, composed end-to-end:
+  // curation (exact dedup + gates + transitive near-dup) → containment
+  // removal → substring-level span removal → one clean corpus
+  // (doc_id, clean_text). Stage ordering rationale and the containment
+  // survivor rule live on [[graft.operators.TrainPrep.pipeline]].
+  private def trainPrep(s: SparkSession, d: String, hash64: Boolean): DataFrame =
+    graft.operators.TrainPrep
+      .pipeline(T(s, d, "documents"), "doc_id", "text", hash64 = hash64)
+      .orderBy("doc_id")
+
+  // md5 hash family — the DuckDB-oracle form (recursive-CTE curation
+  // closure + capped containment + q71's substring CTEs, stitched).
+  private def q73TrainPrep(s: SparkSession, d: String): DataFrame =
+    trainPrep(s, d, hash64 = false)
+
+  // production hash family (q66 config) — rows-only twin of q73 (DuckDB
+  // lacks xxhash64; the q63/q66/q72 twin pattern). DedupSpec pins the
+  // hash-family-independence of every stage this composition chains.
+  private def q74TrainPrepProduction(s: SparkSession, d: String): DataFrame =
+    trainPrep(s, d, hash64 = true)
+
   // ---- substring-level duplication report: stride-1 8-token windows,
   // corpus-wide duplicate detection, global-first survivor rule, merged
   // spans per doc (Lee et al. 2021 operator family — duplication at ANY
@@ -1087,7 +1108,9 @@ object SparkEntry {
     "q69_containment_curated" -> (q69ContainmentCurated _),
     "q70_substring_dedup" -> (q70SubstringDedup _),
     "q71_substring_clean" -> (q71SubstringClean _),
-    "q72_containment_production" -> (q72ContainmentProduction _)
+    "q72_containment_production" -> (q72ContainmentProduction _),
+    "q73_train_prep" -> (q73TrainPrep _),
+    "q74_train_prep_production" -> (q74TrainPrepProduction _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

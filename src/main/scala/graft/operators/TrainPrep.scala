@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Ckpt.CkptOps
+
+/** The full training-data preparation pipeline, composed end-to-end the
+  * way a real corpus run orders it (reference scope: the LLM-data tier the
+  * brief layers over the reference's ETL surface; each stage is an
+  * individually oracle-checked operator):
+  *
+  *   1. [[Curation.pipeline]] (transitive) — exact dedup, quality/language
+  *      gates, near-dup removal with min-id survivorship per component.
+  *   2. Containment removal — [[Dedup.containmentPairs]] over the
+  *      survivors, then drop the CONTAINED doc (id1) of every verified
+  *      pair: the doc-inside-doc redundancy Jaccard-LSH structurally
+  *      misses.
+  *   3. Substring-level removal — [[Dedup.removeDuplicatedSpans]]: delete
+  *      duplicated ≥ k-token spans at any alignment, keep the global-first
+  *      copy (Lee et al. 2021 family).
+  *
+  * Stage ORDER is the scale lever, not a style choice (measured, q67/q69
+  * campaign): curation FIRST keeps containment's anchors rare — near-dup
+  * clusters multiply every anchor's document frequency, inflating the
+  * candidate expansion ~F² on an F×-replicated corpus (13× wall at 10×,
+  * would-not-run raw at 100×). The substring pass runs LAST so its
+  * corpus-wide window statistics count the deduplicated corpus: run first,
+  * every near-dup replica's full text is one giant duplicated span and the
+  * pass guts documents curation was about to drop anyway, while its
+  * surviving copies' statistics shift with the replica count.
+  *
+  * Containment survivor rule: ONE-SHOT (non-cascading) drop of every id1
+  * in a verified pair. Non-cascading is deliberate: containment at the
+  * 0.8 bar is not transitive (A⊂B at 0.85 and B⊂C at 0.85 admit
+  * C(A→C) ≈ 0.7), so a cascade would need a fixpoint loop for marginal
+  * recall; the one-shot rule is deterministic and single-pass. A
+  * symmetric pair (both directions ≥ threshold) keeps the min id —
+  * consistent with curation's min-id survivorship — though symmetric
+  * pairs cannot survive stage 1 (mutual 0.8-containment implies
+  * J ≥ 0.8/1.2 ≈ 0.67 > the 0.6 curation bar); the tiebreak is defensive
+  * determinism for non-default thresholds.
+  *
+  * Scale shape: stage 1 is the measured 100× curation pipeline; stage 2
+  * adds ~2 s at 100× on survivors (SCALE_r09) under the posting-cap
+  * budget guard; stage 3 is one count shuffle + one marking join + a
+  * per-doc window pass. The `curated` frame is checkpointed (two
+  * consumers: containment probe and removal input), as is the verified
+  * pair set (drop set + reverse-pair tiebreak probe).
+  */
+object TrainPrep {
+
+  def pipeline(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      hash64: Boolean = false,
+      minQuality: Double = 0.3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.6,
+      containThreshold: Double = 0.8,
+      substringK: Int = 8): DataFrame = {
+    val survivors = Curation
+      .pipeline(docs, idCol, textCol, minQuality = minQuality, bands = bands,
+        rowsPerBand = rowsPerBand, jaccardThreshold = jaccardThreshold,
+        hash64 = hash64, transitive = true)
+      .select(idCol)
+    val curated = docs.select(col(idCol), col(textCol))
+      .join(survivors, Seq(idCol), "left_semi")
+      .lazySerCkpt
+    val pairs = Dedup.containmentPairs(curated, idCol, textCol,
+        threshold = containThreshold)
+      .lazySerCkpt
+    val rev = pairs.select(col("id1").as("__r1"), col("id2").as("__r2"))
+    val contained = pairs
+      .join(rev, col("id1") === col("__r2") && col("id2") === col("__r1"), "left")
+      .filter(col("__r1").isNull || col("id1") > col("id2"))
+      .select(col("id1").as(idCol)).distinct()
+    val afterContain = curated.join(contained, Seq(idCol), "left_anti")
+    Dedup.removeDuplicatedSpans(afterContain, idCol, textCol, k = substringK)
+  }
+}

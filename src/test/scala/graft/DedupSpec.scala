@@ -793,6 +793,58 @@ class DedupSpec extends SparkSpecBase {
     assert(run(hash64 = true) === Set((1L, 2L)))
   }
 
+  test("trainPrep composes curation -> containment -> substring removal, both hash families") {
+    // One doc per removal family, so the final corpus pins every stage:
+    //   1/11      exact duplicates            -> stage 1 keeps 1
+    //   2/3       near-duplicates (J ~ 0.9)   -> stage 1 keeps 2
+    //   4         contained inside 5          -> stage 2 drops 4, keeps 5
+    //   6/7       share an 8-token run        -> stage 3 cleans 7 (6 is
+    //                                            global-first: lower id)
+    //   8         too short / low quality     -> stage 1 gates it out
+    // bands=16/r=1 makes LSH exhaustive so the test exercises semantics,
+    // not LSH recall (the quadrant-test convention).
+    val small = "aurora borealis shimmered over the frozen tundra late last night again"
+    val bigTail = (1 to 80).map(i => s"filler$i token$i").mkString(" ")
+    val run8 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = "winter storms gather slowly above the northern mountain villages every single year"
+    val docs = Seq(
+      1L -> base,
+      11L -> base, // exact dup of 1
+      2L -> near,
+      3L -> s"$near indeed", // near-dup of 2 (J ~ 0.92), unrelated to base
+      4L -> small,
+      5L -> s"$small $bigTail",
+      // 6/7 share ONLY the 8-token run: long distinct flanks keep their
+      // Jaccard ~ 0.18 (below even the test's 0.4 bar) and their
+      // containment ~ 0.3, so ONLY stage 3 touches them
+      6L -> s"unique six prefix text with several more very plain filler words $run8 and some closing words here",
+      7L -> s"totally different seven opener sentence carrying its own spare vocabulary choices $run8 and another quite distinct ending follows now",
+      8L -> "xx qq" // no language marker in any family -> lang gate drops
+    ).toDF("doc_id", "text")
+    def run(hash64: Boolean) = graft.operators.TrainPrep.pipeline(
+        docs, "doc_id", "text", hash64 = hash64,
+        minQuality = 0.0, bands = 16, rowsPerBand = 1, jaccardThreshold = 0.4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    for (h <- Seq(false, true)) {
+      val out = run(h)
+      val ids = out.map(_._1)
+      // 11 exact-dropped, 3 near-dup-dropped (2 is min id if 2~3 confirm;
+      // 1/2 stay distinct enough), 4 containment-dropped, 8 gated
+      assert(ids === Seq(1L, 2L, 5L, 6L, 7L), s"hash64=$h ids=$ids")
+      val byId = out.toMap
+      // stage 3: doc 6 keeps its text (global-first copy), doc 7 loses the
+      // shared 8-token run
+      assert(byId(6L).contains(run8), s"hash64=$h")
+      assert(!byId(7L).contains("charlie"), s"hash64=$h")
+      assert(byId(7L).startsWith("totally different seven opener"), s"hash64=$h")
+      // untouched docs come out whitespace-canonicalized but content-intact
+      assert(byId(1L) === base, s"hash64=$h")
+      assert(byId(5L).startsWith(small), s"hash64=$h")
+    }
+  }
+
   test("curation transitive closure keeps one survivor per near-dup component") {
     // Bridge topology: C is a near-dup of BOTH A and B, but A and B share
     // only their middle segment. Pair-drop removes only the higher id of
