@@ -7,17 +7,29 @@ SPARK_GRAFT_BENCH_OUT file. This merges them back into the single-JSON shape
 dev/scale_table.py consumes (queries/warm/first_computation/failed unioned,
 "value" = summed cold).
 
+Chunk files must be FULL per-query maps (SPARK_GRAFT_BENCH_OUT files, not
+the driver's head-truncated BENCH_rNN.json round artifacts — see
+min_reps.py's note).
+
 Usage: python3 dev/merge_bench.py out.json chunk1.json chunk2.json ...
 """
 import json
 import sys
 
 
+def load(p):
+    try:
+        return json.load(open(p))
+    except json.JSONDecodeError as e:
+        sys.exit(f"{p}: not parseable JSON ({e}) — pass full "
+                 "BENCH.out.json-style maps, not driver BENCH_rNN.json tails")
+
+
 def main(out, chunks):
     merged = {"metric": "total", "value": 0.0, "unit": "sec", "queries": {},
               "warm": {}, "first_computation": {}, "failed": [], "sf": None}
     for p in chunks:
-        j = json.load(open(p))
+        j = load(p)
         for k in ("queries", "warm", "first_computation"):
             dup = set(merged[k]) & set(j.get(k, {}))
             if dup:

@@ -9,14 +9,28 @@ Big-SF convention (NOTES round-8): this box swings +-2x run-to-run on
 scan-heavy rungs at 100x, so scale artifacts report min-over-reps —
 the same convention as the sf0.1 record.
 
+Input files must be FULL per-query maps — Bench's own artifacts
+(BENCH.out.json / SPARK_GRAFT_BENCH_OUT files). The driver's BENCH_rNN.json
+round artifacts are head-TRUNCATED past a window (r9: "parsed": null, tail
+starts mid-query) and are records, not tool inputs.
+
 Usage: python3 dev/min_reps.py out.json rep1.json rep2.json ...
 """
 import json
 import sys
 
 
+def load(p):
+    try:
+        return json.load(open(p))
+    except json.JSONDecodeError as e:
+        sys.exit(f"{p}: not parseable JSON ({e}) — driver BENCH_rNN.json "
+                 "artifacts are head-truncated; pass the committed "
+                 "BENCH.out.json-style full maps instead")
+
+
 def main(out, reps):
-    loaded = [json.load(open(p)) for p in reps]
+    loaded = [load(p) for p in reps]
     names = set()
     for j in loaded:
         names |= set(j["queries"])

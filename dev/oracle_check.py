@@ -16,6 +16,7 @@ standing scale gate runs
     python3 dev/cc_check.py /tmp/sf1 /tmp/vout10
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -37,8 +38,18 @@ def main(sfdir, outdir, skip=()):
     # (80%-of-RAM) limit and get OOM-killed by the OS mid-run. A cap
     # under physical RAM plus a spill directory makes DuckDB spill
     # instead of dying; 32 GB is too tight for q67's anchor-join
-    # expansion (hard OOM error), 80 GB fits every oracle at 10x.
-    con.execute("SET memory_limit='80GB'")
+    # expansion (hard OOM error), 80 GB fits every oracle at 10x on the
+    # harness box. Derive it from physical RAM (~70%, ceiling 80 GB) so a
+    # smaller host keeps the cap under RAM instead of reinstating the OS
+    # OOM-kill (ADVICE r9); override via GRAFT_DUCKDB_MEM.
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem is None:
+        try:
+            phys = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            mem = f"{min(80, max(1, int(phys * 0.7 / 2**30)))}GB"
+        except (ValueError, OSError):
+            mem = "80GB"
+    con.execute(f"SET memory_limit='{mem}'")
     con.execute("SET threads=16")
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:

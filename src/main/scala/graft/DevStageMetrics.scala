@@ -26,8 +26,8 @@ object DevStageMetrics {
         shufReadMb: Double, shufWriteMb: Double, spillMemMb: Double,
         spillDiskMb: Double, inRows: Long, outRows: Long, maxTaskMs: Long)
     // appended on the listener-bus thread, cleared/read on main: guard
-    // every access with the buffer's own lock (a straggler event delivered
-    // after the drain sleep must not tear the read or leak into the next rep)
+    // every access with the buffer's own lock (the main thread reads only
+    // after a synchronous bus drain, but the lock keeps the read untorn)
     val stages = mutable.ArrayBuffer.empty[St]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -51,8 +51,10 @@ object DevStageMetrics {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      // let the listener bus drain before reading the buffer
-      Thread.sleep(1500)
+      // synchronous listener-bus drain: every StageCompleted for the jobs
+      // above is delivered before the read — no straggler is missed for
+      // this rep or leaks into the next rep's buffer (ADVICE r9)
+      org.apache.spark.GraftListenerBridge.waitListenerBusEmpty(spark.sparkContext)
       val snap = stages.synchronized { stages.toVector }
       println(f"== $qname rep $rep: $sec%.2f s, output rows $n")
       println(f"${"stage"}%-60s ${"tasks"}%5s ${"wall_s"}%7s ${"run_s"}%7s ${"cpu_s"}%7s ${"shR_MB"}%8s ${"shW_MB"}%8s ${"spillM"}%7s ${"spillD"}%7s ${"in_rows"}%10s ${"out_rows"}%10s")

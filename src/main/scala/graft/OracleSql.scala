@@ -553,8 +553,9 @@ object OracleSql {
     // Substring-level duplication report — mirrors Dedup.duplicatedSpans
     // step-for-step: same stride-1 8-token windows over the same
     // tokenizer, same lexicographic min(doc, pos) global-first rule (min doc_id, then min
-    // pos within that doc), same gap->8 merge flag (null lag folds to 0
-    // in both engines), same [pos, pos+8) span arithmetic.
+    // pos within that doc), same span-merge rule (a gap > 8 between
+    // consecutive marked positions starts a new span, gap <= 8 merges;
+    // null lag folds to 0 in both engines), same [pos, pos+8) arithmetic.
     "q70_substring_dedup" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         |wins AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (

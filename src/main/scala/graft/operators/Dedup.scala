@@ -748,8 +748,9 @@ object Dedup {
     * windows); span merging is a per-doc window pass (bounded partitions —
     * positions per doc ≤ tokens). Every step is mirrored by portable SQL:
     * the same lexicographic min(doc, pos) first-occurrence rule (min doc, then min pos within
-    * that doc), the same gap-> k merge flag (null lag folds to 0 in both
-    * engines), the same [pos, pos+k) arithmetic.
+    * that doc), the same span-merge rule (a gap > k between consecutive
+    * marked positions starts a new span, gap ≤ k merges; null lag folds to
+    * 0 in both engines), the same [pos, pos+k) arithmetic.
     */
   def duplicatedSpans(
       docs: DataFrame,
