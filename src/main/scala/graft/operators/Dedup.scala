@@ -675,7 +675,9 @@ object Dedup {
     val maxAnchorDf =
       math.max(math.ceil(maxAnchorDfFrac * shingled.count()).toLong, 16L)
     val ex = shingled.select(col("__cid"), explode(col("__csh")).as("__g"))
-    val dfreq = ex.groupBy("__g").agg(count(lit(1)).as("__df"))
+    // two consumers (anchor ranking + the guard's heavy-gram split) —
+    // checkpoint, or the count shuffle over every exploded gram runs twice
+    val dfreq = ex.groupBy("__g").agg(count(lit(1)).as("__df")).lazySerCkpt
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__cid")).orderBy(col("__df").asc, col("__g").asc)
     // The anchor window's input is compute-dense per byte (every doc's
@@ -697,17 +699,40 @@ object Dedup {
       .lazySerCkpt
     // the index side shuffles only anchor-vocabulary grams (≤ k·n), each
     // gram's posting list capped at C lowest doc ids — the candidate-budget
-    // guard (see scaladoc). (doc, gram) is unique per side, so the
+    // guard (see scaladoc). The cap's row_number window is paid ONLY by
+    // grams whose posting list exceeds C ("heavy" grams — tiny by
+    // construction, ≤ total vocab postings / C, and EMPTY on healthy
+    // corpora): windowing the whole index would put an exchange-by-gram
+    // under the vocabulary semi-join, flipping it from broadcast to
+    // sort-merge and shuffling every exploded gram (measured sf0.1: the
+    // full 5M-row/116 MB ex shuffled into an AQE-coalesced 2-task window
+    // sort, +7 s for a guard that drops nothing there). A gram with
+    // df ≤ C keeps all postings — the rn filter is a no-op — so the split
+    // changes the plan, not the semantics, and the oracle SQL mirrors the
+    // unsplit formulation. (doc, gram) is unique per side, so the
     // row_number order is total and the kept set deterministic.
     val postCap = math.max(maxCandidatesPerDoc / math.max(anchorsPerDoc, 1), 1)
     val wg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__g")).orderBy(col("__cid").asc)
-    val index = ex.join(anchors.select("__g").distinct(), Seq("__g"), "left_semi")
+    val vocab = anchors.select("__g").distinct()
+    // heavy = anchor-vocabulary grams over the posting cap; broadcast-sized
+    // by construction, so both the anti (light path) and semi (heavy path)
+    // joins stay map-side and the light path keeps the pre-guard plan
+    val heavySel = broadcast(
+      vocab.join(dfreq.filter(col("__df") > postCap), Seq("__g"), "left_semi"))
+    val light = ex.join(vocab, Seq("__g"), "left_semi")
+      .join(heavySel, Seq("__g"), "left_anti")
+    val heavy = ex.join(heavySel, Seq("__g"), "left_semi")
+      // pin the window exchange by count: the heavy postings are byte-few
+      // but the downstream candidate join is compute-dense per byte
+      .repartition(nPart, col("__g"))
       .withColumn("__prn", row_number().over(wg))
       .observe(s"containment_guard_${guardObsId.incrementAndGet()}",
-        count(lit(1)).as("vocab_postings"),
+        count(lit(1)).as("heavy_postings"),
         sum(when(col("__prn") > postCap, 1L).otherwise(0L)).as("dropped_postings"))
       .filter(col("__prn") <= postCap)
+      .drop("__prn")
+    val index = light.unionByName(heavy)
     // m-of-k co-occurrence: hits = distinct shared anchor grams, because
     // (doc, gram) is unique on both sides (shingles are distinct per doc)
     val cand = anchors
