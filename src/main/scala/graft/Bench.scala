@@ -131,7 +131,12 @@ object Bench {
     // two timed reps per query: "queries" (the headline) and a second warm
     // rep so ordering/session effects can't masquerade as plan regressions
     val cold = queries.toSeq.map { case (name, fn) => name -> run(name, fn, "cold") }
-    val warm = queries.toSeq.map { case (name, fn) => name -> run(name, fn, "warm") }
+    // SPARK_GRAFT_WARM=0 skips the second rep: an A/B config campaign at
+    // 100x compares cold single-reps and the warm hour is better spent on
+    // the other config (the suite default keeps both reps)
+    val warm =
+      if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") == "0") Seq.empty
+      else queries.toSeq.map { case (name, fn) => name -> run(name, fn, "warm") }
 
     // q31/q54 memoize their footer-stats rows per (session, dir), so both
     // timed reps above measure a map hit. Clear the memo and time one more
