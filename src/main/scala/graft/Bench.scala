@@ -34,13 +34,15 @@ object Bench {
       // (the multi-executor-cluster behavior) instead of local core count.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
-      // With parallelismFirst=false AQE coalesces to this size target.
-      // local[32] conflates cluster parallelism with 32 threads, so at big
-      // SF parallelism-first targets (total/32) can exceed the per-task
-      // memory fair share and spill (q34 at 100×: 36 tasks × ~300 MB
-      // deserialized → 3.3 GB spill; false+16m → 145 tasks, zero spill,
-      // 1.48× faster). On a real cluster parallelism-first stays right —
-      // defaultParallelism is cluster-wide, so its targets stay small.
+      // Inert under the suite default (parallelismFirst=true ignores the
+      // advisory size for coalescing); takes effect only with
+      // SPARK_GRAFT_PARALLELISM_FIRST=false. The full 100× suite A/B
+      // (SCALE_r10 §4) decided the default: sized coalescing (false+16m)
+      // wins wide sort stages (q34 0.52×, zero spill) but loses
+      // compute-dense byte-small shuffles 1.3-2.3× (banded LSH, bucket
+      // joins) — +9.6% suite-wide, so parallelism-first stays. 64m here is
+      // a conservative middle for ad-hoc sized runs; the q34-family
+      // measurement used 16m (set both knobs for that configuration).
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
