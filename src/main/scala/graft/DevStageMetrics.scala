@@ -53,8 +53,12 @@ object DevStageMetrics {
       val sec = (System.nanoTime() - t0) / 1e9
       // synchronous listener-bus drain: every StageCompleted for the jobs
       // above is delivered before the read — no straggler is missed for
-      // this rep or leaks into the next rep's buffer (ADVICE r9)
-      org.apache.spark.GraftListenerBridge.waitListenerBusEmpty(spark.sparkContext)
+      // this rep or leaks into the next rep's buffer (ADVICE r9). A
+      // backlogged bus degrades to a partial read with a warning instead
+      // of crashing the run (ADVICE r10).
+      if (!org.apache.spark.GraftListenerBridge.waitListenerBusEmpty(spark.sparkContext))
+        System.err.println(s"[dev] warning: listener bus did not drain in 10 s — " +
+          s"rep $rep stage table may be partial")
       val snap = stages.synchronized { stages.toVector }
       println(f"== $qname rep $rep: $sec%.2f s, output rows $n")
       println(f"${"stage"}%-60s ${"tasks"}%5s ${"wall_s"}%7s ${"run_s"}%7s ${"cpu_s"}%7s ${"shR_MB"}%8s ${"shW_MB"}%8s ${"spillM"}%7s ${"spillD"}%7s ${"in_rows"}%10s ${"out_rows"}%10s")

@@ -14,6 +14,16 @@ import scala.collection.immutable.ListMap
   */
 object OracleSql {
 
+  /** The containment posting cap, derived from the SAME Dedup constants the
+    * engine's default parameters use (ADVICE r10: a literal 409 here would
+    * silently diverge if the Spark-side defaults moved). The SQL bodies
+    * stay raw strings (they contain regex backslashes, so s-interpolation
+    * is unsafe); [[capped]] substitutes the token.
+    */
+  private val PostCap: Int = graft.operators.Dedup.defaultPostCap
+
+  private def capped(sql: String): String =
+    sql.replace("__POSTCAP__", PostCap.toString)
 
   /** Shared cosine-similarity fragment over two list<float> columns. */
   private def cosSql(a: String, b: String): String =
@@ -412,13 +422,15 @@ object OracleSql {
     // Near-superset containment pairs — mirrors Dedup.containmentPairs
     // step-for-step: same shingles, same df, same corpus-relative anchor
     // cap (greatest(ceil(0.2·n), 16)), same (df, shingle)-ordered anchor
-    // top-k (k=10), same candidate-budget posting cap (prn <= 409 =
-    // maxCandidatesPerDoc/anchorsPerDoc = 4096/10, each anchor-vocabulary
-    // gram keeps its 409 lowest doc ids — inert below ~2k-doc near-dup
-    // clusters, measured 0 drops at sf0.01/sf0.1), same m-of-k
-    // co-occurrence rule (HAVING count >= 4), same containment division
-    // (denominator greatest(|A|,1) exactly as the engine's containment()).
-    "q67_containment_pairs" ->
+    // top-k (k=10), same candidate-budget posting cap (prn <= 409, which
+    // is Dedup.defaultPostCap = DefaultMaxCandidatesPerDoc /
+    // DefaultAnchorsPerDoc = 4096/10 — interpolated via capped(), never a
+    // drifting literal; each anchor-vocabulary gram keeps its cap-many
+    // lowest doc ids — inert below ~2k-doc near-dup clusters, measured 0
+    // drops at sf0.01/sf0.1), same m-of-k co-occurrence rule (HAVING
+    // count >= 4), same containment division (denominator
+    // greatest(|A|,1) exactly as the engine's containment()).
+    "q67_containment_pairs" -> capped(
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         |cap AS (SELECT greatest(CAST(ceil(0.2 * count(*)) AS BIGINT), 16) AS v FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(ws)-1, 1)),
@@ -432,7 +444,7 @@ object OracleSql {
         |postings AS (SELECT e.g, e.doc_id,
         |    row_number() OVER (PARTITION BY e.g ORDER BY e.doc_id) AS prn
         |  FROM ex e WHERE e.g IN (SELECT g FROM anchors)),
-        |kept AS (SELECT g, doc_id FROM postings WHERE prn <= 409),
+        |kept AS (SELECT g, doc_id FROM postings WHERE prn <= __POSTCAP__),
         |cand AS (SELECT a.doc_id AS ida, k.doc_id AS idb
         |  FROM anchors a JOIN kept k ON a.g = k.g WHERE a.doc_id <> k.doc_id
         |  GROUP BY a.doc_id, k.doc_id HAVING count(*) >= 4),
@@ -440,7 +452,7 @@ object OracleSql {
         |    round(CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / CAST(greatest(len(s1.s), 1) AS DOUBLE), 6) AS containment
         |  FROM cand c JOIN sh s1 ON s1.doc_id = c.ida JOIN sh s2 ON s2.doc_id = c.idb)
         |SELECT ida AS id1, idb AS id2, containment FROM ver
-        |WHERE containment >= 0.8 ORDER BY id1, id2""".stripMargin,
+        |WHERE containment >= 0.8 ORDER BY id1, id2""".stripMargin),
 
     // Containment dedup in production order: q65's transitive-curation
     // survivors (CurationPrefixSql + recursive closure — `sh` already
@@ -448,8 +460,8 @@ object OracleSql {
     // semi-joined to the survivor set) feeding q67's containment pipeline
     // (c-prefixed CTEs; same corpus-relative cap computed over SURVIVORS,
     // same anchor top-k, same m-of-k rule, same division).
-    "q69_containment_curated" ->
-      ("WITH RECURSIVE " + CurationPrefixSql + """,
+    "q69_containment_curated" -> capped(
+      "WITH RECURSIVE " + CurationPrefixSql + """,
         |edges AS (SELECT id1 AS a, id2 AS b FROM cpairs UNION SELECT id2, id1 FROM cpairs),
         |reach AS (
         |  SELECT a AS id, b AS r FROM edges
@@ -469,7 +481,7 @@ object OracleSql {
         |cpostings AS (SELECT e.g, e.doc_id,
         |    row_number() OVER (PARTITION BY e.g ORDER BY e.doc_id) AS prn
         |  FROM cex e WHERE e.g IN (SELECT g FROM canchors)),
-        |ckept AS (SELECT g, doc_id FROM cpostings WHERE prn <= 409),
+        |ckept AS (SELECT g, doc_id FROM cpostings WHERE prn <= __POSTCAP__),
         |ccand AS (SELECT a.doc_id AS ida, k.doc_id AS idb
         |  FROM canchors a JOIN ckept k ON a.g = k.g WHERE a.doc_id <> k.doc_id
         |  GROUP BY a.doc_id, k.doc_id HAVING count(*) >= 4),
@@ -485,8 +497,8 @@ object OracleSql {
     // pairs keep min id), then q71's substring-clean CTEs (s-prefixed)
     // computed over the REMAINING corpus. Mirrors SparkEntry.trainPrep
     // stage-for-stage.
-    "q73_train_prep" ->
-      ("WITH RECURSIVE " + CurationPrefixSql + """,
+    "q73_train_prep" -> capped(
+      "WITH RECURSIVE " + CurationPrefixSql + """,
         |edges AS (SELECT id1 AS a, id2 AS b FROM cpairs UNION SELECT id2, id1 FROM cpairs),
         |reach AS (
         |  SELECT a AS id, b AS r FROM edges
@@ -506,7 +518,7 @@ object OracleSql {
         |cpostings AS (SELECT e.g, e.doc_id,
         |    row_number() OVER (PARTITION BY e.g ORDER BY e.doc_id) AS prn
         |  FROM cex e WHERE e.g IN (SELECT g FROM canchors)),
-        |ckept AS (SELECT g, doc_id FROM cpostings WHERE prn <= 409),
+        |ckept AS (SELECT g, doc_id FROM cpostings WHERE prn <= __POSTCAP__),
         |ccand AS (SELECT a.doc_id AS ida, k.doc_id AS idb
         |  FROM canchors a JOIN ckept k ON a.g = k.g WHERE a.doc_id <> k.doc_id
         |  GROUP BY a.doc_id, k.doc_id HAVING count(*) >= 4),

@@ -35,10 +35,11 @@ object Verify {
     // activates (star-collapse / sub-split / drop). Oracle SQL computes the
     // plain join, so a query whose guard metrics are nonzero must FAIL the
     // gate loudly instead of letting DuckDB compare diverged semantics
-    // (VERDICT r6 #4). Observed-metric delivery is async — poll briefly and
-    // diff against the names already seen before each query.
+    // (VERDICT r6 #4). Observed-metric delivery is async — drain the
+    // listener bus synchronously and diff against the names already seen
+    // before each query.
     val mc = new graft.run.MetricsCollector(spark)
-    // caller drains the async metric bus (one 200 ms sleep) before calling
+    // caller drains the listener bus (synchronous, exact) before calling
     def guardViolations(before: Set[String]): Seq[String] = {
       mc.snapshot.toSeq
         .filter { case (name, _) => name.startsWith("lsh_bucket_guard_") && !before(name) }
@@ -58,7 +59,14 @@ object Verify {
         // rows-only queries (no oracleSql entry, e.g. q61's xxhash64
         // pipeline) keep their output: guard activation is their designed
         // bounded-work behavior, not a gate violation.
-        Thread.sleep(200) // observed-metric delivery is async — drain once
+        // Synchronous listener-bus drain (ADVICE r10): metric attribution
+        // is exact — no fixed 200 ms sleep per query, no late-delivered
+        // metric from the PREVIOUS query leaking into this query's
+        // seen-set diff. A backlogged bus (10 s deadline) degrades to the
+        // old eventually-consistent read with a warning.
+        if (!org.apache.spark.GraftListenerBridge.waitListenerBusEmpty(spark.sparkContext))
+          System.err.println(s"[verify] $name warning: listener bus did not " +
+            "drain in 10 s — guard-metric attribution may lag one query")
         // Containment's candidate-budget guard is SQL-mirrored (the oracle
         // computes the same posting cap), so activation never diverges from
         // the oracle — report it, don't withhold (VERDICT r9 #2: "drop

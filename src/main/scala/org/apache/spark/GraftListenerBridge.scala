@@ -6,6 +6,12 @@ package org.apache.spark
   * the next rep's buffer — a fixed sleep is a race, not a barrier.
   */
 object GraftListenerBridge {
-  def waitListenerBusEmpty(sc: SparkContext): Unit =
-    sc.listenerBus.waitUntilEmpty()
+  /** Returns true when the bus fully drained; false when the 10 s internal
+    * deadline hit first (`waitUntilEmpty` throws on a backlogged bus —
+    * callers degrade to a partial read instead of crashing mid-run,
+    * ADVICE r10).
+    */
+  def waitListenerBusEmpty(sc: SparkContext): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 }

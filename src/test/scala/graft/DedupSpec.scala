@@ -739,6 +739,31 @@ class DedupSpec extends SparkSpecBase {
     assert(cluster.forall { case (_, b) => b >= 10L && b <= 14L })
   }
 
+  test("heavy-gram broadcast guard: over-budget set drops the hint, output identical") {
+    // Same many-heavy-grams fixture as the candidate-budget test: every
+    // replica-cluster gram has df=12 > C=5, so the heavy index path is
+    // exercised for real. budget=0 classifies ANY nonempty heavy set as
+    // over-budget (no forced broadcast — AQE picks the join strategy); the
+    // default budget keeps the forced-broadcast fast path. The defense
+    // changes the PLAN only (VERDICT r10 #1: a forced hint bypasses AQE's
+    // size check, so pathological heavy-set cardinality must downgrade the
+    // plan, not OOM the driver) — outputs must be identical.
+    val small = "aurora borealis shimmered over the frozen tundra last night"
+    val bigTail = (1 to 80).map(i => s"filler$i token$i").mkString(" ")
+    val replicaText = "the shared replica body repeats verbatim across every cluster member here"
+    val docs = (Seq(1L -> small, 2L -> s"$small $bigTail") ++
+      (10L to 21L).map(i => i -> replicaText)).toDF("doc_id", "text")
+    def run(budget: Long) = Dedup.containmentPairs(docs, "doc_id", "text",
+        maxCandidatesPerDoc = 50, heavyBroadcastRowBudget = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val hinted = run(Dedup.HeavyGramBroadcastRowBudget)
+    val fallback = run(0L)
+    assert(hinted.nonEmpty)
+    assert(fallback === hinted)
+    // the posting cap still bounds the replica cluster on the fallback path
+    assert(fallback.filter(_._1 >= 10L).forall { case (_, b, _) => b >= 10L && b <= 14L })
+  }
+
   test("containmentPairs: identical twins emit both directions at 1.0") {
     val text = "the migration pipeline resolves foreign keys through broadcast joins at scale"
     val docs = Seq(1L -> text, 2L -> text,
