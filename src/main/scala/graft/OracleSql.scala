@@ -86,6 +86,77 @@ object OracleSql {
       |  WHERE (CASE WHEN CAST(len(list_distinct(list_concat(s1.s, s2.s))) AS DOUBLE) = 0.0 THEN 0.0
       |         ELSE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(s1.s, s2.s))) AS DOUBLE) END) >= 0.6)""".stripMargin
 
+  /** Shared q73/q75 pipeline CTEs (appended after `CurationPrefixSql`):
+    * the recursive curation closure, q69's c-prefixed containment stages,
+    * the one-shot containment drop rule (drop the contained id1; symmetric
+    * pairs keep min id), then q71's s-prefixed substring-clean CTEs over
+    * the REMAINING corpus — ending in `clean(doc_id, clean_text)`.
+    * Mirrors SparkEntry.trainPrep stage-for-stage; q75 packs `clean`.
+    */
+  private val TrainPrepCtesSql: String =
+    """edges AS (SELECT id1 AS a, id2 AS b FROM cpairs UNION SELECT id2, id1 FROM cpairs),
+      |reach AS (
+      |  SELECT a AS id, b AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+      |dropped AS (SELECT id AS doc_id FROM comp WHERE comp <> id),
+      |csh AS (SELECT s1.doc_id, s1.s FROM sh s1
+      |  WHERE NOT EXISTS (SELECT 1 FROM dropped c WHERE c.doc_id = s1.doc_id)),
+      |ccap AS (SELECT greatest(CAST(ceil(0.2 * count(*)) AS BIGINT), 16) AS v FROM csh),
+      |cex AS (SELECT doc_id, unnest(s) AS g FROM csh),
+      |cdfreq AS (SELECT g, count(*) AS df FROM cex GROUP BY g),
+      |cranked AS (SELECT e.doc_id, e.g, d.df,
+      |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.g) AS rn
+      |  FROM cex e JOIN cdfreq d ON e.g = d.g WHERE d.df <= (SELECT v FROM ccap)),
+      |canchors AS (SELECT doc_id, g FROM cranked WHERE rn <= 10),
+      |cpostings AS (SELECT e.g, e.doc_id,
+      |    row_number() OVER (PARTITION BY e.g ORDER BY e.doc_id) AS prn
+      |  FROM cex e WHERE e.g IN (SELECT g FROM canchors)),
+      |ckept AS (SELECT g, doc_id FROM cpostings WHERE prn <= __POSTCAP__),
+      |ccand AS (SELECT a.doc_id AS ida, k.doc_id AS idb
+      |  FROM canchors a JOIN ckept k ON a.g = k.g WHERE a.doc_id <> k.doc_id
+      |  GROUP BY a.doc_id, k.doc_id HAVING count(*) >= 4),
+      |cver AS (SELECT c.ida, c.idb,
+      |    round(CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / CAST(greatest(len(s1.s), 1) AS DOUBLE), 6) AS containment
+      |  FROM ccand c JOIN csh s1 ON s1.doc_id = c.ida JOIN csh s2 ON s2.doc_id = c.idb),
+      |cpok AS (SELECT ida, idb FROM cver WHERE containment >= 0.8),
+      |cdropped AS (SELECT DISTINCT p.ida AS doc_id FROM cpok p
+      |  WHERE NOT EXISTS (SELECT 1 FROM cpok q WHERE q.ida = p.idb AND q.idb = p.ida)
+      |    OR p.ida > p.idb),
+      |rdocs AS (SELECT d.doc_id, d.text FROM documents d
+      |  JOIN csh r ON d.doc_id = r.doc_id
+      |  WHERE NOT EXISTS (SELECT 1 FROM cdropped cd WHERE cd.doc_id = d.doc_id)),
+      |sw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM rdocs),
+      |swins AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(0, len(ws) - 8),
+      |      i -> struct_pack(pos := i, g := array_to_string(ws[i+1:i+8], ' ')))) AS u
+      |  FROM sw WHERE len(ws) >= 8)),
+      |sgrp AS (SELECT g, count(*) AS c,
+      |    min(struct_pack(d := doc_id, p := pos)) AS first FROM swins GROUP BY g),
+      |sdup AS (SELECT g, first FROM sgrp WHERE c > 1),
+      |smarked AS (SELECT w3.doc_id, w3.pos FROM swins w3
+      |  JOIN sdup ON w3.g = sdup.g
+      |  WHERE NOT (w3.doc_id = sdup.first.d AND w3.pos = sdup.first.p)),
+      |sflag AS (SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+      |         THEN 1 ELSE 0 END AS nw
+      |  FROM smarked),
+      |ssid AS (SELECT doc_id, pos,
+      |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM sflag),
+      |sspans AS (SELECT doc_id, sid, min(pos) AS s, max(pos) + 8 AS e
+      |  FROM ssid GROUP BY doc_id, sid),
+      |sspanlist AS (SELECT doc_id AS sdoc, list(struct_pack(s := s, e := e)) AS sp
+      |  FROM sspans GROUP BY doc_id),
+      |clean AS (SELECT sw.doc_id, coalesce(array_to_string(
+      |  list_transform(
+      |    list_filter(
+      |      list_transform(generate_series(1, len(sw.ws)), i -> struct_pack(w := sw.ws[i], i := i - 1)),
+      |      x -> coalesce(len(list_filter(sl.sp, spn -> x.i >= spn.s AND x.i < spn.e)), 0) = 0),
+      |    x -> x.w), ' '), '') AS clean_text
+      |FROM sw LEFT JOIN sspanlist sl ON sw.doc_id = sl.sdoc)""".stripMargin
+
   val all: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -498,69 +569,27 @@ object OracleSql {
     // computed over the REMAINING corpus. Mirrors SparkEntry.trainPrep
     // stage-for-stage.
     "q73_train_prep" -> capped(
-      "WITH RECURSIVE " + CurationPrefixSql + """,
-        |edges AS (SELECT id1 AS a, id2 AS b FROM cpairs UNION SELECT id2, id1 FROM cpairs),
-        |reach AS (
-        |  SELECT a AS id, b AS r FROM edges
-        |  UNION
-        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
-        |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
-        |dropped AS (SELECT id AS doc_id FROM comp WHERE comp <> id),
-        |csh AS (SELECT s1.doc_id, s1.s FROM sh s1
-        |  WHERE NOT EXISTS (SELECT 1 FROM dropped c WHERE c.doc_id = s1.doc_id)),
-        |ccap AS (SELECT greatest(CAST(ceil(0.2 * count(*)) AS BIGINT), 16) AS v FROM csh),
-        |cex AS (SELECT doc_id, unnest(s) AS g FROM csh),
-        |cdfreq AS (SELECT g, count(*) AS df FROM cex GROUP BY g),
-        |cranked AS (SELECT e.doc_id, e.g, d.df,
-        |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.g) AS rn
-        |  FROM cex e JOIN cdfreq d ON e.g = d.g WHERE d.df <= (SELECT v FROM ccap)),
-        |canchors AS (SELECT doc_id, g FROM cranked WHERE rn <= 10),
-        |cpostings AS (SELECT e.g, e.doc_id,
-        |    row_number() OVER (PARTITION BY e.g ORDER BY e.doc_id) AS prn
-        |  FROM cex e WHERE e.g IN (SELECT g FROM canchors)),
-        |ckept AS (SELECT g, doc_id FROM cpostings WHERE prn <= __POSTCAP__),
-        |ccand AS (SELECT a.doc_id AS ida, k.doc_id AS idb
-        |  FROM canchors a JOIN ckept k ON a.g = k.g WHERE a.doc_id <> k.doc_id
-        |  GROUP BY a.doc_id, k.doc_id HAVING count(*) >= 4),
-        |cver AS (SELECT c.ida, c.idb,
-        |    round(CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / CAST(greatest(len(s1.s), 1) AS DOUBLE), 6) AS containment
-        |  FROM ccand c JOIN csh s1 ON s1.doc_id = c.ida JOIN csh s2 ON s2.doc_id = c.idb),
-        |cpok AS (SELECT ida, idb FROM cver WHERE containment >= 0.8),
-        |cdropped AS (SELECT DISTINCT p.ida AS doc_id FROM cpok p
-        |  WHERE NOT EXISTS (SELECT 1 FROM cpok q WHERE q.ida = p.idb AND q.idb = p.ida)
-        |    OR p.ida > p.idb),
-        |rdocs AS (SELECT d.doc_id, d.text FROM documents d
-        |  JOIN csh r ON d.doc_id = r.doc_id
-        |  WHERE NOT EXISTS (SELECT 1 FROM cdropped cd WHERE cd.doc_id = d.doc_id)),
-        |sw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM rdocs),
-        |swins AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM (
-        |  SELECT doc_id, unnest(list_transform(generate_series(0, len(ws) - 8),
-        |      i -> struct_pack(pos := i, g := array_to_string(ws[i+1:i+8], ' ')))) AS u
-        |  FROM sw WHERE len(ws) >= 8)),
-        |sgrp AS (SELECT g, count(*) AS c,
-        |    min(struct_pack(d := doc_id, p := pos)) AS first FROM swins GROUP BY g),
-        |sdup AS (SELECT g, first FROM sgrp WHERE c > 1),
-        |smarked AS (SELECT w3.doc_id, w3.pos FROM swins w3
-        |  JOIN sdup ON w3.g = sdup.g
-        |  WHERE NOT (w3.doc_id = sdup.first.d AND w3.pos = sdup.first.p)),
-        |sflag AS (SELECT doc_id, pos,
-        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
-        |         THEN 1 ELSE 0 END AS nw
-        |  FROM smarked),
-        |ssid AS (SELECT doc_id, pos,
-        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM sflag),
-        |sspans AS (SELECT doc_id, sid, min(pos) AS s, max(pos) + 8 AS e
-        |  FROM ssid GROUP BY doc_id, sid),
-        |sspanlist AS (SELECT doc_id AS sdoc, list(struct_pack(s := s, e := e)) AS sp
-        |  FROM sspans GROUP BY doc_id)
-        |SELECT sw.doc_id, coalesce(array_to_string(
-        |  list_transform(
-        |    list_filter(
-        |      list_transform(generate_series(1, len(sw.ws)), i -> struct_pack(w := sw.ws[i], i := i - 1)),
-        |      x -> coalesce(len(list_filter(sl.sp, spn -> x.i >= spn.s AND x.i < spn.e)), 0) = 0),
-        |    x -> x.w), ' '), '') AS clean_text
-        |FROM sw LEFT JOIN sspanlist sl ON sw.doc_id = sl.sdoc ORDER BY sw.doc_id""".stripMargin),
+      "WITH RECURSIVE " + CurationPrefixSql + ",\n" + TrainPrepCtesSql +
+      "\nSELECT doc_id, clean_text FROM clean ORDER BY doc_id"),
+
+    // prep -> pack: the clean corpus (q73's CTEs verbatim) re-tokenized
+    // (whitespace token count of clean_text; empty docs = 0 tokens, both
+    // engines' splitters return [''] on '' so the CASE is explicit),
+    // joined back for the shard key (lang), packed with q40/q60's
+    // cumulative-sum bin rule at 1024 tokens/bin. The last stage a
+    // training-data pipeline runs, composed over the prep output so
+    // stage-interaction bugs (span removal shifting token counts under
+    // the packer's bin arithmetic) surface in THIS hash compare.
+    "q75_prep_pack" -> capped(
+      "WITH RECURSIVE " + CurationPrefixSql + ",\n" + TrainPrepCtesSql + """,
+        |packd AS (SELECT c.doc_id, d.lang,
+        |    CASE WHEN c.clean_text = '' THEN 0
+        |         ELSE len(regexp_split_to_array(c.clean_text, '\s+')) END AS n_tokens
+        |  FROM clean c JOIN documents d ON c.doc_id = d.doc_id)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 1024.0) AS BIGINT) AS bin_id
+        |FROM packd ORDER BY doc_id""".stripMargin),
 
     // Substring-level duplication report — mirrors Dedup.duplicatedSpans
     // step-for-step: same stride-1 8-token windows over the same

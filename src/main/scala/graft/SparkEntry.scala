@@ -895,6 +895,39 @@ object SparkEntry {
   private def q74TrainPrepProduction(s: SparkSession, d: String): DataFrame =
     trainPrep(s, d, hash64 = true)
 
+  // ---- prep → pack: the END of the training-data pipeline. TrainPrep's
+  // clean corpus is re-tokenized (whitespace count of clean_text —
+  // single-space-joined by the removal pass, so size(split) IS the token
+  // count; empty docs pack as 0 tokens, made explicit because both
+  // engines' splitters return [''] on ''), joined back to documents for
+  // the shard key (lang — one co-keyed shuffle join; the clean corpus
+  // carries only doc_id/clean_text by design), then packed with the
+  // q40/q60 cumulative-sum bin rule ([[graft.operators.Sampling.packBins]],
+  // 1024 tokens/bin, shard-local window — never a global order). Shard key
+  // here is lang for oracle comparability; a low-cardinality shard key
+  // serializes each shard's cumulative sum through one window partition,
+  // so a 100 TB run shards on (lang, pmod(xxhash64(doc_id), N)) instead —
+  // same rule per shard, N× the parallelism (packing is inherently
+  // sequential per shard; only the shard GRAIN is the scale lever).
+  // Composed as ONE query so stage-interaction bugs (span removal changing
+  // token counts under the packer's bin arithmetic) surface in the hash
+  // compare;
+  // SamplingSpec pins token conservation (clean tokens = raw tokens −
+  // dup_tokens) through the same composition.
+  private def q75PrepPack(s: SparkSession, d: String): DataFrame = {
+    val clean = graft.operators.TrainPrep
+      .pipeline(T(s, d, "documents"), "doc_id", "text", hash64 = false)
+    val toks = clean
+      .join(T(s, d, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("n_tokens",
+        when(col("clean_text") === "", lit(0L))
+          .otherwise(size(split(col("clean_text"), "\\s+")).cast("long")))
+    graft.operators.Sampling
+      .packBins(toks, col("lang"), col("doc_id"), col("n_tokens"), 1024L)
+      .select("doc_id", "lang", "n_tokens", "bin_id")
+      .orderBy("doc_id")
+  }
+
   // ---- substring-level duplication report: stride-1 8-token windows,
   // corpus-wide duplicate detection, global-first survivor rule, merged
   // spans per doc (Lee et al. 2021 operator family — duplication at ANY
@@ -1110,7 +1143,8 @@ object SparkEntry {
     "q71_substring_clean" -> (q71SubstringClean _),
     "q72_containment_production" -> (q72ContainmentProduction _),
     "q73_train_prep" -> (q73TrainPrep _),
-    "q74_train_prep_production" -> (q74TrainPrepProduction _)
+    "q74_train_prep_production" -> (q74TrainPrepProduction _),
+    "q75_prep_pack" -> (q75PrepPack _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -133,4 +133,56 @@ class SamplingSpec extends SparkSpecBase {
     // shard a, capacity 100: 60 | 60+30=90 | starts at 90 → bin 0 (overflows) | starts at 120 → bin 1
     assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
   }
+
+  test("prep -> pack stage interaction: span removal conserves tokens under the packer") {
+    // The q75 composition's arithmetic, pinned stage-by-stage: docs 1 and 2
+    // share one 8-token block — the global-first copy (doc 1) keeps it,
+    // doc 2 loses exactly those 8 tokens — so the packer's n_tokens must
+    // equal the raw token count minus duplicatedSpans' dup_tokens for
+    // every doc, and the bin ids must recompute from the cumulative-sum
+    // rule in plain Scala.
+    val block = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, "alpha", s"unique opening words here $block trailing tail tokens one"),
+      (2L, "alpha", s"other body entirely different $block closing words two three"),
+      (3L, "beta", "fully unique document with no repeated window at all right"))
+      .toDF("doc_id", "lang", "text")
+    val clean = graft.operators.Dedup.removeDuplicatedSpans(docs, "doc_id", "text", k = 8)
+    val toks = clean
+      .join(docs.select("doc_id", "lang", "text"), Seq("doc_id"))
+      .withColumn("n_tokens",
+        when(col("clean_text") === "", lit(0L))
+          .otherwise(size(split(col("clean_text"), "\\s+")).cast("long")))
+      .withColumn("n_raw", size(split(trim(col("text")), "\\s+")).cast("long"))
+    val dup = graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
+    val conserved = toks
+      .join(dup.select(col("doc_id"), col("dup_tokens")), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_tokens"))
+      .select("doc_id", "n_tokens", "n_raw", "dup_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(conserved.nonEmpty)
+    conserved.foreach { case (id, nClean, nRaw, nDup) =>
+      assert(nClean === nRaw - nDup, s"doc $id: $nClean != $nRaw - $nDup")
+    }
+    assert(conserved.find(_._1 == 2L).get._4 === 8L) // doc 2 lost the block
+    assert(conserved.find(_._1 == 1L).get._4 === 0L) // global first kept it
+    // pack the clean counts and recompute bins from the rule
+    val packed = Sampling
+      .packBins(toks, col("lang"), col("doc_id"), col("n_tokens"), 16L)
+      .select("doc_id", "lang", "n_tokens", "bin_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = packed.groupBy(_._2).flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).toSeq.map { case (id, _, n, _) =>
+        val bin = cum / 16L; cum += n; id -> bin
+      }
+    }.toMap
+    packed.foreach { case (id, _, _, bin) => assert(bin === expected(id)) }
+    // tokens are conserved through packing: per-shard totals match
+    val byShard = packed.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val directTotals = conserved.map(c => c._1 -> c._2).toMap
+    assert(byShard("alpha") === directTotals(1L) + directTotals(2L))
+    assert(byShard("beta") === directTotals(3L))
+  }
 }
