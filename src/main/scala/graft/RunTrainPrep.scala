@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.TrainPrep
+import graft.run.MetricsCollector
+import graft.sink.ParquetSink
+
+/** Production CLI for the training-data preparation pipeline (VERDICT r10
+  * next #2 — the composition q73 verifies, promoted to the artifact a real
+  * corpus run invokes; entry-point precedent: the reference's
+  * `run_etl.py:47-111` flag surface → [[RunEtl]]):
+  *
+  * {{{
+  * runMain graft.RunTrainPrep --in <parquet path> --out <dir>
+  *   [--id-col doc_id] [--text-col text] [--hash64]
+  *   [--min-quality 0.3] [--bands 4] [--rows-per-band 4] [--jaccard 0.6]
+  *   [--contain 0.8] [--substring-k 8] [--table clean_corpus]
+  * }}}
+  *
+  * Reads the corpus parquet, runs [[TrainPrep.pipeline]] (curation →
+  * containment removal → substring-span removal), and writes the clean
+  * corpus through the [[graft.sink.TableSink]] layer (`ParquetSink` here;
+  * a JDBC/Cassandra sink plugs in behind the same trait). Per-stage doc
+  * counts are the pipeline's `observe` metrics — computed during the ONE
+  * write action, never an extra count job — drained synchronously off the
+  * listener bus and printed as the run report:
+  *
+  * {{{
+  * [train-prep] input=500000 curated=163840 after_contain=163710 clean=163710
+  * }}}
+  *
+  * `--hash64` selects the xxhash64 production hash family (q74's
+  * configuration — 2.5× cheaper than the md5 oracle family at 100×,
+  * SCALE_r10); the default md5 family is the DuckDB-oracle-checked q73
+  * configuration.
+  */
+object RunTrainPrep {
+
+  final case class Config(
+      in: String = "",
+      out: String = "",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hash64: Boolean = false,
+      minQuality: Double = 0.3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      jaccard: Double = 0.6,
+      contain: Double = 0.8,
+      substringK: Int = 8,
+      table: String = "clean_corpus")
+
+  def parse(args: Seq[String]): Config = {
+    def loop(rest: List[String], cfg: Config): Config = rest match {
+      case Nil => cfg
+      case "--in" :: v :: t => loop(t, cfg.copy(in = v))
+      case "--out" :: v :: t => loop(t, cfg.copy(out = v))
+      case "--id-col" :: v :: t => loop(t, cfg.copy(idCol = v))
+      case "--text-col" :: v :: t => loop(t, cfg.copy(textCol = v))
+      case "--hash64" :: t => loop(t, cfg.copy(hash64 = true))
+      case "--min-quality" :: v :: t => loop(t, cfg.copy(minQuality = v.toDouble))
+      case "--bands" :: v :: t => loop(t, cfg.copy(bands = v.toInt))
+      case "--rows-per-band" :: v :: t => loop(t, cfg.copy(rowsPerBand = v.toInt))
+      case "--jaccard" :: v :: t => loop(t, cfg.copy(jaccard = v.toDouble))
+      case "--contain" :: v :: t => loop(t, cfg.copy(contain = v.toDouble))
+      case "--substring-k" :: v :: t => loop(t, cfg.copy(substringK = v.toInt))
+      case "--table" :: v :: t => loop(t, cfg.copy(table = v))
+      case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
+    }
+    val cfg = loop(args.toList, Config())
+    require(cfg.in.nonEmpty, "--in is required")
+    require(cfg.out.nonEmpty, "--out is required")
+    cfg
+  }
+
+  /** Runs the prep; returns the per-stage doc counts (stage → docs).
+    * Factored out of `main` so specs can drive the CLI path on a shared
+    * session (the RunEtl.execute pattern).
+    */
+  def execute(spark: SparkSession, cfg: Config): Map[String, Long] = {
+    val docs = spark.read.parquet(cfg.in)
+    require(docs.columns.contains(cfg.idCol) && docs.columns.contains(cfg.textCol),
+      s"input must carry columns ${cfg.idCol} and ${cfg.textCol} " +
+        s"(found: ${docs.columns.mkString(", ")})")
+    val mc = new MetricsCollector(spark)
+    try {
+      val before = mc.snapshot.keySet
+      val clean = TrainPrep.pipeline(docs, cfg.idCol, cfg.textCol,
+        hash64 = cfg.hash64, minQuality = cfg.minQuality, bands = cfg.bands,
+        rowsPerBand = cfg.rowsPerBand, jaccardThreshold = cfg.jaccard,
+        containThreshold = cfg.contain, substringK = cfg.substringK)
+      new ParquetSink(cfg.out).overwrite(cfg.table, clean)
+      // synchronous drain: the stage metrics were computed during the write
+      // action above; after the bus empties the snapshot diff is exact
+      if (!org.apache.spark.GraftListenerBridge.waitListenerBusEmpty(spark.sparkContext))
+        System.err.println("[train-prep] warning: listener bus did not drain " +
+          "in 10 s — stage report may be partial")
+      mc.snapshot.toSeq
+        .filter { case (name, _) => name.startsWith("train_prep_") && !before(name) }
+        .flatMap { case (name, fields) =>
+          fields.get("docs").collect { case n: Long =>
+            name.substring(name.indexOf('_', "train_prep_".length) + 1) -> n
+          }
+        }.toMap
+    } finally mc.close()
+  }
+
+  private val StageOrder = Seq("input", "curated", "after_contain", "clean")
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parse(args.toSeq)
+    val spark = Engine.session(appName = "graft-train-prep")
+    try {
+      val report = execute(spark, cfg)
+      val line = StageOrder.flatMap(s => report.get(s).map(n => s"$s=$n")).mkString(" ")
+      println(s"[train-prep] $line")
+    } finally spark.stop()
+  }
+}

@@ -50,6 +50,16 @@ import Ckpt.CkptOps
   */
 object TrainPrep {
 
+  private val obsId = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Per-stage doc counts ride the pipeline as `observe` metrics
+    * (`train_prep_{n}_{input|curated|after_contain|clean}`, field `docs` —
+    * each the count of docs REMAINING after that stage — the
+    * `run/Metrics.scala` pattern: computed DURING the materializing action,
+    * never an extra count job over a 100 TB corpus). [[RunTrainPrep]]
+    * surfaces them as the run report; the unique suffix keeps names legal
+    * when one session runs the pipeline twice (q73 + q74 in one Verify).
+    */
   def pipeline(
       docs: DataFrame,
       idCol: String,
@@ -61,23 +71,41 @@ object TrainPrep {
       jaccardThreshold: Double = 0.6,
       containThreshold: Double = 0.8,
       substringK: Int = 8): DataFrame = {
+    val id = obsId.incrementAndGet()
+    def staged(df: DataFrame, stage: String): DataFrame =
+      df.observe(s"train_prep_${id}_$stage", count(lit(1)).as("docs"))
     val survivors = Curation
       .pipeline(docs, idCol, textCol, minQuality = minQuality, bands = bands,
         rowsPerBand = rowsPerBand, jaccardThreshold = jaccardThreshold,
         hash64 = hash64, transitive = true)
       .select(idCol)
-    val curated = docs.select(col(idCol), col(textCol))
-      .join(survivors, Seq(idCol), "left_semi")
-      .lazySerCkpt
+    // the input observe sits on the semi-join PROBE branch only (the
+    // curation pipeline keeps the raw frame): one CollectMetrics per name
+    // per plan, counting every input doc as it streams into the join.
+    // EAGER checkpoints here, not lazy: Dataset.localCheckpoint wraps BOTH
+    // modes in withAction, so a lazy checkpoint fires the execution
+    // listener at BUILD time with zeroed accumulators and the real
+    // materialization never re-fires it — the below-checkpoint observes
+    // (these stage counts; containmentPairs' guard counters inside
+    // `pairs`) would all report 0. Eager runs the job inside the call, so
+    // the listener reads the real values; total work is unchanged (the
+    // lazy form materialized inside the first consumer anyway).
+    val curated = staged(
+        staged(docs.select(col(idCol), col(textCol)), "input")
+          .join(survivors, Seq(idCol), "left_semi"), "curated")
+      .eagerSerCkpt
     val pairs = Dedup.containmentPairs(curated, idCol, textCol,
         threshold = containThreshold)
-      .lazySerCkpt
+      .eagerSerCkpt
     val rev = pairs.select(col("id1").as("__r1"), col("id2").as("__r2"))
     val contained = pairs
       .join(rev, col("id1") === col("__r2") && col("id2") === col("__r1"), "left")
       .filter(col("__r1").isNull || col("id1") > col("id2"))
       .select(col("id1").as(idCol)).distinct()
-    val afterContain = curated.join(contained, Seq(idCol), "left_anti")
-    Dedup.removeDuplicatedSpans(afterContain, idCol, textCol, k = substringK)
+    val afterContain =
+      staged(curated.join(contained, Seq(idCol), "left_anti"), "after_contain")
+    staged(
+      Dedup.removeDuplicatedSpans(afterContain, idCol, textCol, k = substringK),
+      "clean")
   }
 }
