@@ -996,6 +996,21 @@ object OracleSql {
         |FROM (SELECT doc_id, (doc_id*7) % 256 AS a FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // WAV decode round-trip: the engine really encodes + parses RIFF PCM16
+    // bytes through javax.sound.sampled; the oracle recomputes the stats of
+    // the synthetic ramp in closed form — samples are (7·id + i) mod 256
+    // for i in 0..159, i.e. 160 consecutive residues starting at
+    // a = 7·id mod 256: sum = 160a + 12720 minus 256 per wrapped element
+    // (max(a-96, 0) of them); peak = min(a+159, 255); 160 mono frames at
+    // 8 kHz = 20 ms exactly (integer frame arithmetic in both engines)
+    "q76_wav_decode" ->
+      """SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+        |  CAST(160 AS BIGINT) AS n_samples, CAST(20 AS BIGINT) AS duration_ms,
+        |  160*a + 12720 - 256*GREATEST(a - 96, 0) AS sum_samples,
+        |  CAST(LEAST(a + 159, 255) AS INTEGER) AS peak
+        |FROM (SELECT doc_id, (doc_id*7) % 256 AS a FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     // shard-local packing: bin = floor(running-total-BEFORE-this-row /
     // capacity) — the cumulative-sum formulation both engines compute in
     // one window pass (a doc crossing the boundary stays in its start bin)

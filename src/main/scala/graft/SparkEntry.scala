@@ -1033,6 +1033,32 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---- audio decode round-trip (q59's pattern, audio modality): synthesize
+  // a REAL RIFF/WAVE PCM16 clip per document — 160 mono samples at 8 kHz,
+  // sample i = (7·id + i) mod 256 — then decode it back through the JDK's
+  // javax.sound.sampled (WavCodec) and aggregate exact integer stats. The
+  // oracle recomputes the sample sum/peak of the synthetic ramp in closed
+  // form, so a RIFF-header, endianness, or frame-arithmetic bug anywhere in
+  // encode/decode breaks the hash ------------------------------------------
+  private def q76WavDecode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true))))
+    val media = T(s, d, "documents").select(col("doc_id").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val samples = Array.tabulate[Short](160)(i => (((id * 7 + i) % 256)).toShort)
+          Row(id, graft.operators.Multimodal.WavCodec.encode(8000, 1, samples))
+        }
+      }(enc)
+    graft.operators.Multimodal.audioStats(media)
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   // ---- shard-local sequence packing (token bins for training batches) ----
   // ---- 64-bit MinHash-LSH (scale twin of q17: one xxhash64 per shingle +
   // affine permutations instead of K md5s, long band keys instead of hex.
@@ -1144,7 +1170,8 @@ object SparkEntry {
     "q72_containment_production" -> (q72ContainmentProduction _),
     "q73_train_prep" -> (q73TrainPrep _),
     "q74_train_prep_production" -> (q74TrainPrepProduction _),
-    "q75_prep_pack" -> (q75PrepPack _)
+    "q75_prep_pack" -> (q75PrepPack _),
+    "q76_wav_decode" -> (q76WavDecode _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -9,8 +9,11 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample run as partition-local batch
   * functions (`mapPartitions` — the JVM analogue of arrow-batched UDFs).
   *
-  * The actual codecs are NOT in this environment, so the decode step is a
-  * clearly-marked deterministic STUB ([[StubCodec]]) behind the same
+  * Native codec libraries are NOT in this environment; two formats decode
+  * for REAL anyway — binary PGM images ([[PgmCodec]], pure JVM) and
+  * RIFF/WAVE PCM audio ([[WavCodec]], via the JDK's javax.sound.sampled) —
+  * while the rest run through a clearly-marked deterministic STUB
+  * ([[StubCodec]]) behind the same
   * interface a real decoder (javacv / ffmpeg bindings) would implement; the
   * Spark-side plumbing — schema contract, batch shape, partition-local
   * reuse of a (normally expensive) codec handle, row-count-preserving and
@@ -220,6 +223,115 @@ object Multimodal {
           (t, frame)
         }
       }
+  }
+
+  /** REAL pure-JVM codec for RIFF/WAVE PCM audio — the audio analogue of
+    * [[PgmCodec]] (VERDICT r10 next #5): `javax.sound.sampled` ships in the
+    * JDK, so unlike the formats [[StubCodec]] stands in for, WAV decode
+    * needs no native libraries. `encode` writes the canonical 44-byte RIFF
+    * header + little-endian 16-bit PCM frames; `decode` round-trips any
+    * 16-bit PCM_SIGNED stream `AudioSystem` can parse (either endianness),
+    * returning exact integer samples so downstream stats are
+    * oracle-comparable without float drift (the q59 discipline).
+    */
+  object WavCodec {
+    final case class Audio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+    def encode(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+      require(sampleRate > 0 && channels > 0, s"bad format: ${sampleRate}Hz x$channels")
+      require(samples.length % channels == 0,
+        s"encode: ${samples.length} samples not a whole number of $channels-channel frames")
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(channels.toShort)
+        .putInt(sampleRate)
+        .putInt(sampleRate * channels * 2) // byte rate
+        .putShort((channels * 2).toShort) // block align
+        .putShort(16) // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+      bb.array()
+    }
+
+    /** None for anything that isn't a parseable 16-bit PCM stream — an
+      * undecodable asset must not fail the partition (imageStats rule).
+      */
+    def decode(content: Array[Byte]): Option[Audio] = {
+      if (content == null) return None
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val f = in.getFormat
+          if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16) None
+          else {
+            val bytes = in.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(bytes).order(
+              if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val out = new Array[Short](bytes.length / 2)
+            var i = 0
+            while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+            Some(Audio(f.getSampleRate.toInt, f.getChannels, out))
+          }
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    }
+  }
+
+  /** Decode-level audio statistics as EXACT integers — sample rate,
+    * channels, sample count, duration, signed-sample sum, peak — the audio
+    * analogue of [[imageStats]] and the corpus audit a training pipeline
+    * runs before filtering (clip length / silence / clipping screens).
+    * Same partition-local mapPartitions shape; blobs never shuffle.
+    * Undecodable payloads yield a -1 row rather than failing the partition.
+    * duration_ms is frame-count arithmetic in integer space
+    * (`frames * 1000 / rate`), bit-equal across engines.
+    */
+  def audioStats(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("sum_samples", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    // positional access: chained after another object-typed map, the
+    // optimizer elides the serialize/deserialize pair (imageStats rule)
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        WavCodec.decode(r.getAs[Array[Byte]](1)) match {
+          case Some(a) =>
+            var sum = 0L
+            var peak = Int.MinValue
+            var i = 0
+            while (i < a.samples.length) {
+              val v = a.samples(i).toInt
+              sum += v
+              if (v > peak) peak = v
+              i += 1
+            }
+            val frames = a.samples.length / a.channels
+            Row(id, a.sampleRate, a.channels, a.samples.length.toLong,
+              frames.toLong * 1000L / a.sampleRate, sum,
+              if (a.samples.isEmpty) 0 else peak)
+          case None => Row(id, -1, -1, -1L, -1L, -1L, -1)
+        }
+      }
+    }(enc)
   }
 
   /** Deterministic stand-in for the real decoder: features are a seeded

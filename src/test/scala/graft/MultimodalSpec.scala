@@ -160,4 +160,55 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!plan.contains("content"), "blob column must be pruned from the scan")
     assert(stats.collect().length === 3)
   }
+
+  test("WavCodec round-trips PCM16 through javax.sound.sampled, mono and stereo") {
+    // negative samples included: signed little-endian frames must survive
+    val mono = Array[Short](0, 1000, -1000, 32767, -32768, 7)
+    val m = Multimodal.WavCodec.decode(Multimodal.WavCodec.encode(8000, 1, mono)).get
+    assert((m.sampleRate, m.channels) === ((8000, 1)))
+    assert(m.samples.toSeq === mono.toSeq)
+    val stereo = Array[Short](5, -5, 100, -100, 2000, -2000, 42, 24)
+    val st = Multimodal.WavCodec.decode(Multimodal.WavCodec.encode(44100, 2, stereo)).get
+    assert((st.sampleRate, st.channels) === ((44100, 2)))
+    assert(st.samples.toSeq === stereo.toSeq)
+  }
+
+  test("WavCodec guards: bad format loud, ragged frames loud, garbage decodes to None") {
+    intercept[IllegalArgumentException](
+      Multimodal.WavCodec.encode(0, 1, Array[Short](1)))
+    intercept[IllegalArgumentException](
+      Multimodal.WavCodec.encode(8000, 2, Array[Short](1, 2, 3))) // not whole frames
+    assert(Multimodal.WavCodec.decode(null).isEmpty)
+    assert(Multimodal.WavCodec.decode(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.WavCodec.decode("not audio at all".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("audioStats: exact integer stats distributed; garbage rows degrade to -1") {
+    val clip = Multimodal.WavCodec.encode(8000, 2, Array[Short](10, -20, 30, -40))
+    val rows = Seq(
+      Row(1L, "audio", clip, null),
+      Row(2L, "audio", Array[Byte](9, 9, 9), null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.MediaSchema)
+    val out = Multimodal.audioStats(df).orderBy("media_id").collect()
+    // 4 samples / 2 channels = 2 frames at 8 kHz -> 0 ms (integer floor);
+    // sum = 10-20+30-40 = -20; peak = 30
+    assert(out(0).toSeq === Seq(1L, 8000, 2, 4L, 0L, -20L, 30))
+    assert(out(1).toSeq === Seq(2L, -1, -1, -1L, -1L, -1L, -1))
+  }
+
+  test("q76 waveform closed form: decoded ramp stats match the oracle arithmetic") {
+    // the exact synthesis q76 runs, checked against the closed form the
+    // DuckDB oracle evaluates — for ids on both sides of the wrap point
+    for (id <- Seq(0L, 5L, 14L, 36L, 100L)) {
+      val a = (id * 7) % 256
+      val samples = Array.tabulate[Short](160)(i => ((id * 7 + i) % 256).toShort)
+      val d = Multimodal.WavCodec.decode(
+        Multimodal.WavCodec.encode(8000, 1, samples)).get
+      val sum = d.samples.map(_.toLong).sum
+      assert(sum === 160 * a + 12720 - 256 * math.max(a - 96, 0), s"id=$id")
+      assert(d.samples.max.toLong === math.min(a + 159, 255), s"id=$id")
+      assert(d.samples.length / d.channels * 1000L / d.sampleRate === 20L, s"id=$id")
+    }
+  }
 }
