@@ -52,6 +52,40 @@ object TrainPrep {
 
   private val obsId = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** The STREAM-SAFE prefix of the prep pipeline — exactly the stages whose
+    * semantics need no corpus-global statistic (the round-11 streaming
+    * matrix, NOTES.md): quality + language gates (stateless maps — any
+    * micro-batching gives batch-identical output) and exact-content dedup
+    * (keyed state over the content fingerprint; `dropDuplicates` on a
+    * stream keeps the FIRST-ARRIVED copy per fingerprint, where batch
+    * keeps min id — identical whenever arrival order is id order, e.g.
+    * change-stream ingest of an id-ordered collection, and the same
+    * CONTENT either way). The remaining stages are inherently
+    * corpus-global and stay batch: near-dup df/LSH verify + transitive
+    * closure (graph fixpoint over ALL pairs), containment (document
+    * frequencies + corpus-relative anchor cap), substring removal
+    * (corpus-wide window counts + GLOBAL-first survivor rule).
+    * [[graft.streaming.StreamingLshDedup]] covers incremental near-dup
+    * CANDIDATES where a stream needs them; the authoritative prep remains
+    * [[pipeline]] over the accumulated corpus. Works on both batch and
+    * streaming frames (pure projections/filters + keyed dedup); streaming
+    * callers with an event-time column should prefer
+    * `dropDuplicatesWithinWatermark` semantics by watermarking upstream so
+    * fingerprint state stays bounded.
+    */
+  def streamLite(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minQuality: Double = 0.3,
+      languages: Seq[String] = Seq("en", "es", "fr", "de", "zh")): DataFrame =
+    docs.select(col(idCol), col(textCol))
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+        TextAnalysis.languageId(col(textCol)).isin(languages.map(x => x: Any): _*))
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
   /** Per-stage doc counts ride the pipeline as `observe` metrics
     * (`train_prep_{n}_{input|curated|after_contain|clean}`, field `docs` —
     * each the count of docs REMAINING after that stage — the

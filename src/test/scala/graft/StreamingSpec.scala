@@ -251,4 +251,48 @@ class StreamingSpec extends SparkSpecBase {
       assert(rows(0).getString(2) === "en" && rows(1).getString(2) === "fr")
     } finally q.stop()
   }
+
+  test("TrainPrep.streamLite per micro-batch equals the batch gates + exact dedup") {
+    // The round-11 streaming matrix's spec: the prep pipeline's
+    // STREAM-SAFE prefix (gates + keyed exact dedup) produces the same
+    // rows whether it runs as one batch or across micro-batches — here 3
+    // batches, with an exact duplicate arriving in a LATER batch than its
+    // original (cross-batch state is the point) and arrival in id order
+    // (where streaming's first-arrival survivor = batch's min id). The
+    // corpus-global stages (near-dup closure, containment, substring) are
+    // deliberately absent — they need statistics over the whole corpus
+    // and stay in TrainPrep.pipeline.
+    implicit val sqlCtx = spark.sqlContext
+    val d1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "xx qq")) // language gate drops
+    val d2 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog near the river"), // dup of 1, later batch
+      (4L, "winter storms gather slowly above the northern mountain villages"))
+    val d3 = Seq(
+      (5L, "winter storms gather slowly above the northern mountain villages"), // dup of 4
+      (6L, "the library kept many ancient maps of forgotten trade roads"))
+    val input = MemoryStream[(Long, String)]
+    val lite = graft.operators.TrainPrep.streamLite(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", minQuality = 0.0)
+    val q = lite.writeStream.format("memory").queryName("prep_lite")
+      .outputMode("append").start()
+    try {
+      input.addData(d1: _*); q.processAllAvailable()
+      input.addData(d2: _*); q.processAllAvailable()
+      input.addData(d3: _*); q.processAllAvailable()
+      val streamed = spark.table("prep_lite")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // batch reference: the same stage semantics over the union of inputs
+      val all = (d1 ++ d2 ++ d3).toDF("doc_id", "text")
+      val batch = graft.operators.Dedup
+        .exactSurvivors(all, graft.operators.TextAnalysis.fingerprint(col("text")), "doc_id")
+        .filter(graft.operators.TextAnalysis.languageId(col("text"))
+          .isin("en", "es", "fr", "de", "zh"))
+        .select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed === batch)
+      assert(streamed.map(_._1) === Set(1L, 4L, 6L)) // 2 gated, 3/5 deduped cross-batch
+    } finally q.stop()
+  }
 }
