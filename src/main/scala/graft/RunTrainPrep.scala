@@ -16,6 +16,7 @@ import graft.sink.ParquetSink
   *   [--id-col doc_id] [--text-col text] [--hash64]
   *   [--min-quality 0.3] [--bands 4] [--rows-per-band 4] [--jaccard 0.6]
   *   [--contain 0.8] [--substring-k 8] [--table clean_corpus]
+  *   [--pack-capacity N [--pack-shard lang] [--pack-shard-buckets 64]]
   * }}}
   *
   * Reads the corpus parquet, runs [[TrainPrep.pipeline]] (curation →
@@ -49,7 +50,14 @@ object RunTrainPrep {
       jaccard: Double = 0.6,
       contain: Double = 0.8,
       substringK: Int = 8,
-      table: String = "clean_corpus")
+      table: String = "clean_corpus",
+      // --pack-capacity N additionally emits `<table>_packed` — the clean
+      // corpus with (n_tokens, bin_id) per doc (q75's composition; bins
+      // sharded by --pack-shard when the input carries that column, else
+      // by a hash of the id so no shard serializes the corpus)
+      packCapacity: Option[Long] = None,
+      packShard: String = "lang",
+      packShardBuckets: Int = 64)
 
   def parse(args: Seq[String]): Config = {
     def loop(rest: List[String], cfg: Config): Config = rest match {
@@ -66,6 +74,9 @@ object RunTrainPrep {
       case "--contain" :: v :: t => loop(t, cfg.copy(contain = v.toDouble))
       case "--substring-k" :: v :: t => loop(t, cfg.copy(substringK = v.toInt))
       case "--table" :: v :: t => loop(t, cfg.copy(table = v))
+      case "--pack-capacity" :: v :: t => loop(t, cfg.copy(packCapacity = Some(v.toLong)))
+      case "--pack-shard" :: v :: t => loop(t, cfg.copy(packShard = v))
+      case "--pack-shard-buckets" :: v :: t => loop(t, cfg.copy(packShardBuckets = v.toInt))
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
     }
     val cfg = loop(args.toList, Config())
@@ -90,7 +101,30 @@ object RunTrainPrep {
         hash64 = cfg.hash64, minQuality = cfg.minQuality, bands = cfg.bands,
         rowsPerBand = cfg.rowsPerBand, jaccardThreshold = cfg.jaccard,
         containThreshold = cfg.contain, substringK = cfg.substringK)
-      new ParquetSink(cfg.out).overwrite(cfg.table, clean)
+      val sink = new ParquetSink(cfg.out)
+      sink.overwrite(cfg.table, clean)
+      // optional prep -> pack tail (q75's composition): re-tokenize the
+      // written corpus (read back, not recomputed — the prep ran once) and
+      // emit token bins. Shard by cfg.packShard when the INPUT carries it;
+      // otherwise hash the id into packShardBuckets shards — the scale rule
+      // from q75's scaladoc (a low-cardinality shard serializes each
+      // shard's cumulative sum through one window partition).
+      cfg.packCapacity.foreach { cap =>
+        import org.apache.spark.sql.functions._
+        val cleanBack = spark.read.parquet(s"${cfg.out}/${cfg.table}")
+        val sharded =
+          if (docs.columns.contains(cfg.packShard))
+            cleanBack.join(
+              docs.select(col(cfg.idCol), col(cfg.packShard)), Seq(cfg.idCol))
+          else cleanBack.withColumn(cfg.packShard,
+            pmod(xxhash64(col(cfg.idCol)), lit(cfg.packShardBuckets)))
+        val toks = sharded.withColumn("n_tokens",
+          when(col("clean_text") === "", lit(0L))
+            .otherwise(size(split(col("clean_text"), "\\s+")).cast("long")))
+        sink.overwrite(s"${cfg.table}_packed",
+          graft.operators.Sampling.packBins(
+            toks, col(cfg.packShard), col(cfg.idCol), col("n_tokens"), cap))
+      }
       // synchronous drain: the stage metrics were computed during the write
       // action above; after the bus empties the snapshot diff is exact
       if (!org.apache.spark.GraftListenerBridge.waitListenerBusEmpty(spark.sparkContext))

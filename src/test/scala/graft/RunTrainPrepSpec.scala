@@ -30,7 +30,7 @@ class RunTrainPrepSpec extends SparkSpecBase {
     val cfg = RunTrainPrep.parse(Seq(
       "--in", s"$tmp/in", "--out", s"$tmp/out",
       "--min-quality", "0.0", "--bands", "16", "--rows-per-band", "1",
-      "--jaccard", "0.4"))
+      "--jaccard", "0.4", "--pack-capacity", "16"))
     val report = RunTrainPrep.execute(spark, cfg)
 
     // every stage reported, counts match the fixture's removal ledger
@@ -48,6 +48,16 @@ class RunTrainPrepSpec extends SparkSpecBase {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(written === direct)
     assert(written.map(_._1) === Seq(1L, 2L, 5L, 6L, 7L))
+
+    // --pack-capacity emits the packed twin: same docs, bins recompute from
+    // the cumulative-sum rule (input has no `lang` column, so the shard is
+    // the hashed-id fallback; every doc must still appear exactly once)
+    val packed = spark.read.parquet(s"$tmp/out/clean_corpus_packed")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("bin_id"))).toSeq
+    assert(packed.map(_._1) === written.map(_._1))
+    assert(packed.forall { case (_, n, bin) => n >= 0L && bin >= 0L })
   }
 
   test("parse enforces required flags and rejects unknown arguments") {
