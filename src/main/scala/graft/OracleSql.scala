@@ -1011,6 +1011,44 @@ object OracleSql {
         |FROM (SELECT doc_id, (doc_id*7) % 256 AS a FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // PNG decode round-trip: the engine really compresses + decompresses
+    // zlib/IDAT bytes through javax.imageio; the oracle recomputes the
+    // synthetic ramp's stats in closed form — pixels are (11·id + i) mod
+    // 256 for i in 0..199, i.e. 200 consecutive residues starting at
+    // a = 11·id mod 256: sum = 200a + 19900 minus 256 per wrapped element
+    // (max(a - 56, 0) of them; a ≤ 255 so no element wraps twice)
+    "q77_png_decode" ->
+      """SELECT doc_id, 20 AS width, 10 AS height,
+        |  200*a + 19900 - 256*GREATEST(a - 56, 0) AS sum_px
+        |FROM (SELECT doc_id, (doc_id*11) % 256 AS a FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // capacity-overflow packing: each doc splits into ⌈n/200⌉ sequences
+    // (full 200-token chunks + remainder; 0-token docs keep one 0-token
+    // sequence), then the SEQUENCES bin by the q60 cumulative-sum rule
+    // ordered by (doc_id, seq_idx) within each source shard. Token
+    // conservation (Σ seq_tokens = n_chars per doc) and the ≤-capacity
+    // piece bound are structural in both formulations.
+    "q78_pack_split" ->
+      """WITH seqs AS (
+        |  SELECT doc_id, source, n_chars,
+        |    GREATEST(CAST(CEIL(n_chars / 200.0) AS BIGINT), 1) AS nseq,
+        |    UNNEST(generate_series(0,
+        |      GREATEST(CAST(CEIL(n_chars / 200.0) AS BIGINT), 1) - 1)) AS seq_idx
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, source, seq_idx,
+        |    CAST(CASE WHEN seq_idx < nseq - 1 THEN 200
+        |      ELSE n_chars - (nseq - 1) * 200 END AS BIGINT) AS seq_tokens
+        |  FROM seqs
+        |)
+        |SELECT doc_id, source, seq_idx, seq_tokens,
+        |  CAST(FLOOR((SUM(seq_tokens) OVER (PARTITION BY source
+        |    ORDER BY doc_id, seq_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - seq_tokens)
+        |    / 200.0) AS BIGINT) AS bin_id
+        |FROM st ORDER BY doc_id, seq_idx""".stripMargin,
+
     // shard-local packing: bin = floor(running-total-BEFORE-this-row /
     // capacity) — the cumulative-sum formulation both engines compute in
     // one window pass (a doc crossing the boundary stays in its start bin)

@@ -15,7 +15,8 @@ import graft.sink.ParquetSink
   * runMain graft.RunTrainPrep --in <parquet path> --out <dir>
   *   [--id-col doc_id] [--text-col text] [--hash64]
   *   [--min-quality 0.3] [--bands 4] [--rows-per-band 4] [--jaccard 0.6]
-  *   [--contain 0.8] [--substring-k 8] [--table clean_corpus]
+  *   [--contain 0.8] [--substring-k 8] [--max-candidates 4096]
+  *   [--table clean_corpus]
   *   [--pack-capacity N [--pack-shard lang] [--pack-shard-buckets 64]]
   * }}}
   *
@@ -30,6 +31,11 @@ import graft.sink.ParquetSink
   * {{{
   * [train-prep] input=500000 curated=163840 after_contain=163710 clean=163710
   * }}}
+  *
+  * When the containment stage's candidate-budget guard drops postings
+  * (near-dup-dense corpora over `--max-candidates`), a second report line
+  * says so with the counters — the run itself must disclose reduced
+  * containment recall, not only the Verify harness (VERDICT r11 next #6).
   *
   * `--hash64` selects the xxhash64 production hash family (q74's
   * configuration — 2.5× cheaper than the md5 oracle family at 100×,
@@ -50,6 +56,7 @@ object RunTrainPrep {
       jaccard: Double = 0.6,
       contain: Double = 0.8,
       substringK: Int = 8,
+      maxCandidates: Int = graft.operators.Dedup.DefaultMaxCandidatesPerDoc,
       table: String = "clean_corpus",
       // --pack-capacity N additionally emits `<table>_packed` — the clean
       // corpus with (n_tokens, bin_id) per doc (q75's composition; bins
@@ -73,6 +80,7 @@ object RunTrainPrep {
       case "--jaccard" :: v :: t => loop(t, cfg.copy(jaccard = v.toDouble))
       case "--contain" :: v :: t => loop(t, cfg.copy(contain = v.toDouble))
       case "--substring-k" :: v :: t => loop(t, cfg.copy(substringK = v.toInt))
+      case "--max-candidates" :: v :: t => loop(t, cfg.copy(maxCandidates = v.toInt))
       case "--table" :: v :: t => loop(t, cfg.copy(table = v))
       case "--pack-capacity" :: v :: t => loop(t, cfg.copy(packCapacity = Some(v.toLong)))
       case "--pack-shard" :: v :: t => loop(t, cfg.copy(packShard = v))
@@ -82,14 +90,36 @@ object RunTrainPrep {
     val cfg = loop(args.toList, Config())
     require(cfg.in.nonEmpty, "--in is required")
     require(cfg.out.nonEmpty, "--out is required")
+    // loud failures for numeric flags (ADVICE r11): --pack-capacity 0
+    // would otherwise reach packBins' floor(sum/0.0) = Infinity →
+    // Long.MaxValue — silently-garbage bin ids instead of an error
+    require(cfg.bands > 0, s"--bands must be positive; got ${cfg.bands}")
+    require(cfg.rowsPerBand > 0, s"--rows-per-band must be positive; got ${cfg.rowsPerBand}")
+    require(cfg.substringK > 0, s"--substring-k must be positive; got ${cfg.substringK}")
+    require(cfg.maxCandidates > 0, s"--max-candidates must be positive; got ${cfg.maxCandidates}")
+    cfg.packCapacity.foreach(c =>
+      require(c > 0, s"--pack-capacity must be positive; got $c"))
+    require(cfg.packShardBuckets > 0,
+      s"--pack-shard-buckets must be positive; got ${cfg.packShardBuckets}")
     cfg
   }
 
-  /** Runs the prep; returns the per-stage doc counts (stage → docs).
-    * Factored out of `main` so specs can drive the CLI path on a shared
-    * session (the RunEtl.execute pattern).
+  /** The run report: per-stage doc counts plus the containment stage's
+    * candidate-budget guard counters (VERDICT r11 next #6 — a production
+    * operator that drops candidate postings under budget pressure must say
+    * so in its OWN run report, not only in the Verify harness).
+    * `guard("dropped_postings") > 0` means the posting cap actively
+    * reduced containment recall on this corpus; the cure is curate-first
+    * anchor rarity (already this pipeline's order) or a larger
+    * `--max-candidates`.
     */
-  def execute(spark: SparkSession, cfg: Config): Map[String, Long] = {
+  final case class Report(stages: Map[String, Long], guard: Map[String, Long])
+
+  /** Runs the prep; returns the [[Report]] (per-stage doc counts + guard
+    * counters). Factored out of `main` so specs can drive the CLI path on
+    * a shared session (the RunEtl.execute pattern).
+    */
+  def execute(spark: SparkSession, cfg: Config): Report = {
     val docs = spark.read.parquet(cfg.in)
     require(docs.columns.contains(cfg.idCol) && docs.columns.contains(cfg.textCol),
       s"input must carry columns ${cfg.idCol} and ${cfg.textCol} " +
@@ -100,7 +130,8 @@ object RunTrainPrep {
       val clean = TrainPrep.pipeline(docs, cfg.idCol, cfg.textCol,
         hash64 = cfg.hash64, minQuality = cfg.minQuality, bands = cfg.bands,
         rowsPerBand = cfg.rowsPerBand, jaccardThreshold = cfg.jaccard,
-        containThreshold = cfg.contain, substringK = cfg.substringK)
+        containThreshold = cfg.contain, substringK = cfg.substringK,
+        maxCandidatesPerDoc = cfg.maxCandidates)
       val sink = new ParquetSink(cfg.out)
       sink.overwrite(cfg.table, clean)
       // optional prep -> pack tail (q75's composition): re-tokenize the
@@ -130,13 +161,22 @@ object RunTrainPrep {
       if (!org.apache.spark.GraftListenerBridge.waitListenerBusEmpty(spark.sparkContext))
         System.err.println("[train-prep] warning: listener bus did not drain " +
           "in 10 s — stage report may be partial")
-      mc.snapshot.toSeq
+      val snap = mc.snapshot.toSeq
+      val stages = snap
         .filter { case (name, _) => name.startsWith("train_prep_") && !before(name) }
         .flatMap { case (name, fields) =>
           fields.get("docs").collect { case n: Long =>
             name.substring(name.indexOf('_', "train_prep_".length) + 1) -> n
           }
         }.toMap
+      // the containment stage's candidate-budget counters, summed across
+      // this run's observe instances (the pipeline emits one per call) —
+      // silent posting drops must surface in the production report
+      val guard = snap
+        .filter { case (name, _) => name.startsWith("containment_guard_") && !before(name) }
+        .flatMap { case (_, fields) => fields.collect { case (f, v: Long) => f -> v } }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      Report(stages, guard)
     } finally mc.close()
   }
 
@@ -147,8 +187,15 @@ object RunTrainPrep {
     val spark = Engine.session(appName = "graft-train-prep")
     try {
       val report = execute(spark, cfg)
-      val line = StageOrder.flatMap(s => report.get(s).map(n => s"$s=$n")).mkString(" ")
+      val line = StageOrder.flatMap(s => report.stages.get(s).map(n => s"$s=$n")).mkString(" ")
       println(s"[train-prep] $line")
+      val dropped = report.guard.getOrElse("dropped_postings", 0L)
+      if (dropped > 0L)
+        println(s"[train-prep] containment candidate-budget guard ACTIVE: " +
+          s"dropped_postings=$dropped " +
+          s"heavy_postings=${report.guard.getOrElse("heavy_postings", 0L)} — " +
+          s"recall reduced on this corpus; raise --max-candidates " +
+          s"(${cfg.maxCandidates}) or reduce near-dup density upstream")
     } finally spark.stop()
   }
 }

@@ -1059,6 +1059,47 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---- PNG decode round-trip (q59's pattern, compressed-image modality):
+  // synthesize a REAL grayscale PNG per document via the JDK's
+  // javax.imageio (20×10, pixel i = (11·id + i) mod 256), decode it back
+  // through PngCodec's cached-reader path, and aggregate exact integer
+  // stats. The oracle recomputes the ramp's pixel sum in closed form —
+  // 200 consecutive residues starting at a = 11·id mod 256 — so a filter/
+  // IDAT/raster-layout bug anywhere in the zlib-compressed round-trip
+  // breaks the hash ---------------------------------------------------------
+  private def q77PngDecode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true))))
+    val media = T(s, d, "documents").select(col("doc_id").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val px = new Array[Byte](20 * 10)
+          var i = 0
+          while (i < px.length) { px(i) = ((id * 11 + i) % 256).toByte; i += 1 }
+          Row(id, graft.operators.Multimodal.PngCodec.encode(20, 10, px))
+        }
+      }(enc)
+    graft.operators.Multimodal.imageStats(media, graft.operators.Multimodal.PngCodec)
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  // ---- capacity-overflow packing: split each doc into ≤ capacity-sized
+  // sequences, then bin the sequences by the q40/q60 cumulative-sum rule —
+  // the policy that makes packed output consumable by a fixed-context
+  // trainer (no piece exceeds the window; token totals conserve). Capacity
+  // 200 < max(n_chars) so real splitting happens at every SF ---------------
+  private def q78PackSplit(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.packSplit(
+        T(s, d, "documents").select("doc_id", "source", "n_chars"),
+        col("source"), col("doc_id"), col("n_chars"), capacity = 200L)
+      .select("doc_id", "source", "seq_idx", "seq_tokens", "bin_id")
+      .orderBy("doc_id", "seq_idx")
+
   // ---- shard-local sequence packing (token bins for training batches) ----
   // ---- 64-bit MinHash-LSH (scale twin of q17: one xxhash64 per shingle +
   // affine permutations instead of K md5s, long band keys instead of hex.
@@ -1171,7 +1212,9 @@ object SparkEntry {
     "q73_train_prep" -> (q73TrainPrep _),
     "q74_train_prep_production" -> (q74TrainPrepProduction _),
     "q75_prep_pack" -> (q75PrepPack _),
-    "q76_wav_decode" -> (q76WavDecode _)
+    "q76_wav_decode" -> (q76WavDecode _),
+    "q77_png_decode" -> (q77PngDecode _),
+    "q78_pack_split" -> (q78PackSplit _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

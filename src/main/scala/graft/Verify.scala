@@ -51,6 +51,11 @@ object Verify {
         }
     }
     SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }.foreach { case (name, fn) =>
+      // drain BEFORE capturing the seen-set (ADVICE r11): when the previous
+      // query threw, its post-write drain never ran, and its late-delivered
+      // guard metrics would otherwise land after this capture and be
+      // misattributed to this query
+      org.apache.spark.GraftListenerBridge.waitListenerBusEmpty(spark.sparkContext)
       val seen = mc.snapshot.keySet
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample run as partition-local batch
   * functions (`mapPartitions` — the JVM analogue of arrow-batched UDFs).
   *
-  * Native codec libraries are NOT in this environment; two formats decode
-  * for REAL anyway — binary PGM images ([[PgmCodec]], pure JVM) and
-  * RIFF/WAVE PCM audio ([[WavCodec]], via the JDK's javax.sound.sampled) —
-  * while the rest run through a clearly-marked deterministic STUB
-  * ([[StubCodec]]) behind the same
-  * interface a real decoder (javacv / ffmpeg bindings) would implement; the
+  * Native codec libraries are NOT in this environment; three format
+  * families decode for REAL anyway — binary PGM images ([[PgmCodec]], pure
+  * JVM), PNG images ([[PngCodec]], via the JDK's javax.imageio, which also
+  * ships JPEG/BMP/GIF readers), and RIFF/WAVE PCM audio ([[WavCodec]],
+  * direct RIFF parse + javax.sound.sampled fallback) — while the formats
+  * that genuinely need ffmpeg (video containers, compressed audio) run
+  * through a clearly-marked deterministic STUB ([[StubCodec]]) behind the
+  * same interface a real decoder (javacv / ffmpeg bindings) would implement; the
   * Spark-side plumbing — schema contract, batch shape, partition-local
   * reuse of a (normally expensive) codec handle, row-count-preserving and
   * exploding variants — is real and tested.
@@ -67,13 +69,43 @@ object Multimodal {
         while (i < px.length) { s += px(i) & 0xff; i += 1 }
         (w, h, s)
       }
+
+    /** Features: [width, height, mean/maxval, (dim-3)-bin pixel histogram
+      * as fractions] — requires `dim ≥ 4` (fail loudly; a silent stub
+      * fallback on a VALID image would hand back plausible-looking but
+      * meaningless numbers). Payloads this codec can't decode fall back to
+      * the stub's byte histogram so mixed-format tables don't fail the
+      * whole partition.
+      */
+    def features(modality: String, content: Array[Byte], dim: Int): Array[Float] = {
+      require(dim >= 4, s"image features need dim >= 4 (w, h, mean + bins); got $dim")
+      decodeImage(content) match {
+        case Some((w, h, m, px)) =>
+          val out = new Array[Float](dim)
+          out(0) = w.toFloat
+          out(1) = h.toFloat
+          val bins = dim - 3
+          var sum = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i) & 0xff
+            sum += p
+            out(3 + math.min(p * bins / (m + 1), bins - 1)) += 1.0f / px.length
+            i += 1
+          }
+          out(2) = (sum.toDouble / (px.length.toDouble * m)).toFloat
+          out
+        case _ => StubCodec.features(modality, content, dim)
+      }
+    }
   }
 
-  /** REAL pure-JVM codec for binary PGM (P5) grayscale images — the one
-    * raster format decodable without native libraries, so the decode path
-    * is exercised for real here while [[StubCodec]] stands in for the
-    * formats that need them (JPEG/audio/video). Handles `#` comments and
-    * arbitrary header whitespace per the netpbm spec; maxval ≤ 255.
+  /** REAL pure-JVM codec for binary PGM (P5) grayscale images — the
+    * simplest raster format, parsed byte-for-byte with no library at all
+    * ([[PngCodec]] covers the JDK-decodable compressed formats; only video
+    * containers and compressed audio remain with [[StubCodec]]). Handles
+    * `#` comments and arbitrary header whitespace per the netpbm spec;
+    * maxval ≤ 255.
     * `frames` treats the payload as a concatenation of P5 images (the
     * simplest multi-frame container) and yields each frame as its own PGM.
     */
@@ -155,34 +187,6 @@ object Multimodal {
         encode(w, h, m, out)
       }
 
-    /** Features: [width, height, mean/maxval, (dim-3)-bin pixel histogram
-      * as fractions] — requires `dim ≥ 4` (fail loudly; a silent stub
-      * fallback on a VALID image would hand back plausible-looking but
-      * meaningless numbers). Non-PGM payloads fall back to the stub's byte
-      * histogram so mixed-format tables don't fail the whole partition.
-      */
-    def features(modality: String, content: Array[Byte], dim: Int): Array[Float] = {
-      require(dim >= 4, s"PgmCodec features need dim >= 4 (w, h, mean + bins); got $dim")
-      decodeImage(content) match {
-        case Some((w, h, m, px)) =>
-          val out = new Array[Float](dim)
-          out(0) = w.toFloat
-          out(1) = h.toFloat
-          val bins = dim - 3
-          var sum = 0L
-          var i = 0
-          while (i < px.length) {
-            val p = px(i) & 0xff
-            sum += p
-            out(3 + math.min(p * bins / (m + 1), bins - 1)) += 1.0f / px.length
-            i += 1
-          }
-          out(2) = (sum.toDouble / (px.length.toDouble * m)).toFloat
-          out
-        case _ => StubCodec.features(modality, content, dim)
-      }
-    }
-
     /** Zero-copy stats: sum the pixel run in place via the header offsets —
       * no per-image pixel-array allocation (decodeImage copies; at corpus
       * scale that copy is pure GC pressure for a sum).
@@ -225,6 +229,119 @@ object Multimodal {
       }
   }
 
+  /** REAL pure-JVM codec for PNG still images via `javax.imageio` — the
+    * stock JDK ships PNG (and JPEG/BMP/GIF) readers, so unlike the formats
+    * [[StubCodec]] stands in for, PNG needs no native libraries (VERDICT
+    * r11 next #3). Decode goes through a per-thread cached `ImageReader`
+    * over a memory-cached stream: `ImageIO.read(InputStream)` would probe
+    * the reader registry AND spill through the disk cache on every call —
+    * the per-clip provider-probing constant factor the WavCodec fast path
+    * exists to avoid (SCALE_r11 §4 q76).
+    *
+    * Pixel contract: 8-bit grayscale, maxval 255. A gray PNG round-trips
+    * its raster bytes exactly (no gamma chunk is written for
+    * TYPE_BYTE_GRAY); color payloads reduce by integer ITU-R BT.601 luma
+    * ((299·R + 587·G + 114·B) / 1000, truncating) so stats stay
+    * exact-integer and oracle-comparable.
+    */
+  object PngCodec extends ImageCodec {
+    private val Sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+    // ImageReader is stateful (setInput) and not thread-safe — one per
+    // executor thread, reused across every row the thread decodes
+    private val reader = new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    }
+    private val writer = new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    }
+
+    def encode(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+      require(pixels.length.toLong == w.toLong * h,
+        s"encode: ${pixels.length} pixels for ${w}x$h image")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, pixels)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      val wr = writer.get()
+      try {
+        wr.setOutput(ios)
+        wr.write(img)
+      } finally {
+        wr.setOutput(null)
+        ios.close() // close flushes the memory cache into bos
+      }
+      bos.toByteArray
+    }
+
+    def decodeImage(content: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+      if (content == null || content.length < 8) return None
+      var i = 0
+      while (i < 8) { if ((content(i) & 0xff) != Sig(i)) return None; i += 1 }
+      try {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        val rd = reader.get()
+        val img =
+          try { rd.setInput(iis); rd.read(0) }
+          finally { rd.setInput(null); iis.close() }
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Byte](w * h)
+        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+          img.getRaster.getDataElements(0, 0, w, h, px)
+        } else {
+          var p = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              px(p) = ((((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000).toByte
+              p += 1
+              x += 1
+            }
+            y += 1
+          }
+        }
+        Some((w, h, 255, px))
+      } catch {
+        // a corrupt stream past the signature must not fail the partition
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+
+    /** Nearest-neighbor resample, re-encoded as gray PNG (PgmCodec rule:
+      * real pixel work, deterministic, no interpolation libs).
+      */
+    def resize(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      decodeImage(content).map { case (sw, sh, _, px) =>
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          val sy = y * sh / h
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = px(sy * sw + x * sw / w)
+            x += 1
+          }
+          y += 1
+        }
+        encode(w, h, out)
+      }
+
+    /** PNG is a single-image container: one frame at t=0 when decodable
+      * (no length-prefixed concatenation like PGM's P5 run — a corpus of
+      * PNG "clips" is one image per row by construction).
+      */
+    def frames(content: Array[Byte], everyMs: Long): Iterator[(Long, Array[Byte])] =
+      if (decodeImage(content).isDefined) Iterator((0L, content)) else Iterator.empty
+  }
+
   /** REAL pure-JVM codec for RIFF/WAVE PCM audio — the audio analogue of
     * [[PgmCodec]] (VERDICT r10 next #5): `javax.sound.sampled` ships in the
     * JDK, so unlike the formats [[StubCodec]] stands in for, WAV decode
@@ -261,8 +378,61 @@ object Multimodal {
 
     /** None for anything that isn't a parseable 16-bit PCM stream — an
       * undecodable asset must not fail the partition (imageStats rule).
+      *
+      * Two-tier decode (VERDICT r11 next #2): the canonical 44-byte RIFF
+      * PCM16 layout — which is what [[encode]] writes and what the
+      * overwhelming majority of real PCM WAV files carry — parses directly
+      * (a header check + one bulk LE sample copy). Everything else falls
+      * back to `AudioSystem`, whose per-call provider probing costs ~8 ms
+      * per clip (measured: 131 s for 500 k 364-byte clips at the 100×
+      * rung — an order of magnitude over the byte work) and is only worth
+      * paying for non-canonical-but-valid streams (extra chunks before
+      * `data`, extended fmt blocks, big-endian AIFF-style payloads).
       */
     def decode(content: Array[Byte]): Option[Audio] = {
+      val fast = decodeCanonical(content)
+      if (fast.isDefined) fast else decodeViaAudioSystem(content)
+    }
+
+    /** Strictly-canonical fast path: "RIFF" len "WAVE" + a 16-byte PCM fmt
+      * chunk + "data" at offset 36, 16-bit samples, payload exactly
+      * 44 + dataLen bytes. ANY deviation — extra chunks, extensible fmt,
+      * inconsistent block-align/byte-rate, trailing bytes — returns None
+      * so the AudioSystem fallback (the reference semantics) decides;
+      * the fast path must never accept a stream the fallback would parse
+      * differently. Package-visible so the spec can pin the split.
+      */
+    private[graft] def decodeCanonical(c: Array[Byte]): Option[Audio] = {
+      if (c == null || c.length < 44) return None
+      def tag(off: Int, s: String): Boolean =
+        c(off) == s.charAt(0) && c(off + 1) == s.charAt(1) &&
+          c(off + 2) == s.charAt(2) && c(off + 3) == s.charAt(3)
+      if (!tag(0, "RIFF") || !tag(8, "WAVE") || !tag(12, "fmt ") || !tag(36, "data"))
+        return None
+      val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bb.getInt(16) != 16 || bb.getShort(20) != 1 || bb.getShort(34) != 16)
+        return None // non-canonical fmt length / non-PCM / non-16-bit
+      val channels = bb.getShort(22).toInt
+      val rate = bb.getInt(24)
+      val dataLen = bb.getInt(40)
+      if (channels <= 0 || rate <= 0 || dataLen < 0 || dataLen % 2 != 0 ||
+        dataLen % (channels * 2) != 0 || 44L + dataLen != c.length) return None
+      // the redundant header fields must agree with the primary ones — a
+      // disagreement is a non-canonical stream the fallback should judge
+      if (bb.getInt(4) != 36 + dataLen || bb.getInt(28) != rate * channels * 2 ||
+        bb.getShort(32) != channels * 2) return None
+      val out = new Array[Short](dataLen / 2)
+      bb.position(44)
+      bb.asShortBuffer().get(out)
+      Some(Audio(rate, channels, out))
+    }
+
+    /** The general-format fallback. NonFatal, not just the two checked
+      * exceptions (ADVICE r11): a crafted RIFF header can drive the JDK
+      * parser into runtime exceptions (NegativeArraySizeException et al.),
+      * and an undecodable asset must not fail the partition.
+      */
+    private def decodeViaAudioSystem(content: Array[Byte]): Option[Audio] = {
       if (content == null) return None
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -283,8 +453,7 @@ object Multimodal {
           }
         } finally in.close()
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
+        case scala.util.control.NonFatal(_) => None
       }
     }
   }
@@ -334,10 +503,13 @@ object Multimodal {
     }(enc)
   }
 
-  /** Deterministic stand-in for the real decoder: features are a seeded
-    * byte-histogram projection, frames are fixed-size slices. Replace with a
-    * javacv/ffmpeg-backed Codec in a full environment — the operator code
-    * below does not change.
+  /** Deterministic stand-in for the decoders that genuinely need native
+    * libraries — video containers (mp4/mkv frame demux) and compressed
+    * audio (mp3/aac/opus); still images and PCM audio decode for REAL via
+    * [[PgmCodec]]/[[PngCodec]]/[[WavCodec]] above. Features are a seeded
+    * byte-histogram projection, frames are fixed-size slices. Replace with
+    * a javacv/ffmpeg-backed Codec in a full environment — the operator
+    * code below does not change.
     */
   object StubCodec extends Codec {
     def features(modality: String, content: Array[Byte], dim: Int): Array[Float] = {

@@ -148,10 +148,60 @@ object Sampling {
       order: Column,
       tokens: Column,
       capacity: Long): DataFrame = {
+    // loud failure, not Infinity arithmetic: capacity 0 would divide the
+    // cumulative sum by 0.0 and cast the resulting Infinity to Long.MaxValue
+    // — silently-garbage bin ids (ADVICE r11)
+    require(capacity > 0, s"packBins capacity must be positive; got $capacity")
     val w = Window.partitionBy(shard).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("bin_id",
       floor((sum(tokens).over(w) - tokens).cast("double") / lit(capacity.toDouble))
         .cast("long"))
+  }
+
+  /** Capacity-overflow-aware packing (VERDICT r11 next #4): [[packBins]]
+    * silently lets a document with `tokens > capacity` occupy one bin, but
+    * a trainer cannot consume a sequence longer than its context window —
+    * this variant first SPLITS each document into capacity-sized sequences
+    * (`seq_idx`, `seq_tokens`: ⌈tokens/capacity⌉ pieces — full `capacity`
+    * chunks plus the remainder; a 0-token document keeps one 0-token
+    * sequence so no row vanishes), then packs the SEQUENCES by the same
+    * cumulative-sum rule ordered by (`order`, `seq_idx`).
+    *
+    * Invariants (pinned by SamplingSpec + the q78 oracle): token
+    * conservation — `sum(seq_tokens)` per document equals the document's
+    * `tokens` — and no sequence exceeds `capacity`, so every piece fits a
+    * context window. Bins stay the approximate cumulative-sum kind (a
+    * sequence crossing a bin boundary stays in its start bin — the
+    * q40/q60 rule, unchanged); exact first-fit is inherently sequential
+    * per shard either way.
+    *
+    * Opt-in by construction: a separate operator, so q40/q60/q75 semantics
+    * stay frozen. Scale shape: the explode is map-side (fan-out
+    * ⌈tokens/capacity⌉, bounded by the longest document), and the window
+    * partitions by shard exactly as [[packBins]] — never a global order.
+    */
+  def packSplit(
+      df: DataFrame,
+      shard: Column,
+      order: Column,
+      tokens: Column,
+      capacity: Long): DataFrame = {
+    require(capacity > 0, s"packSplit capacity must be positive; got $capacity")
+    val cap = lit(capacity)
+    val nseq = greatest(ceil(tokens.cast("double") / lit(capacity.toDouble)).cast("long"),
+      lit(1L))
+    val seqs = df
+      .withColumn("__nseq", nseq)
+      .withColumn("seq_idx", explode(sequence(lit(0L), col("__nseq") - 1)))
+      .withColumn("seq_tokens",
+        when(col("seq_idx") < col("__nseq") - 1, cap)
+          .otherwise(tokens.cast("long") - (col("__nseq") - 1) * cap))
+      .drop("__nseq")
+    val w = Window.partitionBy(shard).orderBy(order, col("seq_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seqs.withColumn("bin_id",
+      floor((sum(col("seq_tokens")).over(w) - col("seq_tokens")).cast("double") /
+        lit(capacity.toDouble)).cast("long"))
   }
 }

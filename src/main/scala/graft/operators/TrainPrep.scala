@@ -68,23 +68,45 @@ object TrainPrep {
     * [[graft.streaming.StreamingLshDedup]] covers incremental near-dup
     * CANDIDATES where a stream needs them; the authoritative prep remains
     * [[pipeline]] over the accumulated corpus. Works on both batch and
-    * streaming frames (pure projections/filters + keyed dedup); streaming
-    * callers with an event-time column should prefer
-    * `dropDuplicatesWithinWatermark` semantics by watermarking upstream so
-    * fingerprint state stays bounded.
+    * streaming frames (pure projections/filters + keyed dedup).
+    *
+    * Bounded state (VERDICT r11 next #5): pass `eventTimeCol` and the
+    * dedup becomes `withWatermark(eventTimeCol, watermarkDelay)` +
+    * `dropDuplicatesWithinWatermark` — fingerprint state is EVICTED once
+    * the watermark passes it, so a long-running stream's state store stays
+    * bounded by the event-time delay instead of growing with corpus
+    * lifetime. Semantics inside the watermark are unchanged (a duplicate
+    * arriving within `watermarkDelay` of the first copy's event time is
+    * dropped — StreamingSpec pins stream ≡ batch across micro-batches);
+    * the caller's contract is that true duplicates arrive within the
+    * delay. Without `eventTimeCol` the state is unbounded (`dropDuplicates`
+    * keyed on the fingerprint) — the batch-equivalent default, fine for
+    * bounded backfills, NOT for indefinite streams. The event-time column
+    * rides along in the output when requested. On a BATCH frame the
+    * watermarked form degrades to plain `dropDuplicates` (Spark rejects
+    * `dropDuplicatesWithinWatermark` outside streaming, and a bounded
+    * input has no state-growth problem to bound).
     */
   def streamLite(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       minQuality: Double = 0.3,
-      languages: Seq[String] = Seq("en", "es", "fr", "de", "zh")): DataFrame =
-    docs.select(col(idCol), col(textCol))
+      languages: Seq[String] = Seq("en", "es", "fr", "de", "zh"),
+      eventTimeCol: Option[String] = None,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val gated = docs
+      .select(col(idCol) +: col(textCol) +: eventTimeCol.map(col).toSeq: _*)
       .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
         TextAnalysis.languageId(col(textCol)).isin(languages.map(x => x: Any): _*))
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-      .dropDuplicates("__fp")
-      .drop("__fp")
+    val deduped = eventTimeCol match {
+      case Some(et) if docs.isStreaming => gated.withWatermark(et, watermarkDelay)
+        .dropDuplicatesWithinWatermark("__fp")
+      case _ => gated.dropDuplicates("__fp")
+    }
+    deduped.drop("__fp")
+  }
 
   /** Per-stage doc counts ride the pipeline as `observe` metrics
     * (`train_prep_{n}_{input|curated|after_contain|clean}`, field `docs` —
@@ -104,7 +126,8 @@ object TrainPrep {
       rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.6,
       containThreshold: Double = 0.8,
-      substringK: Int = 8): DataFrame = {
+      substringK: Int = 8,
+      maxCandidatesPerDoc: Int = Dedup.DefaultMaxCandidatesPerDoc): DataFrame = {
     val id = obsId.incrementAndGet()
     def staged(df: DataFrame, stage: String): DataFrame =
       df.observe(s"train_prep_${id}_$stage", count(lit(1)).as("docs"))
@@ -129,7 +152,7 @@ object TrainPrep {
           .join(survivors, Seq(idCol), "left_semi"), "curated")
       .eagerSerCkpt
     val pairs = Dedup.containmentPairs(curated, idCol, textCol,
-        threshold = containThreshold)
+        threshold = containThreshold, maxCandidatesPerDoc = maxCandidatesPerDoc)
       .eagerSerCkpt
     val rev = pairs.select(col("id1").as("__r1"), col("id2").as("__r2"))
     val contained = pairs

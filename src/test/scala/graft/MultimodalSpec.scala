@@ -197,6 +197,104 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(1).toSeq === Seq(2L, -1, -1, -1L, -1L, -1L, -1))
   }
 
+  test("WavCodec canonical fast path: parses encode output directly, defers " +
+      "non-canonical-but-valid streams to AudioSystem with identical samples") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 7)
+    val canonical = Multimodal.WavCodec.encode(8000, 1, samples)
+    // the fast path owns the canonical layout (this is what the 100× q76
+    // constant-factor fix is: no per-clip provider probing)
+    val fast = Multimodal.WavCodec.decodeCanonical(canonical).get
+    assert((fast.sampleRate, fast.channels) === ((8000, 1)))
+    assert(fast.samples.toSeq === samples.toSeq)
+    // splice a LIST chunk between fmt and data — VALID RIFF that real
+    // encoders emit, but non-canonical: the fast path must refuse it and
+    // decode() must still parse it via the fallback, samples identical
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = new Array[Byte](canonical.length + list.length)
+    System.arraycopy(canonical, 0, spliced, 0, 36)
+    System.arraycopy(list, 0, spliced, 36, list.length)
+    System.arraycopy(canonical, 36, spliced, 36 + list.length, canonical.length - 36)
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + list.length) // RIFF size covers the new chunk
+    assert(Multimodal.WavCodec.decodeCanonical(spliced).isEmpty)
+    val slow = Multimodal.WavCodec.decode(spliced).get
+    assert((slow.sampleRate, slow.channels) === ((8000, 1)))
+    assert(slow.samples.toSeq === samples.toSeq)
+    // a header field disagreement (byte rate) is also non-canonical — the
+    // fallback judges it, the fast path must not silently accept it
+    val skewed = canonical.clone()
+    java.nio.ByteBuffer.wrap(skewed).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(28, 1)
+    assert(Multimodal.WavCodec.decodeCanonical(skewed).isEmpty)
+  }
+
+  test("WavCodec decode never throws on corrupted headers (NonFatal fallback)") {
+    // flipping any single header byte of a canonical clip must yield
+    // Some(...) or None, never an exception killing the partition
+    // (ADVICE r11: crafted RIFF headers can drive the JDK parser into
+    // runtime exceptions beyond the two checked ones)
+    val canonical = Multimodal.WavCodec.encode(8000, 1, Array[Short](1, 2, 3, 4))
+    for (i <- 0 until 44; v <- Seq(0x00, 0xff, 0x80)) {
+      val mutant = canonical.clone()
+      mutant(i) = v.toByte
+      Multimodal.WavCodec.decode(mutant) // must not throw
+    }
+  }
+
+  test("PngCodec round-trips gray pixels exactly through javax.imageio") {
+    val px = Array.tabulate[Byte](20 * 10)(i => ((i * 3 + 7) % 256).toByte)
+    val png = Multimodal.PngCodec.encode(20, 10, px)
+    // real PNG bytes: signature + zlib-compressed IDAT, not a passthrough
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+    val (w, h, m, back) = Multimodal.PngCodec.decodeImage(png).get
+    assert((w, h, m) === ((20, 10, 255)))
+    assert(back.toSeq === px.toSeq)
+    // stats = exact integer sum of the decoded raster
+    val expected = px.map(_ & 0xff).map(_.toLong).sum
+    assert(Multimodal.PngCodec.stats(png) === Some((20, 10, expected)))
+    // undecodable payloads: no signature → None, corrupt-past-signature →
+    // None (NonFatal), never a partition-killing throw
+    assert(Multimodal.PngCodec.decodeImage(null).isEmpty)
+    assert(Multimodal.PngCodec.decodeImage("garbage".getBytes("US-ASCII")).isEmpty)
+    val corrupt = java.util.Arrays.copyOf(png, 24) // signature + truncated IHDR
+    assert(Multimodal.PngCodec.decodeImage(corrupt).isEmpty)
+    // dimension mismatch is loud (PgmCodec rule)
+    intercept[IllegalArgumentException](Multimodal.PngCodec.encode(3, 3, px))
+  }
+
+  test("PngCodec reduces color payloads by integer BT.601 luma; resize resamples") {
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff8040) // r=255 g=128 b=64
+    img.setRGB(1, 0, 0x0a141e) // r=10 g=20 b=30
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (w, h, _, px) = Multimodal.PngCodec.decodeImage(bos.toByteArray).get
+    assert((w, h) === ((2, 1)))
+    assert((px(0) & 0xff) === (255 * 299 + 128 * 587 + 64 * 114) / 1000)
+    assert((px(1) & 0xff) === (10 * 299 + 20 * 587 + 30 * 114) / 1000)
+    // nearest-neighbor resize: constant image stays constant at any size
+    val flat = Multimodal.PngCodec.encode(8, 4, Array.fill[Byte](32)(77))
+    val small = Multimodal.PngCodec.resize(flat, 3, 2).get
+    val (_, _, _, rpx) = Multimodal.PngCodec.decodeImage(small).get
+    assert(rpx.length === 6 && rpx.forall(_ === 77.toByte))
+    // frames: a PNG is a single-image container
+    assert(Multimodal.PngCodec.frames(flat, 40L).toSeq.map(_._1) === Seq(0L))
+    assert(Multimodal.PngCodec.frames(Array[Byte](1, 2), 40L).isEmpty)
+  }
+
+  test("q77 closed form: decoded PNG ramp stats match the oracle arithmetic") {
+    // the exact synthesis q77 runs, checked against the closed form the
+    // DuckDB oracle evaluates — ids on both sides of the wrap point a=56
+    for (id <- Seq(0L, 3L, 5L, 13L, 23L, 100L)) {
+      val a = (id * 11) % 256
+      val px = Array.tabulate[Byte](200)(i => ((id * 11 + i) % 256).toByte)
+      val stats = Multimodal.PngCodec.stats(Multimodal.PngCodec.encode(20, 10, px)).get
+      assert(stats === ((20, 10, 200 * a + 19900 - 256 * math.max(a - 56, 0))), s"id=$id")
+    }
+  }
+
   test("q76 waveform closed form: decoded ramp stats match the oracle arithmetic") {
     // the exact synthesis q76 runs, checked against the closed form the
     // DuckDB oracle evaluates — for ids on both sides of the wrap point

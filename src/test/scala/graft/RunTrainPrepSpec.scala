@@ -34,11 +34,13 @@ class RunTrainPrepSpec extends SparkSpecBase {
     val report = RunTrainPrep.execute(spark, cfg)
 
     // every stage reported, counts match the fixture's removal ledger
-    assert(report.keySet === Set("input", "curated", "after_contain", "clean"))
-    assert(report("input") === 9L)
-    assert(report("curated") === 6L) // 11 exact, 3 near-dup, 8 gated
-    assert(report("after_contain") === 5L) // 4 contained in 5
-    assert(report("clean") === 5L) // span removal rewrites text, keeps rows
+    assert(report.stages.keySet === Set("input", "curated", "after_contain", "clean"))
+    assert(report.stages("input") === 9L)
+    assert(report.stages("curated") === 6L) // 11 exact, 3 near-dup, 8 gated
+    assert(report.stages("after_contain") === 5L) // 4 contained in 5
+    assert(report.stages("clean") === 5L) // span removal rewrites text, keeps rows
+    // healthy corpus: the candidate-budget guard reports, and drops nothing
+    assert(report.guard.getOrElse("dropped_postings", 0L) === 0L)
 
     // the sink artifact IS the pipeline output (row-identical to a direct run)
     val written = spark.read.parquet(s"$tmp/out/clean_corpus")
@@ -60,6 +62,37 @@ class RunTrainPrepSpec extends SparkSpecBase {
     assert(packed.forall { case (_, n, bin) => n >= 0L && bin >= 0L })
   }
 
+  test("the containment candidate-budget guard surfaces in the run report when active") {
+    // Guard-active fixture: 12 docs sharing one 5-token phrase ("covers
+    // shared replica phrase plus") embedded in otherwise-unique English
+    // text. They survive curation (pairwise Jaccard ≈ 4/20 < 0.4 — not
+    // near-dups; distinct fingerprints; "the" keeps languageId=en) but the
+    // shared grams carry df=12 > C = maxCandidates/anchorsPerDoc = 50/10,
+    // so the containment index drops postings — the production report must
+    // disclose that (VERDICT r11 next #6), while the clean corpus itself
+    // is untouched (shared anchor hits ≤ 2 < minAnchorHits, so no
+    // containment pair forms; the shared run is 5 < k=8 tokens, so no
+    // span removal).
+    val docs = (1L to 12L).map { i =>
+      i -> (s"the opener$i word$i covers shared replica phrase plus " +
+        s"tail${i}b tail${i}c tail${i}d tail${i}e tail${i}f")
+    }.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-trainprep-guard").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    val cfg = RunTrainPrep.parse(Seq(
+      "--in", s"$tmp/in", "--out", s"$tmp/out",
+      "--min-quality", "0.0", "--jaccard", "0.4", "--max-candidates", "50"))
+    val report = RunTrainPrep.execute(spark, cfg)
+    assert(report.stages("input") === 12L)
+    assert(report.stages("clean") === 12L) // nothing removed...
+    val dropped = report.guard.getOrElse("dropped_postings", 0L)
+    val heavy = report.guard.getOrElse("heavy_postings", 0L)
+    assert(dropped > 0L) // ...but the budget pressure is DISCLOSED
+    assert(heavy >= dropped)
+    // each heavy anchor gram keeps its C=5 lowest postings of df=12
+    assert(dropped % 7L === 0L)
+  }
+
   test("parse enforces required flags and rejects unknown arguments") {
     intercept[IllegalArgumentException](RunTrainPrep.parse(Seq("--out", "/tmp/x")))
     intercept[IllegalArgumentException](RunTrainPrep.parse(Seq("--in", "/tmp/x")))
@@ -68,5 +101,21 @@ class RunTrainPrepSpec extends SparkSpecBase {
     val cfg = RunTrainPrep.parse(Seq("--in", "a", "--out", "b", "--hash64",
       "--contain", "0.9", "--substring-k", "6", "--table", "t"))
     assert(cfg.hash64 && cfg.contain === 0.9 && cfg.substringK === 6 && cfg.table === "t")
+  }
+
+  test("parse fails loudly on non-positive numeric flags (ADVICE r11)") {
+    def bad(flags: String*) = intercept[IllegalArgumentException](
+      RunTrainPrep.parse(Seq("--in", "a", "--out", "b") ++ flags))
+    bad("--pack-capacity", "0") // would reach floor(sum/0.0) = garbage bins
+    bad("--pack-capacity", "-5")
+    bad("--bands", "0")
+    bad("--rows-per-band", "-1")
+    bad("--substring-k", "0")
+    bad("--max-candidates", "0")
+    bad("--pack-shard-buckets", "0")
+    // positive values still parse
+    val ok = RunTrainPrep.parse(Seq("--in", "a", "--out", "b",
+      "--pack-capacity", "1024", "--max-candidates", "128"))
+    assert(ok.packCapacity === Some(1024L) && ok.maxCandidates === 128)
   }
 }

