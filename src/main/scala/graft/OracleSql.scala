@@ -1023,6 +1023,70 @@ object OracleSql {
         |FROM (SELECT doc_id, (doc_id*11) % 256 AS a FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // perceptual aHash: mirror the engine's whole pipeline in closed form —
+    // the 8×8 nearest-neighbor downsample of the 16×8 synthetic image picks
+    // source offset 2·pos (sy=y, sx=2x), so sampled value =
+    // (doc_id·(2·pos+1)) mod 256; bit = exact-integer mean rule 64·v > Σv;
+    // the 64 bits pack into (hi = bits 32..63, lo = bits 0..31) as two
+    // BIGINTs (bit 63 in one signed column would overflow DuckDB's
+    // checked <<). The PNG encode/decode the engine really performs is
+    // pinned by q77; here the oracle pins the sampling + threshold + pack
+    "q79_image_ahash" ->
+      """WITH px AS (
+        |  SELECT doc_id, UNNEST(generate_series(0, 63)) AS pos FROM documents
+        |), v AS (
+        |  SELECT doc_id, pos, (doc_id * (2*pos + 1)) % 256 AS val FROM px
+        |), s AS (
+        |  SELECT doc_id, SUM(val) AS total FROM v GROUP BY doc_id
+        |), b AS (
+        |  SELECT v.doc_id, v.pos, CASE WHEN 64*v.val > s.total THEN 1 ELSE 0 END AS bit
+        |  FROM v JOIN s USING (doc_id)
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN pos >= 32 THEN bit * (1::BIGINT << (pos-32))
+        |    ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN pos < 32 THEN bit * (1::BIGINT << pos)
+        |    ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // image near-dup pairs: recompute the q79 hashes, then mirror the
+    // banded join (four 16-bit bands from the hi/lo halves) and the
+    // hamming ≤ 6 verify via bit_count(xor) per half
+    "q80_image_neardup" ->
+      """WITH px AS (
+        |  SELECT doc_id, UNNEST(generate_series(0, 63)) AS pos FROM documents
+        |), v AS (
+        |  SELECT doc_id, pos, (doc_id * (2*pos + 1)) % 256 AS val FROM px
+        |), s AS (
+        |  SELECT doc_id, SUM(val) AS total FROM v GROUP BY doc_id
+        |), b AS (
+        |  SELECT v.doc_id, v.pos, CASE WHEN 64*v.val > s.total THEN 1 ELSE 0 END AS bit
+        |  FROM v JOIN s USING (doc_id)
+        |), hashes AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN pos >= 32 THEN bit * (1::BIGINT << (pos-32))
+        |      ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN pos < 32 THEN bit * (1::BIGINT << pos)
+        |      ELSE 0 END) AS BIGINT) AS lo
+        |  FROM b GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, hi, lo, band_idx,
+        |    CASE band_idx WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+        |                  WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+        |  FROM hashes, (SELECT UNNEST(generate_series(0, 3)) AS band_idx)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+        |    a.hi AS hi1, a.lo AS lo1, c.hi AS hi2, c.lo AS lo2
+        |  FROM bands a JOIN bands c
+        |    ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+        |    AND a.doc_id < c.doc_id
+        |)
+        |SELECT id1, id2,
+        |  CAST(bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) <= 6
+        |ORDER BY id1, id2""".stripMargin,
+
     // capacity-overflow packing: each doc splits into ⌈n/200⌉ sequences
     // (full 200-token chunks + remainder; 0-token docs keep one 0-token
     // sequence), then the SEQUENCES bin by the q60 cumulative-sum rule

@@ -17,7 +17,8 @@ import graft.sink.ParquetSink
   *   [--min-quality 0.3] [--bands 4] [--rows-per-band 4] [--jaccard 0.6]
   *   [--contain 0.8] [--substring-k 8] [--max-candidates 4096]
   *   [--table clean_corpus]
-  *   [--pack-capacity N [--pack-shard lang] [--pack-shard-buckets 64]]
+  *   [--pack-capacity N [--pack-shard lang] [--pack-shard-buckets 64]
+  *     [--pack-split]]
   * }}}
   *
   * Reads the corpus parquet, runs [[TrainPrep.pipeline]] (curation →
@@ -64,7 +65,11 @@ object RunTrainPrep {
       // by a hash of the id so no shard serializes the corpus)
       packCapacity: Option[Long] = None,
       packShard: String = "lang",
-      packShardBuckets: Int = 64)
+      packShardBuckets: Int = 64,
+      // --pack-split switches the tail to Sampling.packSplit: docs longer
+      // than the capacity split into <=capacity sequences (seq_idx,
+      // seq_tokens) so every packed piece fits a trainer's context window
+      packSplit: Boolean = false)
 
   def parse(args: Seq[String]): Config = {
     def loop(rest: List[String], cfg: Config): Config = rest match {
@@ -85,6 +90,7 @@ object RunTrainPrep {
       case "--pack-capacity" :: v :: t => loop(t, cfg.copy(packCapacity = Some(v.toLong)))
       case "--pack-shard" :: v :: t => loop(t, cfg.copy(packShard = v))
       case "--pack-shard-buckets" :: v :: t => loop(t, cfg.copy(packShardBuckets = v.toInt))
+      case "--pack-split" :: t => loop(t, cfg.copy(packSplit = true))
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
     }
     val cfg = loop(args.toList, Config())
@@ -152,9 +158,14 @@ object RunTrainPrep {
         val toks = sharded.withColumn("n_tokens",
           when(col("clean_text") === "", lit(0L))
             .otherwise(size(split(col("clean_text"), "\\s+")).cast("long")))
-        sink.overwrite(s"${cfg.table}_packed",
-          graft.operators.Sampling.packBins(
-            toks, col(cfg.packShard), col(cfg.idCol), col("n_tokens"), cap))
+        val packed =
+          if (cfg.packSplit)
+            graft.operators.Sampling.packSplit(
+              toks, col(cfg.packShard), col(cfg.idCol), col("n_tokens"), cap)
+          else
+            graft.operators.Sampling.packBins(
+              toks, col(cfg.packShard), col(cfg.idCol), col("n_tokens"), cap)
+        sink.overwrite(s"${cfg.table}_packed", packed)
       }
       // synchronous drain: the stage metrics were computed during the write
       // action above; after the bus empties the snapshot diff is exact

@@ -1088,6 +1088,53 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---- perceptual image hash (aHash): synthesize a 16×8 grayscale PNG per
+  // document — pixel i = (id·(i+1)) mod 256, a multiplicative pattern whose
+  // aHash VARIES across documents (an additive ramp thresholds to nearly
+  // one hash corpus-wide — measured: 41.6k degenerate pairs from 500 docs)
+  // — PNG-encode, decode through PngCodec, nearest-neighbor 8×8 downsample,
+  // exact-integer mean threshold. The oracle recomputes the sampled pixels
+  // ((id·(2·pos+1)) mod 256 — resize picks source offset 2·pos), the mean
+  // rule 64·v > Σv, and the hi/lo bit packing in closed form -------------
+  private def q79ImageAhash(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.imageAHash(
+        pngMedia(s, d), graft.operators.Multimodal.PngCodec)
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy("doc_id")
+
+  // ---- image near-dup pairs: the q79 hashes through 16-bit band LSH +
+  // hamming ≤ 6 verify — the visual analogue of the SimHash text tier,
+  // closing the loop from REAL image decode to the dedup tier. Docs with
+  // id ≡ id' (mod 256) synthesize identical images (hamming 0 — the
+  // duplicate-cluster story); a handful of near classes land at 2 bits ----
+  private def q80ImageNeardup(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.imageNearDupPairs(
+        graft.operators.Multimodal.imageAHash(
+          pngMedia(s, d), graft.operators.Multimodal.PngCodec),
+        maxHamming = 6)
+      .orderBy("id1", "id2")
+
+  /** Shared q79/q80 fixture: one 16×8 gray PNG per document, pixel i =
+    * (id·(i+1)) mod 256, really encoded through the JDK PNG writer.
+    */
+  private def pngMedia(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true))))
+    T(s, d, "documents").select(col("doc_id").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val px = new Array[Byte](16 * 8)
+          var i = 0
+          while (i < px.length) { px(i) = ((id * (i + 1)) % 256).toByte; i += 1 }
+          Row(id, graft.operators.Multimodal.PngCodec.encode(16, 8, px))
+        }
+      }(enc)
+  }
+
   // ---- capacity-overflow packing: split each doc into ≤ capacity-sized
   // sequences, then bin the sequences by the q40/q60 cumulative-sum rule —
   // the policy that makes packed output consumable by a fixed-context
@@ -1214,7 +1261,9 @@ object SparkEntry {
     "q75_prep_pack" -> (q75PrepPack _),
     "q76_wav_decode" -> (q76WavDecode _),
     "q77_png_decode" -> (q77PngDecode _),
-    "q78_pack_split" -> (q78PackSplit _)
+    "q78_pack_split" -> (q78PackSplit _),
+    "q79_image_ahash" -> (q79ImageAhash _),
+    "q80_image_neardup" -> (q80ImageNeardup _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -623,6 +623,114 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual average-hash (aHash) per image — the decode-side half of
+    * image-level near-dup detection, the visual analogue of the text tier's
+    * SimHash (q19/q47): nearest-neighbor downsample to `size`×`size`, then
+    * one bit per sample = "above the downsampled mean" (strict, in exact
+    * integer form `size²·v > Σv` — no float mean, so the DuckDB oracle
+    * reproduces it bit-for-bit). The 64-bit hash ships as two longs
+    * (`ahash_hi` = bits 32..63, `ahash_lo` = bits 0..31): bit 63 in one
+    * signed 64-bit column would read negative on the engine and overflow
+    * DuckDB's checked `<<` on the oracle side, and the split halves are
+    * what the band extraction reads anyway. Undecodable payloads yield
+    * null hashes (they cannot be "visually similar" to anything — the
+    * pairing stage filters them).
+    *
+    * Same partition-local mapPartitions shape as [[imageStats]]: map-only,
+    * blobs never shuffle, embarrassingly parallel at any corpus size.
+    */
+  def imageAHash(media: DataFrame, codec: ImageCodec = PgmCodec, size: Int = 8): DataFrame = {
+    require(size > 0 && size * size <= 64, s"aHash needs 1..64 sample bits; size=$size")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash_hi", LongType, nullable = true),
+      StructField("ahash_lo", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val n = size
+    media.select("media_id", "content").mapPartitions { rows =>
+      val c = codec
+      rows.map { r =>
+        val id = r.getLong(0)
+        c.decodeImage(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, _, px)) =>
+            // nearest-neighbor sample grid (the resize() index rule), mean
+            // threshold over exactly these n² samples
+            val v = new Array[Int](n * n)
+            var sum = 0L
+            var y = 0
+            while (y < n) {
+              val sy = y * h / n
+              var x = 0
+              while (x < n) {
+                val s = px(sy * w + x * w / n) & 0xff
+                v(y * n + x) = s
+                sum += s
+                x += 1
+              }
+              y += 1
+            }
+            var hi = 0L
+            var lo = 0L
+            var pos = 0
+            while (pos < n * n) {
+              if (v(pos).toLong * (n * n) > sum) {
+                if (pos >= 32) hi |= 1L << (pos - 32) else lo |= 1L << pos
+              }
+              pos += 1
+            }
+            Row(id, hi, lo)
+          case None => Row(id, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Image near-dup pairs from [[imageAHash]] output: 16-bit band-exact
+    * LSH over the hash halves (two bands per half), candidates verified at
+    * `hamming ≤ maxHamming` — visually-near-identical images (re-encodes,
+    * slight brightness shifts) land within a few bits while distinct
+    * images scatter. A true pair within the threshold disagrees in ≤
+    * maxHamming bits, so with 4 bands any pair at maxHamming ≤ 3 shares a
+    * clean band by pigeonhole (recall 1.0 there; above that, recall is the
+    * standard banded-LSH trade).
+    *
+    * Scale shape: the self-join keys on (band_idx, band_val) — bucket size
+    * is bounded by the perceptual-duplicate cluster size, the same
+    * replica-cluster exposure as every banded-LSH tier here; a
+    * replication-heavy corpus routes through the q17 bucket-guard pattern
+    * (star-collapse) rather than this plain join. Null hashes
+    * (undecodable images) are filtered before banding.
+    */
+  def imageNearDupPairs(
+      hashes: DataFrame,
+      idCol: String = "media_id",
+      maxHamming: Int = 6): DataFrame = {
+    val h = hashes
+      .filter(col("ahash_hi").isNotNull && col("ahash_lo").isNotNull)
+      .select(col(idCol).as("__pid"), col("ahash_hi").as("__hi"), col("ahash_lo").as("__lo"))
+    val banded = h.select(col("__pid"), col("__hi"), col("__lo"),
+      explode(array(
+        struct(lit(0).as("band_idx"), col("__lo").bitwiseAND(lit(0xffffL)).as("band_val")),
+        struct(lit(1).as("band_idx"), shiftrightunsigned(col("__lo"), 16).as("band_val")),
+        struct(lit(2).as("band_idx"), col("__hi").bitwiseAND(lit(0xffffL)).as("band_val")),
+        struct(lit(3).as("band_idx"), shiftrightunsigned(col("__hi"), 16).as("band_val"))
+      )).as("__b"))
+    // rename the band key per side: a self-join on the SAME attribute
+    // resolves to a trivially-true predicate (Spark's '__b == __b'
+    // warning) and the join silently degenerates to a filtered cartesian
+    val a = banded.select(col("__pid").as("id1"), col("__hi").as("__hi1"),
+      col("__lo").as("__lo1"), col("__b").as("__b1"))
+    val b = banded.select(col("__pid").as("id2"), col("__hi").as("__hi2"),
+      col("__lo").as("__lo2"), col("__b").as("__b2"))
+    a.join(b, col("__b1") === col("__b2") && col("id1") < col("id2"))
+      .select("id1", "id2", "__hi1", "__lo1", "__hi2", "__lo2").distinct()
+      .withColumn("hamming",
+        (Dedup.hamming64(col("__hi1"), col("__hi2")) +
+          Dedup.hamming64(col("__lo1"), col("__lo2"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
   /** Metadata-only projection — the common fast path: prune the blob column
     * at the scan so a stats query never reads media bytes (column pruning
     * reaches the parquet reader; verify via ReadSchema in `.explain`).

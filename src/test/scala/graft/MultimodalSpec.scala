@@ -295,6 +295,66 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("imageAHash + imageNearDupPairs: hash matches the closed form, pairs match " +
+      "a brute-force banded reference, undecodable images stay out") {
+    import org.apache.spark.sql.types._
+    // the q79 synthesis over a small id range, PGM-encoded, plus one
+    // garbage payload that must hash to null and never pair
+    def pixels(id: Long) = Array.tabulate[Byte](16 * 8)(i => ((id * (i + 1)) % 256).toByte)
+    // 257 ≡ 1 and 261 ≡ 5 (mod 256): identical synthetic images — the
+    // duplicate-cluster rows the near-dup tier exists to find
+    val ids = (1L to 40L) ++ Seq(257L, 261L)
+    val rows = ids.map(id => Row(id, Multimodal.PgmCodec.encode(16, 8, 255, pixels(id)))) :+
+      Row(99L, "not an image".getBytes("US-ASCII"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    val hashes = Multimodal.imageAHash(media, Multimodal.PgmCodec)
+    val got = hashes.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).toMap
+    assert(got(99L) === None)
+    // independent closed form: sampled offset = 2*pos (16x8 -> 8x8 NN),
+    // bit = 64*v > sum over the 64 samples, hi/lo split at bit 32
+    def expected(id: Long): (Long, Long) = {
+      val v = Array.tabulate(64)(pos => ((id * (2 * pos + 1)) % 256).toInt)
+      val s = v.map(_.toLong).sum
+      var hi = 0L; var lo = 0L
+      for (pos <- 0 until 64 if 64L * v(pos) > s)
+        if (pos >= 32) hi |= 1L << (pos - 32) else lo |= 1L << pos
+      (hi, lo)
+    }
+    for (id <- ids) assert(got(id) === Some(expected(id)), s"id=$id")
+    assert(got(257L) === got(1L) && got(261L) === got(5L)) // exact clusters
+    // the hash is codec-independent: the same pixels through PNG decode
+    val pngRows = Seq(Row(7L, Multimodal.PngCodec.encode(16, 8, pixels(7L))))
+    val pngMedia = spark.createDataFrame(spark.sparkContext.parallelize(pngRows, 1), schema)
+    val png7 = Multimodal.imageAHash(pngMedia, Multimodal.PngCodec).head()
+    assert((png7.getLong(1), png7.getLong(2)) === expected(7L))
+    // pairs ≡ brute force over the same hashes with the same band-candidacy
+    // rule (share ≥ 1 of the four 16-bit bands) and hamming ≤ 6 verify
+    def bands(h: (Long, Long)) = Seq(h._2 & 0xffffL, h._2 >>> 16, h._1 & 0xffffL, h._1 >>> 16)
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      hi = expected(i); hj = expected(j)
+      if bands(hi).zip(bands(hj)).exists { case (x, y) => x == y }
+      ham = java.lang.Long.bitCount(hi._1 ^ hj._1) + java.lang.Long.bitCount(hi._2 ^ hj._2)
+      if ham <= 6
+    } yield (i, j, ham)).toSet
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === brute)
+    assert(pairs.contains((1L, 257L, 0)) && pairs.contains((5L, 261L, 0)))
+    assert(pairs.forall(p => p._1 != 99L && p._2 != 99L))
+    // the candidate join must key on the band — a trivially-true self-join
+    // predicate would degenerate to a filtered cartesian (this fixture's
+    // output happens to survive that, a 100 TB corpus would not)
+    val plan = Multimodal.imageNearDupPairs(hashes, maxHamming = 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"band join degenerated:\n$plan")
+  }
+
   test("q76 waveform closed form: decoded ramp stats match the oracle arithmetic") {
     // the exact synthesis q76 runs, checked against the closed form the
     // DuckDB oracle evaluates — for ids on both sides of the wrap point

@@ -60,6 +60,17 @@ class RunTrainPrepSpec extends SparkSpecBase {
         r.getAs[Long]("bin_id"))).toSeq
     assert(packed.map(_._1) === written.map(_._1))
     assert(packed.forall { case (_, n, bin) => n >= 0L && bin >= 0L })
+
+    // --pack-split twin: same corpus, overflow docs split into <=capacity
+    // sequences whose tokens conserve against the whole-doc packing above
+    RunTrainPrep.execute(spark, cfg.copy(
+      out = s"$tmp/out_split", packSplit = true))
+    val split = spark.read.parquet(s"$tmp/out_split/clean_corpus_packed")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_idx"),
+        r.getAs[Long]("seq_tokens")))
+    assert(split.forall(_._3 <= 16L)) // no piece over the context window
+    val splitTotals = split.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(splitTotals === packed.map(t => t._1 -> t._2).toMap) // conservation
   }
 
   test("the containment candidate-budget guard surfaces in the run report when active") {
