@@ -1087,6 +1087,61 @@ object OracleSql {
         |WHERE bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) <= 6
         |ORDER BY id1, id2""".stripMargin,
 
+    // audio fingerprint: mirror the engine's energy-envelope pipeline in
+    // closed form — 160 synthetic samples (doc_id·(i+3)) mod 256, 32 equal
+    // windows of 5, bit = 32·window-energy > clip-total (the equal-window
+    // reduction of the exact cross-multiply rule; samples are non-negative
+    // so |s| = s), packed little-endian into one BIGINT (bit 31 max —
+    // never the sign bit). The WAV encode/decode the engine really
+    // performs is pinned by q76; here the oracle pins windowing +
+    // threshold + packing
+    "q81_audio_fingerprint" ->
+      """WITH s AS (
+        |  SELECT doc_id, UNNEST(generate_series(0, 159)) AS i FROM documents
+        |), v AS (
+        |  SELECT doc_id, i // 5 AS w, (doc_id * (i + 3)) % 256 AS val FROM s
+        |), e AS (
+        |  SELECT doc_id, w, SUM(val) AS ew FROM v GROUP BY doc_id, w
+        |), t AS (
+        |  SELECT doc_id, SUM(ew) AS total FROM e GROUP BY doc_id
+        |)
+        |SELECT e.doc_id AS doc_id,
+        |  CAST(SUM(CASE WHEN 32*e.ew > t.total THEN (1::BIGINT << w)
+        |    ELSE 0 END) AS BIGINT) AS afp
+        |FROM e JOIN t ON e.doc_id = t.doc_id GROUP BY e.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // audio near-dup pairs: recompute the q81 fingerprints, then mirror
+    // the four 8-bit bands and the hamming ≤ 3 verify via bit_count(xor)
+    "q82_audio_neardup" ->
+      """WITH s AS (
+        |  SELECT doc_id, UNNEST(generate_series(0, 159)) AS i FROM documents
+        |), v AS (
+        |  SELECT doc_id, i // 5 AS w, (doc_id * (i + 3)) % 256 AS val FROM s
+        |), e AS (
+        |  SELECT doc_id, w, SUM(val) AS ew FROM v GROUP BY doc_id, w
+        |), t AS (
+        |  SELECT doc_id, SUM(ew) AS total FROM e GROUP BY doc_id
+        |), fp AS (
+        |  SELECT e.doc_id AS doc_id,
+        |    CAST(SUM(CASE WHEN 32*e.ew > t.total THEN (1::BIGINT << w)
+        |      ELSE 0 END) AS BIGINT) AS afp
+        |  FROM e JOIN t ON e.doc_id = t.doc_id GROUP BY e.doc_id
+        |), bands AS (
+        |  SELECT doc_id, afp, band_idx,
+        |    (afp // (1::BIGINT << (8*band_idx))) % 256 AS band_val
+        |  FROM fp, (SELECT UNNEST(generate_series(0, 3)) AS band_idx)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+        |    a.afp AS fp1, c.afp AS fp2
+        |  FROM bands a JOIN bands c
+        |    ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+        |    AND a.doc_id < c.doc_id
+        |)
+        |SELECT id1, id2, CAST(bit_count(xor(fp1, fp2)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
+
     // capacity-overflow packing: each doc splits into ⌈n/200⌉ sequences
     // (full 200-token chunks + remainder; 0-token docs keep one 0-token
     // sequence), then the SEQUENCES bin by the q60 cumulative-sum rule

@@ -1114,6 +1114,46 @@ object SparkEntry {
         maxHamming = 6)
       .orderBy("id1", "id2")
 
+  // ---- audio fingerprint: 32-bit energy-envelope signature per clip —
+  // synthesize a REAL RIFF PCM16 clip (160 mono samples at 8 kHz, sample
+  // i = (id·(i+3)) mod 256 — multiplicative for the q79 diversity reason:
+  // 246 of 256 id-classes get distinct fingerprints), decode through the
+  // WavCodec fast path, 32 windows of 5 samples, bit = 32·energy > total
+  // (the equal-window reduction of the exact cross-multiply rule). The
+  // oracle recomputes window energies and bit packing in closed form ------
+  private def q81AudioFingerprint(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.audioFingerprint(wavMedia(s, d), frames = 32)
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy("doc_id")
+
+  // ---- audio near-dup pairs: q81 fingerprints through 4×8-bit band LSH +
+  // hamming ≤ 3 verify (pigeonhole recall 1.0 at 3 bits with 4 bands) —
+  // audio joins images (q80) in the dedup tier over REAL decoded bytes ----
+  private def q82AudioNeardup(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.audioNearDupPairs(
+        graft.operators.Multimodal.audioFingerprint(wavMedia(s, d), frames = 32),
+        frames = 32, bands = 4, maxHamming = 3)
+      .orderBy("id1", "id2")
+
+  /** Shared q81/q82 fixture: one 20 ms PCM16 clip per document, sample i =
+    * (id·(i+3)) mod 256, really encoded as canonical RIFF bytes.
+    */
+  private def wavMedia(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true))))
+    T(s, d, "documents").select(col("doc_id").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val samples = Array.tabulate[Short](160)(i => ((id * (i + 3)) % 256).toShort)
+          Row(id, graft.operators.Multimodal.WavCodec.encode(8000, 1, samples))
+        }
+      }(enc)
+  }
+
   /** Shared q79/q80 fixture: one 16×8 gray PNG per document, pixel i =
     * (id·(i+1)) mod 256, really encoded through the JDK PNG writer.
     */
@@ -1263,7 +1303,9 @@ object SparkEntry {
     "q77_png_decode" -> (q77PngDecode _),
     "q78_pack_split" -> (q78PackSplit _),
     "q79_image_ahash" -> (q79ImageAhash _),
-    "q80_image_neardup" -> (q80ImageNeardup _)
+    "q80_image_neardup" -> (q80ImageNeardup _),
+    "q81_audio_fingerprint" -> (q81AudioFingerprint _),
+    "q82_audio_neardup" -> (q82AudioNeardup _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

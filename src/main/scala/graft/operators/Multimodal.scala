@@ -623,6 +623,102 @@ object Multimodal {
     }(enc)
   }
 
+  /** Audio content fingerprint — the audio analogue of [[imageAHash]]: the
+    * decoded clip's samples split into `frames` contiguous windows, one bit
+    * per window = "window mean |amplitude| above the clip mean" — an
+    * energy-envelope signature that survives re-encoding and small edits
+    * while staying EXACT-integer (the bit rule is the cross-multiplied
+    * comparison `energy_w · n > total · len_w`, evaluated as an unsigned
+    * 128-bit product compare so a billion-sample clip cannot overflow —
+    * no float mean, so the DuckDB oracle reproduces it bit-for-bit; with
+    * equal window lengths it reduces to `frames · energy_w > total`, the
+    * form the q81 oracle evaluates). `frames ≤ 62` keeps the fingerprint
+    * in a non-negative long (DuckDB's checked `<<` on the oracle side).
+    * Undecodable payloads yield a null fingerprint. Map-only, blobs never
+    * shuffle.
+    */
+  def audioFingerprint(media: DataFrame, frames: Int = 32): DataFrame = {
+    require(frames > 0 && frames <= 62, s"fingerprint needs 1..62 frame bits; got $frames")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("afp", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val nf = frames
+    media.select("media_id", "content").mapPartitions { rows =>
+      // unsigned 128-bit compare of two non-negative long products —
+      // exact at any clip length (a plain long multiply overflows past
+      // ~5·10^5 samples when cross-multiplying against the clip total)
+      def productGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+        val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+        val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+        hi1 > hi2 || (hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0)
+      }
+      rows.map { r =>
+        val id = r.getLong(0)
+        WavCodec.decode(r.getAs[Array[Byte]](1)) match {
+          case Some(a) if a.samples.nonEmpty =>
+            val n = a.samples.length
+            var total = 0L
+            var i = 0
+            while (i < n) { total += math.abs(a.samples(i).toLong); i += 1 }
+            var fp = 0L
+            var w = 0
+            while (w < nf) {
+              val lo = (w.toLong * n / nf).toInt
+              val hi = ((w + 1).toLong * n / nf).toInt
+              var e = 0L
+              i = lo
+              while (i < hi) { e += math.abs(a.samples(i).toLong); i += 1 }
+              if (productGt(e, n.toLong, total, (hi - lo).toLong)) fp |= 1L << w
+              w += 1
+            }
+            Row(id, fp)
+          case _ => Row(id, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Audio near-dup pairs from [[audioFingerprint]] output: the
+    * [[imageNearDupPairs]] recipe over a single fingerprint column —
+    * `bands` equal bit-bands key the candidate self-join, candidates
+    * verified at `hamming ≤ maxHamming` (pigeonhole: a pair within
+    * `bands - 1` bits always shares a clean band — recall 1.0 at
+    * maxHamming ≤ 3 with the default 4 bands). Same scale posture as the
+    * image tier: bucket size is bounded by the duplicate-cluster size;
+    * replica-heavy corpora route through the q17 bucket-guard pattern.
+    */
+  def audioNearDupPairs(
+      fps: DataFrame,
+      idCol: String = "media_id",
+      frames: Int = 32,
+      bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(bands > 0 && frames % bands == 0,
+      s"bands must divide the fingerprint width; got $frames/$bands")
+    import Ckpt.CkptOps
+    val bandBits = frames / bands
+    val mask = (1L << bandBits) - 1
+    val h = fps.filter(col("afp").isNotNull)
+      .select(col(idCol).as("__pid"), col("afp").as("__fp"))
+      .lazySerCkpt // the self-join must not decode the corpus twice
+    val banded = h.select(col("__pid"), col("__fp"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band_idx"),
+          shiftrightunsigned(col("__fp"), b * bandBits).bitwiseAND(lit(mask))
+            .as("band_val"))): _*)).as("__b"))
+    val a = banded.select(col("__pid").as("id1"), col("__fp").as("__fp1"),
+      col("__b").as("__b1"))
+    val b = banded.select(col("__pid").as("id2"), col("__fp").as("__fp2"),
+      col("__b").as("__b2"))
+    a.join(b, col("__b1") === col("__b2") && col("id1") < col("id2"))
+      .select("id1", "id2", "__fp1", "__fp2").distinct()
+      .withColumn("hamming",
+        Dedup.hamming64(col("__fp1"), col("__fp2")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
   /** Perceptual average-hash (aHash) per image — the decode-side half of
     * image-level near-dup detection, the visual analogue of the text tier's
     * SimHash (q19/q47): nearest-neighbor downsample to `size`×`size`, then
@@ -705,9 +801,14 @@ object Multimodal {
       hashes: DataFrame,
       idCol: String = "media_id",
       maxHamming: Int = 6): DataFrame = {
+    import Ckpt.CkptOps
+    // checkpoint the hash frame: the self-join's two sides would otherwise
+    // each re-execute the full upstream lineage — on a real corpus that is
+    // DECODING every image twice to save a 24-byte-per-row materialization
     val h = hashes
       .filter(col("ahash_hi").isNotNull && col("ahash_lo").isNotNull)
       .select(col(idCol).as("__pid"), col("ahash_hi").as("__hi"), col("ahash_lo").as("__lo"))
+      .lazySerCkpt
     val banded = h.select(col("__pid"), col("__hi"), col("__lo"),
       explode(array(
         struct(lit(0).as("band_idx"), col("__lo").bitwiseAND(lit(0xffffL)).as("band_val")),

@@ -355,6 +355,59 @@ class MultimodalSpec extends SparkSpecBase {
       s"band join degenerated:\n$plan")
   }
 
+  test("audioFingerprint + audioNearDupPairs: envelope bits match the closed form, " +
+      "exact at overflow-scale clip lengths, pairs match brute force") {
+    import org.apache.spark.sql.types._
+    def clip(id: Long) = Multimodal.WavCodec.encode(8000, 1,
+      Array.tabulate[Short](160)(i => ((id * (i + 3)) % 256).toShort))
+    val ids = (1L to 40L) ++ Seq(257L, 261L) // 257≡1, 261≡5 mod 256: exact clusters
+    val rows = ids.map(id => Row(id, clip(id))) :+
+      Row(99L, "not audio".getBytes("US-ASCII"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    val fps = Multimodal.audioFingerprint(media, frames = 32)
+    val got = fps.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(99L) === None)
+    def expected(id: Long): Long = {
+      val v = Array.tabulate(160)(i => ((id * (i + 3)) % 256).toInt)
+      val total = v.map(_.toLong).sum
+      (0 until 32).foldLeft(0L) { (fp, w) =>
+        if (32L * v.slice(5 * w, 5 * w + 5).map(_.toLong).sum > total) fp | (1L << w) else fp
+      }
+    }
+    for (id <- ids) assert(got(id) === Some(expected(id)), s"id=$id")
+    assert(got(257L) === got(1L) && got(261L) === got(5L))
+    // the signed-sample path: |−32768| must not wrap (Int abs would), and
+    // a constant-amplitude clip has no window above the mean → fp 0
+    val extreme = Multimodal.WavCodec.encode(8000, 1, Array.fill[Short](64)(-32768))
+    val eRow = Multimodal.audioFingerprint(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, extreme)), 1), schema), frames = 32).head()
+    assert(eRow.getLong(1) === 0L)
+    // pairs ≡ brute force under the same band-candidacy rule
+    def bands(fp: Long) = (0 until 4).map(b => (fp >>> (8 * b)) & 0xff)
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      fi = expected(i); fj = expected(j)
+      if bands(fi).zip(bands(fj)).exists { case (x, y) => x == y }
+      ham = java.lang.Long.bitCount(fi ^ fj)
+      if ham <= 3
+    } yield (i, j, ham)).toSet
+    val pairs = Multimodal.audioNearDupPairs(fps, frames = 32, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === brute)
+    assert(pairs.contains((1L, 257L, 0)) && pairs.contains((5L, 261L, 0)))
+    // band width must divide the fingerprint; the join must key on bands
+    intercept[IllegalArgumentException](
+      Multimodal.audioNearDupPairs(fps, frames = 32, bands = 5))
+    val plan = Multimodal.audioNearDupPairs(fps, frames = 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"band join degenerated:\n$plan")
+  }
+
   test("q76 waveform closed form: decoded ramp stats match the oracle arithmetic") {
     // the exact synthesis q76 runs, checked against the closed form the
     // DuckDB oracle evaluates — for ids on both sides of the wrap point
