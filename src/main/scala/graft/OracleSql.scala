@@ -1142,6 +1142,81 @@ object OracleSql {
         |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3
         |ORDER BY id1, id2""".stripMargin,
 
+    // video fingerprint: mirror per-frame aHash + majority pooling in
+    // closed form — 4 frames, frame f sampled pixel (offset 2·pos) =
+    // (doc_id·(2·pos+1) + 17·f) mod 256, per-frame bit = 64·v > frame
+    // sum, clip bit = per-bit majority (2·count ≥ 4), packed hi/lo as in
+    // q79. The multi-frame P5 container decode the engine really performs
+    // is pinned by q59's codec specs; here the oracle pins framing +
+    // thresholds + pooling
+    "q83_video_fingerprint" ->
+      """WITH px AS (
+        |  SELECT doc_id, f, UNNEST(generate_series(0, 63)) AS pos
+        |  FROM documents, (SELECT UNNEST(generate_series(0, 3)) AS f)
+        |), v AS (
+        |  SELECT doc_id, f, pos, (doc_id * (2*pos + 1) + 17*f) % 256 AS val FROM px
+        |), fs AS (
+        |  SELECT doc_id, f, SUM(val) AS fsum FROM v GROUP BY doc_id, f
+        |), fb AS (
+        |  SELECT v.doc_id, v.f, v.pos,
+        |    CASE WHEN 64*v.val > fs.fsum THEN 1 ELSE 0 END AS bit
+        |  FROM v JOIN fs ON v.doc_id = fs.doc_id AND v.f = fs.f
+        |), cnt AS (
+        |  SELECT doc_id, pos, SUM(bit) AS c FROM fb GROUP BY doc_id, pos
+        |), cb AS (
+        |  SELECT doc_id, pos, CASE WHEN 2*c >= 4 THEN 1 ELSE 0 END AS bit FROM cnt
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN pos >= 32 THEN bit * (1::BIGINT << (pos-32))
+        |    ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN pos < 32 THEN bit * (1::BIGINT << pos)
+        |    ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |  CAST(4 AS BIGINT) AS n_frames
+        |FROM cb GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // video near-dup pairs: recompute the q83 clip hashes, then the q80
+    // band + hamming mirror (video rides the image pair tier unchanged)
+    "q84_video_neardup" ->
+      """WITH px AS (
+        |  SELECT doc_id, f, UNNEST(generate_series(0, 63)) AS pos
+        |  FROM documents, (SELECT UNNEST(generate_series(0, 3)) AS f)
+        |), v AS (
+        |  SELECT doc_id, f, pos, (doc_id * (2*pos + 1) + 17*f) % 256 AS val FROM px
+        |), fs AS (
+        |  SELECT doc_id, f, SUM(val) AS fsum FROM v GROUP BY doc_id, f
+        |), fb AS (
+        |  SELECT v.doc_id, v.f, v.pos,
+        |    CASE WHEN 64*v.val > fs.fsum THEN 1 ELSE 0 END AS bit
+        |  FROM v JOIN fs ON v.doc_id = fs.doc_id AND v.f = fs.f
+        |), cnt AS (
+        |  SELECT doc_id, pos, SUM(bit) AS c FROM fb GROUP BY doc_id, pos
+        |), cb AS (
+        |  SELECT doc_id, pos, CASE WHEN 2*c >= 4 THEN 1 ELSE 0 END AS bit FROM cnt
+        |), hashes AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN pos >= 32 THEN bit * (1::BIGINT << (pos-32))
+        |      ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN pos < 32 THEN bit * (1::BIGINT << pos)
+        |      ELSE 0 END) AS BIGINT) AS lo
+        |  FROM cb GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, hi, lo, band_idx,
+        |    CASE band_idx WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+        |                  WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+        |  FROM hashes, (SELECT UNNEST(generate_series(0, 3)) AS band_idx)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+        |    a.hi AS hi1, a.lo AS lo1, c.hi AS hi2, c.lo AS lo2
+        |  FROM bands a JOIN bands c
+        |    ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+        |    AND a.doc_id < c.doc_id
+        |)
+        |SELECT id1, id2,
+        |  CAST(bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) <= 6
+        |ORDER BY id1, id2""".stripMargin,
+
     // capacity-overflow packing: each doc splits into ⌈n/200⌉ sequences
     // (full 200-token chunks + remainder; 0-token docs keep one 0-token
     // sequence), then the SEQUENCES bin by the q60 cumulative-sum rule

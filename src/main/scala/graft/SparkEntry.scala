@@ -1135,6 +1135,49 @@ object SparkEntry {
         frames = 32, bands = 4, maxHamming = 3)
       .orderBy("id1", "id2")
 
+  // ---- video fingerprint: per-frame aHash pooled by per-bit majority —
+  // synthesize a REAL 4-frame clip (concatenated 16×8 binary PGMs, frame f
+  // pixel i = (id·(i+1) + 17·f) mod 256), iterate the frames through
+  // PgmCodec.frames, aHash each, pool. The oracle recomputes frame
+  // sampling (offset 2·pos), per-frame thresholds, and the ≥-half
+  // majority in closed form -----------------------------------------------
+  private def q83VideoFingerprint(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.videoFingerprint(pgmClipMedia(s, d))
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy("doc_id")
+
+  // ---- video near-dup pairs: clip fingerprints ride the SAME banded tier
+  // as images (imageNearDupPairs consumes ahash_hi/ahash_lo unchanged) ----
+  private def q84VideoNeardup(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.imageNearDupPairs(
+        graft.operators.Multimodal.videoFingerprint(pgmClipMedia(s, d)),
+        maxHamming = 6)
+      .orderBy("id1", "id2")
+
+  /** Shared q83/q84 fixture: one 4-frame PGM clip per document (the
+    * concatenated-P5 container PgmCodec.frames parses for real).
+    */
+  private def pgmClipMedia(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true))))
+    T(s, d, "documents").select(col("doc_id").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val clip = (0 until 4).toArray.flatMap { f =>
+            val px = new Array[Byte](16 * 8)
+            var i = 0
+            while (i < px.length) { px(i) = ((id * (i + 1) + 17 * f) % 256).toByte; i += 1 }
+            graft.operators.Multimodal.PgmCodec.encode(16, 8, 255, px)
+          }
+          Row(id, clip)
+        }
+      }(enc)
+  }
+
   /** Shared q81/q82 fixture: one 20 ms PCM16 clip per document, sample i =
     * (id·(i+3)) mod 256, really encoded as canonical RIFF bytes.
     */
@@ -1305,7 +1348,9 @@ object SparkEntry {
     "q79_image_ahash" -> (q79ImageAhash _),
     "q80_image_neardup" -> (q80ImageNeardup _),
     "q81_audio_fingerprint" -> (q81AudioFingerprint _),
-    "q82_audio_neardup" -> (q82AudioNeardup _)
+    "q82_audio_neardup" -> (q82AudioNeardup _),
+    "q83_video_fingerprint" -> (q83VideoFingerprint _),
+    "q84_video_neardup" -> (q84VideoNeardup _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -735,13 +735,46 @@ object Multimodal {
     * Same partition-local mapPartitions shape as [[imageStats]]: map-only,
     * blobs never shuffle, embarrassingly parallel at any corpus size.
     */
+  /** The aHash core shared by [[imageAHash]] (per image) and
+    * [[videoFingerprint]] (per frame): nearest-neighbor sample grid (the
+    * resize() index rule), exact-integer mean threshold over exactly the
+    * n² samples, bits packed (hi = 32..63, lo = 0..31).
+    */
+  private def ahashOf(px: Array[Byte], w: Int, h: Int, n: Int): (Long, Long) = {
+    val v = new Array[Int](n * n)
+    var sum = 0L
+    var y = 0
+    while (y < n) {
+      val sy = y * h / n
+      var x = 0
+      while (x < n) {
+        val s = px(sy * w + x * w / n) & 0xff
+        v(y * n + x) = s
+        sum += s
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var pos = 0
+    while (pos < n * n) {
+      if (v(pos).toLong * (n * n) > sum) {
+        if (pos >= 32) hi |= 1L << (pos - 32) else lo |= 1L << pos
+      }
+      pos += 1
+    }
+    (hi, lo)
+  }
+
+  private val AHashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ahash_hi", LongType, nullable = true),
+    StructField("ahash_lo", LongType, nullable = true)))
+
   def imageAHash(media: DataFrame, codec: ImageCodec = PgmCodec, size: Int = 8): DataFrame = {
     require(size > 0 && size * size <= 64, s"aHash needs 1..64 sample bits; size=$size")
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("ahash_hi", LongType, nullable = true),
-      StructField("ahash_lo", LongType, nullable = true)))
-    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val enc = org.apache.spark.sql.Encoders.row(AHashSchema)
     val n = size
     media.select("media_id", "content").mapPartitions { rows =>
       val c = codec
@@ -749,33 +782,74 @@ object Multimodal {
         val id = r.getLong(0)
         c.decodeImage(r.getAs[Array[Byte]](1)) match {
           case Some((w, h, _, px)) =>
-            // nearest-neighbor sample grid (the resize() index rule), mean
-            // threshold over exactly these n² samples
-            val v = new Array[Int](n * n)
-            var sum = 0L
-            var y = 0
-            while (y < n) {
-              val sy = y * h / n
-              var x = 0
-              while (x < n) {
-                val s = px(sy * w + x * w / n) & 0xff
-                v(y * n + x) = s
-                sum += s
-                x += 1
-              }
-              y += 1
-            }
-            var hi = 0L
-            var lo = 0L
-            var pos = 0
-            while (pos < n * n) {
-              if (v(pos).toLong * (n * n) > sum) {
-                if (pos >= 32) hi |= 1L << (pos - 32) else lo |= 1L << pos
-              }
-              pos += 1
-            }
+            val (hi, lo) = ahashOf(px, w, h, n)
             Row(id, hi, lo)
           case None => Row(id, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Video clip fingerprint — temporal pooling of per-frame aHashes, the
+    * shape real video dedup uses (pooled frame hashes survive re-encodes
+    * and small cuts): iterate the clip's frames through the codec's
+    * [[Codec.frames]], aHash each decodable frame, and set a clip bit by
+    * PER-BIT MAJORITY (`2·count ≥ n_frames` — the ≥-half rule, ties set).
+    * Output columns match [[imageAHash]] (`ahash_hi`/`ahash_lo` plus
+    * `n_frames`), so [[imageNearDupPairs]] consumes clip fingerprints
+    * unchanged — video rides the same banded near-dup tier. A clip with
+    * zero decodable frames (or one the codec rejects mid-stream —
+    * PgmCodec.frames throws on corrupt trailing bytes by design) yields
+    * null: an unreadable clip must not fail the partition here, the
+    * corpus-audit rule.
+    */
+  def videoFingerprint(
+      media: DataFrame,
+      codec: ImageCodec = PgmCodec,
+      size: Int = 8,
+      everyMs: Long = 40L): DataFrame = {
+    require(size > 0 && size * size <= 64, s"aHash needs 1..64 sample bits; size=$size")
+    val schema = StructType(AHashSchema.fields.toSeq :+
+      StructField("n_frames", LongType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val n = size
+    media.select("media_id", "content").mapPartitions { rows =>
+      val c = codec
+      rows.map { r =>
+        val id = r.getLong(0)
+        val counts = new Array[Int](n * n)
+        var frames = 0
+        try {
+          c.frames(r.getAs[Array[Byte]](1), everyMs).foreach { case (_, bytes) =>
+            c.decodeImage(bytes) match {
+              case Some((w, h, _, px)) =>
+                val (hi, lo) = ahashOf(px, w, h, n)
+                var pos = 0
+                while (pos < n * n) {
+                  val set =
+                    if (pos >= 32) (hi >>> (pos - 32)) & 1L else (lo >>> pos) & 1L
+                  counts(pos) += set.toInt
+                  pos += 1
+                }
+                frames += 1
+              case None => // skip undecodable frame
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => frames = 0 // corrupt clip
+        }
+        if (frames == 0) Row(id, null, null, 0L)
+        else {
+          var hi = 0L
+          var lo = 0L
+          var pos = 0
+          while (pos < n * n) {
+            if (2 * counts(pos) >= frames) {
+              if (pos >= 32) hi |= 1L << (pos - 32) else lo |= 1L << pos
+            }
+            pos += 1
+          }
+          Row(id, hi, lo, frames.toLong)
         }
       }
     }(enc)

@@ -408,6 +408,51 @@ class MultimodalSpec extends SparkSpecBase {
       s"band join degenerated:\n$plan")
   }
 
+  test("videoFingerprint: per-frame aHash pooled by majority; corrupt or empty " +
+      "clips yield null; pairs ride the image tier") {
+    import org.apache.spark.sql.types._
+    def frame(id: Long, f: Int) = Multimodal.PgmCodec.encode(16, 8, 255,
+      Array.tabulate[Byte](128)(i => ((id * (i + 1) + 17 * f) % 256).toByte))
+    def clip(id: Long, nFrames: Int) = (0 until nFrames).toArray.flatMap(frame(id, _))
+    val ids = Seq(1L, 2L, 5L, 257L, 261L) // 257≡1, 261≡5 (mod 256): exact clusters
+    val rows = ids.map(id => Row(id, clip(id, 4))) ++ Seq(
+      Row(90L, clip(90L, 1)), // single-frame clip: majority = that frame
+      Row(98L, Array[Byte](1, 2, 3)), // not a P5 container → null
+      Row(99L, clip(99L, 2) ++ "garbage tail".getBytes("US-ASCII"))) // corrupt → null
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val fps = Multimodal.videoFingerprint(media)
+    val got = fps.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2), r.getLong(3))))).toMap
+    assert(got(98L) === None && got(99L) === None)
+    // closed form: per-frame sampled value (id·(2·pos+1) + 17·f) mod 256,
+    // frame bit = 64·v > frame sum, clip bit = 2·count ≥ n_frames
+    def expected(id: Long, nFrames: Int): (Long, Long) = {
+      val cnt = new Array[Int](64)
+      for (f <- 0 until nFrames) {
+        val v = Array.tabulate(64)(p => ((id * (2 * p + 1) + 17 * f) % 256).toInt)
+        val s = v.map(_.toLong).sum
+        for (p <- 0 until 64 if 64L * v(p) > s) cnt(p) += 1
+      }
+      (0 until 64).foldLeft((0L, 0L)) { case ((hi, lo), p) =>
+        if (2 * cnt(p) >= nFrames)
+          if (p >= 32) (hi | (1L << (p - 32)), lo) else (hi, lo | (1L << p))
+        else (hi, lo)
+      }
+    }
+    for (id <- ids) assert(got(id) === Some(expected(id, 4) match {
+      case (hi, lo) => (hi, lo, 4L) }), s"id=$id")
+    assert(got(90L) === Some(expected(90L, 1) match { case (hi, lo) => (hi, lo, 1L) }))
+    assert(got(257L) === got(1L) && got(261L) === got(5L))
+    // clip fingerprints feed imageNearDupPairs unchanged — the clusters pair
+    val pairs = Multimodal.imageNearDupPairs(fps, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 257L, 0)) && pairs.contains((5L, 261L, 0)))
+    assert(pairs.forall(p => Set(p._1, p._2).intersect(Set(98L, 99L)).isEmpty))
+  }
+
   test("q76 waveform closed form: decoded ramp stats match the oracle arithmetic") {
     // the exact synthesis q76 runs, checked against the closed form the
     // DuckDB oracle evaluates — for ids on both sides of the wrap point
