@@ -342,6 +342,37 @@ object Multimodal {
       if (decodeImage(content).isDefined) Iterator((0L, content)) else Iterator.empty
   }
 
+  /** Format-sniffing image codec for MIXED corpora: binary PGM payloads
+    * (2-byte `P5` signature, checked first — a free comparison) decode via
+    * [[PgmCodec]], PNG payloads via [[PngCodec]]; anything else is None.
+    * Re-encoding operations (resize) keep the payload's own format. This
+    * is the codec a real media audit runs — a 100 TB crawl corpus never
+    * carries one uniform image format.
+    */
+  object AutoImageCodec extends ImageCodec {
+    private def isPgm(c: Array[Byte]) =
+      c != null && c.length >= 2 && c(0) == 'P' && c(1) == '5'
+
+    def decodeImage(content: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+      if (isPgm(content)) PgmCodec.decodeImage(content)
+      else PngCodec.decodeImage(content)
+
+    def resize(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      if (isPgm(content)) PgmCodec.resize(content, w, h)
+      else PngCodec.resize(content, w, h)
+
+    override def stats(content: Array[Byte]): Option[(Int, Int, Long)] =
+      if (isPgm(content)) PgmCodec.stats(content) // zero-copy header path
+      else PngCodec.stats(content)
+
+    /** Multi-frame only exists in the P5-concat container; a PNG is its
+      * own single frame (PngCodec rule).
+      */
+    def frames(content: Array[Byte], everyMs: Long): Iterator[(Long, Array[Byte])] =
+      if (isPgm(content)) PgmCodec.frames(content, everyMs)
+      else PngCodec.frames(content, everyMs)
+  }
+
   /** REAL pure-JVM codec for RIFF/WAVE PCM audio — the audio analogue of
     * [[PgmCodec]] (VERDICT r10 next #5): `javax.sound.sampled` ships in the
     * JDK, so unlike the formats [[StubCodec]] stands in for, WAV decode

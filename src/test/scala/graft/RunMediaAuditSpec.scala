@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.operators.Multimodal
+
+/** The media-audit production CLI: mixed-modality corpus in → decode
+  * audits + content fingerprints + near-dup pairs out through the sink
+  * layer, with per-modality decode health reported from observe metrics
+  * (the RunTrainPrep discipline).
+  */
+class RunMediaAuditSpec extends SparkSpecBase {
+
+  test("execute audits a mixed corpus: per-modality health counts, artifacts, pairs") {
+    def gray(id: Long) = Array.tabulate[Byte](128)(i => ((id * (i + 1)) % 256).toByte)
+    def wav(id: Long) = Multimodal.WavCodec.encode(8000, 1,
+      Array.tabulate[Short](160)(i => ((id * (i + 3)) % 256).toShort))
+    def clip(id: Long) = (0 until 4).toArray.flatMap { f =>
+      Multimodal.PgmCodec.encode(16, 8, 255,
+        Array.tabulate[Byte](128)(i => ((id * (i + 1) + 17 * f) % 256).toByte))
+    }
+    val rows = Seq(
+      // images: a PGM, a PNG (AutoImageCodec must decode BOTH), a dup of
+      // the PGM under a different container (PNG of the same pixels —
+      // pixel-identical → identical aHash → a 0-hamming pair), one garbage
+      Row(1L, "image", Multimodal.PgmCodec.encode(16, 8, 255, gray(1L))),
+      Row(2L, "image", Multimodal.PngCodec.encode(16, 8, gray(7L))), // 7: ids 1/2 HASH-COLLIDE
+      Row(3L, "image", Multimodal.PngCodec.encode(16, 8, gray(1L))),
+      Row(4L, "image", "not an image".getBytes("US-ASCII")),
+      // audio: two clips, an exact-content dup (id 13 ≡ same synth as 11
+      // would need id≡ mod 256 — use the SAME samples instead), one garbage
+      Row(11L, "audio", wav(11L)),
+      Row(12L, "audio", wav(12L)),
+      Row(13L, "audio", wav(11L)),
+      Row(14L, "audio", Array[Byte](9, 9, 9)),
+      // video: two 4-frame clips, a dup, one corrupt container
+      Row(21L, "video", clip(21L)),
+      Row(22L, "video", clip(22L)),
+      Row(23L, "video", clip(21L)),
+      Row(24L, "video", clip(24L) ++ "trailing garbage".getBytes("US-ASCII")))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media-audit").toString
+    media.write.mode("overwrite").parquet(s"$tmp/in")
+
+    val cfg = RunMediaAudit.parse(Seq("--in", s"$tmp/in", "--out", s"$tmp/out", "--pairs"))
+    val report = RunMediaAudit.execute(spark, cfg)
+
+    assert(report("image") === RunMediaAudit.ModalityReport(4L, 1L, 1L))
+    assert(report("audio") === RunMediaAudit.ModalityReport(4L, 1L, 1L))
+    assert(report("video") === RunMediaAudit.ModalityReport(4L, 1L, 1L))
+
+    // the pair artifacts carry the planted duplicates (and only them)
+    def pairs(name: String) = spark.read.parquet(s"$tmp/out/media_${name}_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs("image") === Set((1L, 3L, 0)))  // PGM ≡ PNG of the same pixels
+    assert(pairs("audio") === Set((11L, 13L, 0)))
+    assert(pairs("video") === Set((21L, 23L, 0)))
+
+    // decode audit artifacts: −1 degradation rows present, not dropped
+    val imgStats = spark.read.parquet(s"$tmp/out/media_image_stats")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(imgStats(4L) === -1 && imgStats(1L) === 16)
+    val audStats = spark.read.parquet(s"$tmp/out/media_audio_stats")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(audStats(14L) === -1 && audStats(11L) === 8000)
+    // corrupt video container → null fingerprint, n_frames 0
+    val vid = spark.read.parquet(s"$tmp/out/media_video_hashes")
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.getLong(3))).toMap
+    assert(vid(24L) === ((true, 0L)) && vid(21L)._2 === 4L)
+  }
+
+  test("parse validates flag ranges") {
+    intercept[IllegalArgumentException](RunMediaAudit.parse(Seq("--out", "x")))
+    intercept[IllegalArgumentException](
+      RunMediaAudit.parse(Seq("--in", "a", "--out", "b", "--ahash-size", "9")))
+    intercept[IllegalArgumentException](
+      RunMediaAudit.parse(Seq("--in", "a", "--out", "b", "--audio-frames", "63")))
+    intercept[IllegalArgumentException](
+      RunMediaAudit.parse(Seq("--in", "a", "--out", "b", "--bogus")))
+    val cfg = RunMediaAudit.parse(Seq("--in", "a", "--out", "b",
+      "--pairs", "--ahash-size", "6", "--table", "t"))
+    assert(cfg.pairs && cfg.ahashSize === 6 && cfg.table === "t")
+  }
+}
