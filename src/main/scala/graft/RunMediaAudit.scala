@@ -22,17 +22,26 @@ import graft.sink.ParquetSink
   *   [--image-max-hamming 6] [--audio-max-hamming 3] [--table media]
   * }}}
   *
-  * Per modality value of the `modality` column:
-  *   - `image` → [[Multimodal.imageStats]] (via [[Multimodal.AutoImageCodec]]
-  *     — mixed PGM/PNG corpora decode without per-format routing) +
-  *     [[Multimodal.imageAHash]] → `<table>_image_stats` /
-  *     `<table>_image_hashes`
-  *   - `audio` → [[Multimodal.audioStats]] + [[Multimodal.audioFingerprint]]
-  *     → `<table>_audio_stats` / `<table>_audio_hashes`
-  *   - `video` → [[Multimodal.videoFingerprint]] → `<table>_video_hashes`
+  * Per modality value of the `modality` column — each a SINGLE decode
+  * pass producing stats + content fingerprint together
+  * ([[Multimodal.imageAudit]]/[[Multimodal.audioAudit]]; two separate
+  * jobs would decode every blob twice):
+  *   - `image` → `<table>_image_audit` (dims + pixel sum + aHash, via
+  *     [[Multimodal.AutoImageCodec]] — mixed PGM/PNG corpora decode
+  *     without per-format routing)
+  *   - `audio` → `<table>_audio_audit` (clip stats + envelope fingerprint)
+  *   - `video` → `<table>_video_audit` ([[Multimodal.videoFingerprint]];
+  *     n_frames=0 marks unreadable clips)
   *
   * `--pairs` additionally emits the banded near-dup pairs per modality
-  * (`<table>_image_pairs` / `<table>_audio_pairs` / `<table>_video_pairs`).
+  * (`<table>_image_pairs` / `<table>_audio_pairs` / `<table>_video_pairs`);
+  * it requires `--ahash-size 8` (imageNearDupPairs' fixed 64-bit band
+  * layout — narrower hashes are audit-only) and `--audio-frames`
+  * divisible by 4 — both enforced at parse, not hours into the run.
+  * Rows whose modality matches no branch are counted (one metadata-only
+  * aggregation — the blob column never loads) and disclosed as
+  * `UNAUDITED:<modality>` report lines: an audit that silently skips
+  * half the corpus must not read as healthy.
   *
   * Decode-health counts ride the write actions as `observe` metrics
   * (the [[RunTrainPrep]] discipline: computed during the ONE write, never
@@ -88,6 +97,19 @@ object RunMediaAudit {
       s"--audio-frames must be 1..62; got ${cfg.audioFrames}")
     require(cfg.imageMaxHamming >= 0 && cfg.audioMaxHamming >= 0,
       "hamming thresholds must be non-negative")
+    // the pair tiers' preconditions must fail HERE, not hours into the
+    // run after every audit artifact is written: imageNearDupPairs' band
+    // layout is fixed 4×16 over the full 64-bit hash (a narrower hash
+    // leaves its high bands constant zero and the join degenerates to
+    // ~n²/2), and audioNearDupPairs needs bands | frames
+    if (cfg.pairs) {
+      require(cfg.ahashSize == 8,
+        s"--pairs requires --ahash-size 8 (the 64-bit band layout); got ${cfg.ahashSize}" +
+          " — narrower hashes are audit-only")
+      require(cfg.audioFrames % 4 == 0,
+        s"--pairs requires --audio-frames divisible by 4 (the band count); " +
+          s"got ${cfg.audioFrames}")
+    }
     cfg
   }
 
@@ -118,64 +140,69 @@ object RunMediaAudit {
           count(lit(1)).as("rows"),
           sum(when(undecodable, 1L).otherwise(0L)).as("undecodable"))
 
-      val pairCounts = scala.collection.mutable.Map[String, Long]()
-
       val images = base.filter(col("__mod") === "image")
       val audio = base.filter(col("__mod") === "audio")
       val video = base.filter(col("__mod") === "video")
 
-      // IMAGE: decode audit (zero-copy stats) + perceptual hashes in one
-      // modality pass each — blobs never shuffle, all counts ride the writes
-      sink.overwrite(s"${cfg.table}_image_stats",
-        audited(Multimodal.imageStats(images, Multimodal.AutoImageCodec),
+      // ONE decode pass per modality: stats + fingerprint come out of the
+      // same mapPartitions (imageAudit/audioAudit) — writing them as two
+      // jobs would decode every blob twice, and for PNG the "stats" half
+      // is a full zlib inflate. All health counts ride the write actions.
+      sink.overwrite(s"${cfg.table}_image_audit",
+        audited(Multimodal.imageAudit(images, Multimodal.AutoImageCodec, cfg.ahashSize),
           "image", col("width") === -1))
-      val imageHashes =
-        Multimodal.imageAHash(images, Multimodal.AutoImageCodec, cfg.ahashSize)
-      sink.overwrite(s"${cfg.table}_image_hashes", imageHashes)
-
-      // AUDIO
-      sink.overwrite(s"${cfg.table}_audio_stats",
-        audited(Multimodal.audioStats(audio), "audio", col("sample_rate") === -1))
-      val audioHashes = Multimodal.audioFingerprint(audio, cfg.audioFrames)
-      sink.overwrite(s"${cfg.table}_audio_hashes", audioHashes)
-
+      sink.overwrite(s"${cfg.table}_audio_audit",
+        audited(Multimodal.audioAudit(audio, cfg.audioFrames),
+          "audio", col("sample_rate") === -1))
       // VIDEO: the fingerprint IS the decode audit (n_frames=0 ⇒ unreadable)
-      val videoHashes = Multimodal.videoFingerprint(video, Multimodal.AutoImageCodec)
-      sink.overwrite(s"${cfg.table}_video_hashes",
-        audited(videoHashes, "video", col("n_frames") === 0L))
+      sink.overwrite(s"${cfg.table}_video_audit",
+        audited(Multimodal.videoFingerprint(video, Multimodal.AutoImageCodec, cfg.ahashSize),
+          "video", col("n_frames") === 0L))
 
       if (cfg.pairs) {
-        def writePairs(name: String, pairs: DataFrame): Unit = {
-          sink.overwrite(s"${cfg.table}_${name}_pairs", pairs)
-          pairCounts(name) = spark.read.parquet(s"${cfg.out}/${cfg.table}_${name}_pairs").count()
-        }
-        writePairs("image",
-          Multimodal.imageNearDupPairs(
-            spark.read.parquet(s"${cfg.out}/${cfg.table}_image_hashes"),
-            maxHamming = cfg.imageMaxHamming))
-        writePairs("audio",
-          Multimodal.audioNearDupPairs(
-            spark.read.parquet(s"${cfg.out}/${cfg.table}_audio_hashes"),
-            frames = cfg.audioFrames, maxHamming = cfg.audioMaxHamming))
-        writePairs("video",
-          Multimodal.imageNearDupPairs(
-            spark.read.parquet(s"${cfg.out}/${cfg.table}_video_hashes"),
-            maxHamming = cfg.imageMaxHamming))
+        // pair counts ride the pair writes as observes too — never a
+        // read-back count job over a potentially cluster-quadratic output
+        def observed(name: String, pairs: DataFrame) =
+          pairs.observe(s"media_audit_${id}_pairs_$name", count(lit(1)).as("rows"))
+        def hashesOf(table: String) =
+          spark.read.parquet(s"${cfg.out}/${cfg.table}_$table")
+        sink.overwrite(s"${cfg.table}_image_pairs", observed("image",
+          Multimodal.imageNearDupPairs(hashesOf("image_audit"),
+            maxHamming = cfg.imageMaxHamming)))
+        sink.overwrite(s"${cfg.table}_audio_pairs", observed("audio",
+          Multimodal.audioNearDupPairs(hashesOf("audio_audit"),
+            frames = cfg.audioFrames, maxHamming = cfg.audioMaxHamming)))
+        sink.overwrite(s"${cfg.table}_video_pairs", observed("video",
+          Multimodal.imageNearDupPairs(hashesOf("video_audit"),
+            maxHamming = cfg.imageMaxHamming)))
       }
+
+      // modality disclosure: rows whose modality matches NO branch were
+      // never audited — an audit that silently skips them would report
+      // healthy while ignoring half the corpus. One metadata-only
+      // aggregation (the blob column is pruned from this scan).
+      val byModality = media.groupBy(col(cfg.modalityCol).as("__m"))
+        .count().collect().map(r => Option(r.getString(0)).getOrElse("null") -> r.getLong(1))
+        .toMap
+      val unaudited = byModality.filter { case (m, _) =>
+        m != "image" && m != "audio" && m != "video" }
 
       if (!org.apache.spark.GraftListenerBridge.waitListenerBusEmpty(spark.sparkContext))
         System.err.println("[media-audit] warning: listener bus did not drain " +
           "in 10 s — report may be partial")
-      mc.snapshot.toSeq
+      val snap = mc.snapshot.toSeq
         .filter { case (name, _) =>
           name.startsWith(s"media_audit_${id}_") && !before(name) }
-        .map { case (name, fields) =>
-          val modality = name.substring(s"media_audit_${id}_".length)
-          modality -> ModalityReport(
-            fields.get("rows").collect { case n: Long => n }.getOrElse(0L),
-            fields.get("undecodable").collect { case n: Long => n }.getOrElse(0L),
-            pairCounts.getOrElse(modality, -1L))
-        }.toMap
+        .map { case (name, fields) => name.substring(s"media_audit_${id}_".length) -> fields }
+        .toMap
+      def field(key: String, f: String): Long =
+        snap.get(key).flatMap(_.get(f).collect { case n: Long => n }).getOrElse(0L)
+      val audits = Seq("image", "audio", "video").map { m =>
+        m -> ModalityReport(field(m, "rows"), field(m, "undecodable"),
+          if (cfg.pairs) field(s"pairs_$m", "rows") else -1L)
+      }.toMap
+      audits ++ unaudited.map { case (m, n) =>
+        s"UNAUDITED:$m" -> ModalityReport(n, -1L, -1L) }
     } finally mc.close()
   }
 
@@ -188,6 +215,10 @@ object RunMediaAudit {
         val pairs = if (r.pairs >= 0) s" pairs=${r.pairs}" else ""
         println(s"[media-audit] $m rows=${r.rows} undecodable=${r.undecodable}$pairs")
       }
+      for ((m, r) <- report if m.startsWith("UNAUDITED:"))
+        println(s"[media-audit] WARNING ${r.rows} rows with modality " +
+          s"'${m.stripPrefix("UNAUDITED:")}' were NOT audited " +
+          "(no image/audio/video branch matches)")
     } finally spark.stop()
   }
 }

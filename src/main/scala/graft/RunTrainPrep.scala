@@ -105,6 +105,11 @@ object RunTrainPrep {
     require(cfg.maxCandidates > 0, s"--max-candidates must be positive; got ${cfg.maxCandidates}")
     cfg.packCapacity.foreach(c =>
       require(c > 0, s"--pack-capacity must be positive; got $c"))
+    // dependent flag: --pack-split only takes effect inside the
+    // --pack-capacity tail — alone it would be a silent no-op (no _packed
+    // artifact, no warning) while the user believes the corpus was split
+    require(!cfg.packSplit || cfg.packCapacity.isDefined,
+      "--pack-split requires --pack-capacity")
     require(cfg.packShardBuckets > 0,
       s"--pack-shard-buckets must be positive; got ${cfg.packShardBuckets}")
     cfg

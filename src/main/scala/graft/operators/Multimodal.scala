@@ -278,9 +278,7 @@ object Multimodal {
     }
 
     def decodeImage(content: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
-      if (content == null || content.length < 8) return None
-      var i = 0
-      while (i < 8) { if ((content(i) & 0xff) != Sig(i)) return None; i += 1 }
+      if (!hasSignature(content)) return None
       try {
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(content))
@@ -334,12 +332,24 @@ object Multimodal {
         encode(w, h, out)
       }
 
-    /** PNG is a single-image container: one frame at t=0 when decodable
-      * (no length-prefixed concatenation like PGM's P5 run — a corpus of
-      * PNG "clips" is one image per row by construction).
+    /** PNG is a single-image container: one frame at t=0 when the payload
+      * carries the PNG signature (no length-prefixed concatenation like
+      * PGM's P5 run — a corpus of PNG "clips" is one image per row by
+      * construction). Signature check only — a full decode here would
+      * inflate the zlib stream once to DECIDE and leave the caller to
+      * inflate it again to USE; a signature-valid-but-corrupt payload
+      * emits its frame and the caller's decode returns None downstream,
+      * same net semantics.
       */
     def frames(content: Array[Byte], everyMs: Long): Iterator[(Long, Array[Byte])] =
-      if (decodeImage(content).isDefined) Iterator((0L, content)) else Iterator.empty
+      if (hasSignature(content)) Iterator((0L, content)) else Iterator.empty
+
+    private[operators] def hasSignature(content: Array[Byte]): Boolean = {
+      if (content == null || content.length < 8) return false
+      var i = 0
+      while (i < 8) { if ((content(i) & 0xff) != Sig(i)) return false; i += 1 }
+      true
+    }
   }
 
   /** Format-sniffing image codec for MIXED corpora: binary PGM payloads
@@ -886,6 +896,106 @@ object Multimodal {
     }(enc)
   }
 
+  /** One-pass image audit: [[imageStats]] AND [[imageAHash]] from a single
+    * decode of each blob — the production-audit form ([[RunMediaAudit]]):
+    * writing stats and hashes as two separate jobs decodes the whole
+    * corpus twice, and for PNG payloads the "stats" half is a full zlib
+    * inflate (only PGM has a zero-copy stats path). Columns are the union
+    * of the two operators' outputs; undecodable rows carry the −1 stats
+    * markers and null hashes together.
+    */
+  def imageAudit(media: DataFrame, codec: ImageCodec = PgmCodec, size: Int = 8): DataFrame = {
+    require(size > 0 && size * size <= 64, s"aHash needs 1..64 sample bits; size=$size")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_px", LongType, nullable = false),
+      StructField("ahash_hi", LongType, nullable = true),
+      StructField("ahash_lo", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val n = size
+    media.select("media_id", "content").mapPartitions { rows =>
+      val c = codec
+      rows.map { r =>
+        val id = r.getLong(0)
+        c.decodeImage(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, _, px)) =>
+            var s = 0L
+            var i = 0
+            while (i < px.length) { s += px(i) & 0xff; i += 1 }
+            val (hi, lo) = ahashOf(px, w, h, n)
+            Row(id, w, h, s, hi, lo)
+          case None => Row(id, -1, -1, -1L, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** One-pass audio audit: [[audioStats]] AND [[audioFingerprint]] from a
+    * single decode of each clip (the [[imageAudit]] rationale).
+    */
+  def audioAudit(media: DataFrame, frames: Int = 32): DataFrame = {
+    require(frames > 0 && frames <= 62, s"fingerprint needs 1..62 frame bits; got $frames")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("sum_samples", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false),
+      StructField("afp", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val nf = frames
+    media.select("media_id", "content").mapPartitions { rows =>
+      def productGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+        val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+        val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+        hi1 > hi2 || (hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0)
+      }
+      rows.map { r =>
+        val id = r.getLong(0)
+        WavCodec.decode(r.getAs[Array[Byte]](1)) match {
+          case Some(a) =>
+            var sum = 0L
+            var total = 0L
+            var peak = Int.MinValue
+            var i = 0
+            while (i < a.samples.length) {
+              val v = a.samples(i).toInt
+              sum += v
+              total += math.abs(v.toLong)
+              if (v > peak) peak = v
+              i += 1
+            }
+            val n = a.samples.length
+            val fp: Any =
+              if (n == 0) null
+              else {
+                var out = 0L
+                var w = 0
+                while (w < nf) {
+                  val lo = (w.toLong * n / nf).toInt
+                  val hi = ((w + 1).toLong * n / nf).toInt
+                  var e = 0L
+                  i = lo
+                  while (i < hi) { e += math.abs(a.samples(i).toLong); i += 1 }
+                  if (productGt(e, n.toLong, total, (hi - lo).toLong)) out |= 1L << w
+                  w += 1
+                }
+                out
+              }
+            val frames0 = n / a.channels
+            Row(id, a.sampleRate, a.channels, n.toLong,
+              frames0.toLong * 1000L / a.sampleRate, sum,
+              if (n == 0) 0 else peak, fp)
+          case None => Row(id, -1, -1, -1L, -1L, -1L, -1, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Image near-dup pairs from [[imageAHash]] output: 16-bit band-exact
     * LSH over the hash halves (two bands per half), candidates verified at
     * `hamming ≤ maxHamming` — visually-near-identical images (re-encodes,
@@ -894,6 +1004,12 @@ object Multimodal {
     * maxHamming bits, so with 4 bands any pair at maxHamming ≤ 3 shares a
     * clean band by pigeonhole (recall 1.0 there; above that, recall is the
     * standard banded-LSH trade).
+    *
+    * CONTRACT: the input hashes must be FULL 64-bit aHashes (size 8 —
+    * the [[imageAHash]] default). A narrower hash leaves its high bands
+    * constant zero, every row co-buckets on them, and the candidate join
+    * silently degenerates to ~n²/2 — callers with sub-64-bit hashes must
+    * band to their own width instead (the [[audioNearDupPairs]] shape).
     *
     * Scale shape: the self-join keys on (band_idx, band_val) — bucket size
     * is bounded by the perceptual-duplicate cluster size, the same

@@ -38,7 +38,10 @@ class RunMediaAuditSpec extends SparkSpecBase {
       Row(21L, "video", clip(21L)),
       Row(22L, "video", clip(22L)),
       Row(23L, "video", clip(21L)),
-      Row(24L, "video", clip(24L) ++ "trailing garbage".getBytes("US-ASCII")))
+      Row(24L, "video", clip(24L) ++ "trailing garbage".getBytes("US-ASCII")),
+      // modality no branch matches — must surface as UNAUDITED, not vanish
+      Row(31L, "text", "plain text payload".getBytes("US-ASCII")),
+      Row(32L, "text", "another one".getBytes("US-ASCII")))
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("modality", StringType, nullable = false),
@@ -53,6 +56,8 @@ class RunMediaAuditSpec extends SparkSpecBase {
     assert(report("image") === RunMediaAudit.ModalityReport(4L, 1L, 1L))
     assert(report("audio") === RunMediaAudit.ModalityReport(4L, 1L, 1L))
     assert(report("video") === RunMediaAudit.ModalityReport(4L, 1L, 1L))
+    // the unmatched modality is DISCLOSED, not silently skipped
+    assert(report("UNAUDITED:text") === RunMediaAudit.ModalityReport(2L, -1L, -1L))
 
     // the pair artifacts carry the planted duplicates (and only them)
     def pairs(name: String) = spark.read.parquet(s"$tmp/out/media_${name}_pairs")
@@ -61,20 +66,27 @@ class RunMediaAuditSpec extends SparkSpecBase {
     assert(pairs("audio") === Set((11L, 13L, 0)))
     assert(pairs("video") === Set((21L, 23L, 0)))
 
-    // decode audit artifacts: −1 degradation rows present, not dropped
-    val imgStats = spark.read.parquet(s"$tmp/out/media_image_stats")
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(imgStats(4L) === -1 && imgStats(1L) === 16)
-    val audStats = spark.read.parquet(s"$tmp/out/media_audio_stats")
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(audStats(14L) === -1 && audStats(11L) === 8000)
+    // ONE-pass audit artifacts: stats AND hashes in the same row; −1/null
+    // degradation rows present, not dropped
+    val img = spark.read.parquet(s"$tmp/out/media_image_audit")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.isNullAt(4))).toMap
+    assert(img(4L) === ((-1, true)) && img(1L)._1 === 16 && !img(1L)._2)
+    val aud = spark.read.parquet(s"$tmp/out/media_audio_audit")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.isNullAt(7))).toMap
+    assert(aud(14L) === ((-1, true)) && aud(11L)._1 === 8000 && !aud(11L)._2)
+    // the combined audit row equals the standalone operators' outputs
+    val standalone = Multimodal.audioStats(media.filter(r => r.getString(1) == "audio"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val combined = spark.read.parquet(s"$tmp/out/media_audio_audit")
+      .collect().map(r => r.getLong(0) -> r.toSeq.slice(1, 7)).toMap
+    for ((k, v) <- standalone) assert(combined(k) === v, s"id=$k")
     // corrupt video container → null fingerprint, n_frames 0
-    val vid = spark.read.parquet(s"$tmp/out/media_video_hashes")
+    val vid = spark.read.parquet(s"$tmp/out/media_video_audit")
       .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.getLong(3))).toMap
     assert(vid(24L) === ((true, 0L)) && vid(21L)._2 === 4L)
   }
 
-  test("parse validates flag ranges") {
+  test("parse validates flag ranges and pair-tier preconditions") {
     intercept[IllegalArgumentException](RunMediaAudit.parse(Seq("--out", "x")))
     intercept[IllegalArgumentException](
       RunMediaAudit.parse(Seq("--in", "a", "--out", "b", "--ahash-size", "9")))
@@ -82,8 +94,18 @@ class RunMediaAuditSpec extends SparkSpecBase {
       RunMediaAudit.parse(Seq("--in", "a", "--out", "b", "--audio-frames", "63")))
     intercept[IllegalArgumentException](
       RunMediaAudit.parse(Seq("--in", "a", "--out", "b", "--bogus")))
+    // --pairs preconditions fail at PARSE, not after the audit writes: a
+    // sub-64-bit hash degenerates imageNearDupPairs' fixed band layout to
+    // ~n²/2, and 4 must divide the audio fingerprint width
+    intercept[IllegalArgumentException](RunMediaAudit.parse(
+      Seq("--in", "a", "--out", "b", "--pairs", "--ahash-size", "6")))
+    intercept[IllegalArgumentException](RunMediaAudit.parse(
+      Seq("--in", "a", "--out", "b", "--pairs", "--audio-frames", "62")))
+    // audit-only runs may use narrow hashes; pair runs with valid combos parse
+    val narrow = RunMediaAudit.parse(Seq("--in", "a", "--out", "b", "--ahash-size", "6"))
+    assert(!narrow.pairs && narrow.ahashSize === 6)
     val cfg = RunMediaAudit.parse(Seq("--in", "a", "--out", "b",
-      "--pairs", "--ahash-size", "6", "--table", "t"))
-    assert(cfg.pairs && cfg.ahashSize === 6 && cfg.table === "t")
+      "--pairs", "--audio-frames", "60", "--table", "t"))
+    assert(cfg.pairs && cfg.audioFrames === 60 && cfg.table === "t")
   }
 }

@@ -124,6 +124,7 @@ class RunTrainPrepSpec extends SparkSpecBase {
     bad("--substring-k", "0")
     bad("--max-candidates", "0")
     bad("--pack-shard-buckets", "0")
+    bad("--pack-split") // without --pack-capacity it would be a silent no-op
     // positive values still parse
     val ok = RunTrainPrep.parse(Seq("--in", "a", "--out", "b",
       "--pack-capacity", "1024", "--max-candidates", "128"))
