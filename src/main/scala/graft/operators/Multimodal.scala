@@ -203,59 +203,91 @@ object Multimodal {
     /** A malformed or truncated TRAILING frame throws (matching
       * decodeImage's truncation rejection) — silently yielding fewer frames
       * would make a corrupted clip indistinguishable from a short one.
+      *
+      * Parsing is LAZY per frame (the header at offset k is only parsed
+      * when `hasNext` first asks past frame k−1): a bounded consumer
+      * ([[videoFingerprint]]'s `maxFrames`) that stops after its sample
+      * budget never pays for — and never throws on — the unread tail.
+      * Full iteration keeps the original contract: the corrupt-tail throw
+      * surfaces at the `hasNext` after the last good frame.
       */
     def frames(content: Array[Byte], everyMs: Long): Iterator[(Long, Array[Byte])] =
       new Iterator[(Long, Array[Byte])] {
         private var off = 0
         private var idx = 0L
-        private var nextHdr = if (content == null) None else parse()
-        private def parse(): Option[(Int, Int, Int, Int)] = {
-          val h = parseHeader(content, off)
-          if (h.isEmpty && off < content.length)
+        private var parsed = false
+        private var nextHdr: Option[(Int, Int, Int, Int)] = None
+        private def ensure(): Unit = if (!parsed) {
+          nextHdr = if (content == null) None else parseHeader(content, off)
+          if (nextHdr.isEmpty && content != null && off < content.length)
             throw new IllegalArgumentException(
               s"corrupt P5 clip: unparseable bytes at offset $off of ${content.length}")
-          h
+          parsed = true
         }
-        def hasNext: Boolean = nextHdr.isDefined
+        def hasNext: Boolean = { ensure(); nextHdr.isDefined }
         def next(): (Long, Array[Byte]) = {
+          ensure()
           val (w, h, _, p) = nextHdr.get
           val end = p + w * h
           val frame = java.util.Arrays.copyOfRange(content, off, end)
           val t = idx * everyMs
           idx += 1; off = end
-          nextHdr = parse()
+          parsed = false
           (t, frame)
         }
       }
   }
 
-  /** REAL pure-JVM codec for PNG still images via `javax.imageio` — the
-    * stock JDK ships PNG (and JPEG/BMP/GIF) readers, so unlike the formats
-    * [[StubCodec]] stands in for, PNG needs no native libraries (VERDICT
-    * r11 next #3). Decode goes through a per-thread cached `ImageReader`
-    * over a memory-cached stream: `ImageIO.read(InputStream)` would probe
-    * the reader registry AND spill through the disk cache on every call —
-    * the per-clip provider-probing constant factor the WavCodec fast path
-    * exists to avoid (SCALE_r11 §4 q76).
+  /** Decompression-bomb ceiling for the `javax.imageio` codecs: a
+    * compressed payload declares its dimensions in a tiny header, so a
+    * crafted file can promise a raster thousands of times its own size —
+    * `rd.read(0)` then allocates w·h (×4 for color) and dies with
+    * OutOfMemoryError, which NonFatal does NOT catch, killing the
+    * partition (ADVICE r12). [[JdkImageCodec]] therefore reads the
+    * header-only dimensions first and rejects anything past this cap as
+    * undecodable. 2²⁶ px = 8192×8192 covers every real camera/crawl
+    * image; worst-case transient raster is 256 MB (color int raster) per
+    * decoding thread, bounded regardless of what the header claims.
+    * Raw PGM needs no cap: its header must be followed by the actual w·h
+    * pixel bytes, so there is no amplification to exploit.
+    */
+  val DefaultMaxImagePixels: Long = 1L << 26
+
+  /** Shared base for the JDK `javax.imageio`-backed still-image codecs —
+    * the stock JDK ships PNG, JPEG, BMP and GIF readers, so these formats
+    * need no native libraries (VERDICT r11 next #3, r12 next #3). Decode
+    * goes through a per-thread cached `ImageReader` over a memory-cached
+    * stream: `ImageIO.read(InputStream)` would probe the reader registry
+    * AND spill through the disk cache on every call — the per-clip
+    * provider-probing constant factor the WavCodec fast path exists to
+    * avoid (SCALE_r11 §4 q76).
     *
-    * Pixel contract: 8-bit grayscale, maxval 255. A gray PNG round-trips
-    * its raster bytes exactly (no gamma chunk is written for
-    * TYPE_BYTE_GRAY); color payloads reduce by integer ITU-R BT.601 luma
+    * Pixel contract: 8-bit grayscale, maxval 255. A gray payload
+    * round-trips its raster bytes exactly where the container is lossless
+    * (PNG, BMP, and GIF — gray palettes index to their own value; JPEG is
+    * the one lossy member, pinned by spec round-trip tolerance instead of
+    * exact equality); color payloads reduce by integer ITU-R BT.601 luma
     * ((299·R + 587·G + 114·B) / 1000, truncating) so stats stay
     * exact-integer and oracle-comparable.
     */
-  object PngCodec extends ImageCodec {
-    private val Sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+  abstract class JdkImageCodec(
+      formatName: String,
+      val maxPixels: Long = DefaultMaxImagePixels) extends ImageCodec {
+
+    /** Cheap magic-bytes check — decode never even touches the reader for
+      * a payload that cannot be this format.
+      */
+    protected def formatSignature(content: Array[Byte]): Boolean
 
     // ImageReader is stateful (setInput) and not thread-safe — one per
     // executor thread, reused across every row the thread decodes
     private val reader = new ThreadLocal[javax.imageio.ImageReader] {
       override def initialValue(): javax.imageio.ImageReader =
-        javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        javax.imageio.ImageIO.getImageReadersByFormatName(formatName).next()
     }
     private val writer = new ThreadLocal[javax.imageio.ImageWriter] {
       override def initialValue(): javax.imageio.ImageWriter =
-        javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        javax.imageio.ImageIO.getImageWritersByFormatName(formatName).next()
     }
 
     def encode(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
@@ -278,14 +310,22 @@ object Multimodal {
     }
 
     def decodeImage(content: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
-      if (!hasSignature(content)) return None
+      if (!formatSignature(content)) return None
       try {
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(content))
         val rd = reader.get()
         val img =
-          try { rd.setInput(iis); rd.read(0) }
-          finally { rd.setInput(null); iis.close() }
+          try {
+            rd.setInput(iis)
+            // header-only dimensions BEFORE read(0): a decompression bomb
+            // declaring huge dims must be rejected without allocating its
+            // raster (OutOfMemoryError kills the partition — ADVICE r12)
+            val hw = rd.getWidth(0).toLong
+            val hh = rd.getHeight(0).toLong
+            if (hw <= 0 || hh <= 0 || hw * hh > maxPixels) null else rd.read(0)
+          } finally { rd.setInput(null); iis.close() }
+        if (img == null) return None
         val w = img.getWidth
         val h = img.getHeight
         val px = new Array[Byte](w * h)
@@ -313,8 +353,9 @@ object Multimodal {
       }
     }
 
-    /** Nearest-neighbor resample, re-encoded as gray PNG (PgmCodec rule:
-      * real pixel work, deterministic, no interpolation libs).
+    /** Nearest-neighbor resample, re-encoded in this codec's own format
+      * (PgmCodec rule: real pixel work, deterministic, no interpolation
+      * libs).
       */
     def resize(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
       decodeImage(content).map { case (sw, sh, _, px) =>
@@ -332,19 +373,27 @@ object Multimodal {
         encode(w, h, out)
       }
 
-    /** PNG is a single-image container: one frame at t=0 when the payload
-      * carries the PNG signature (no length-prefixed concatenation like
-      * PGM's P5 run — a corpus of PNG "clips" is one image per row by
-      * construction). Signature check only — a full decode here would
-      * inflate the zlib stream once to DECIDE and leave the caller to
+    /** These are single-image containers for our purposes: one frame at
+      * t=0 when the payload carries the format signature (no
+      * length-prefixed concatenation like PGM's P5 run; an animated GIF's
+      * extra frames are out of contract — frame 0 only, like every other
+      * member). Signature check only — a full decode here would inflate
+      * the compressed stream once to DECIDE and leave the caller to
       * inflate it again to USE; a signature-valid-but-corrupt payload
       * emits its frame and the caller's decode returns None downstream,
       * same net semantics.
       */
     def frames(content: Array[Byte], everyMs: Long): Iterator[(Long, Array[Byte])] =
-      if (hasSignature(content)) Iterator((0L, content)) else Iterator.empty
+      if (formatSignature(content)) Iterator((0L, content)) else Iterator.empty
 
-    private[operators] def hasSignature(content: Array[Byte]): Boolean = {
+    private[operators] def hasSignature(content: Array[Byte]): Boolean =
+      formatSignature(content)
+  }
+
+  /** PNG via the shared [[JdkImageCodec]] machinery (8-byte signature). */
+  object PngCodec extends JdkImageCodec("png") {
+    private val Sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    protected def formatSignature(content: Array[Byte]): Boolean = {
       if (content == null || content.length < 8) return false
       var i = 0
       while (i < 8) { if ((content(i) & 0xff) != Sig(i)) return false; i += 1 }
@@ -352,9 +401,41 @@ object Multimodal {
     }
   }
 
+  /** JPEG (JFIF/Exif both start FF D8). The one LOSSY member: encode →
+    * decode round-trips within a few gray levels, never exactly — so JPEG
+    * stats have no closed-form oracle; correctness is pinned by spec
+    * tolerance + the hamming-0 cross-container pairing trick
+    * (RunMediaAuditSpec pattern) instead.
+    */
+  object JpegCodec extends JdkImageCodec("jpeg") {
+    protected def formatSignature(content: Array[Byte]): Boolean =
+      content != null && content.length >= 2 &&
+        (content(0) & 0xff) == 0xff && (content(1) & 0xff) == 0xd8
+  }
+
+  /** BMP ("BM"): uncompressed in the JDK writer's default form, so gray
+    * rasters round-trip exactly — closed-form oracle possible (q86).
+    */
+  object BmpCodec extends JdkImageCodec("bmp") {
+    protected def formatSignature(content: Array[Byte]): Boolean =
+      content != null && content.length >= 2 && content(0) == 'B' && content(1) == 'M'
+  }
+
+  /** GIF ("GIF8" covers 87a and 89a): LZW is lossless and a gray palette
+    * indexes to its own value, so gray rasters round-trip exactly.
+    */
+  object GifCodec extends JdkImageCodec("gif") {
+    protected def formatSignature(content: Array[Byte]): Boolean =
+      content != null && content.length >= 4 && content(0) == 'G' &&
+        content(1) == 'I' && content(2) == 'F' && content(3) == '8'
+  }
+
   /** Format-sniffing image codec for MIXED corpora: binary PGM payloads
     * (2-byte `P5` signature, checked first — a free comparison) decode via
-    * [[PgmCodec]], PNG payloads via [[PngCodec]]; anything else is None.
+    * [[PgmCodec]]; PNG / JPEG / BMP / GIF route to their [[JdkImageCodec]]
+    * singleton by magic bytes (VERDICT r12 next #3 — a real crawl corpus
+    * is mostly JPEG, which previously fell through to PngCodec's signature
+    * check and was miscounted as undecodable); anything else is None.
     * Re-encoding operations (resize) keep the payload's own format. This
     * is the codec a real media audit runs — a 100 TB crawl corpus never
     * carries one uniform image format.
@@ -363,24 +444,33 @@ object Multimodal {
     private def isPgm(c: Array[Byte]) =
       c != null && c.length >= 2 && c(0) == 'P' && c(1) == '5'
 
+    /** One branchy sniff, shared by every operation: the per-payload cost
+      * is a handful of byte compares; [[PngCodec]] is the fallthrough so a
+      * short/null payload still lands on a codec whose signature check
+      * rejects it (None, never a throw).
+      */
+    private def route(c: Array[Byte]): ImageCodec =
+      if (isPgm(c)) PgmCodec
+      else if (JpegCodec.hasSignature(c)) JpegCodec
+      else if (BmpCodec.hasSignature(c)) BmpCodec
+      else if (GifCodec.hasSignature(c)) GifCodec
+      else PngCodec
+
     def decodeImage(content: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
-      if (isPgm(content)) PgmCodec.decodeImage(content)
-      else PngCodec.decodeImage(content)
+      route(content).decodeImage(content)
 
     def resize(content: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
-      if (isPgm(content)) PgmCodec.resize(content, w, h)
-      else PngCodec.resize(content, w, h)
+      route(content).resize(content, w, h)
 
+    // PGM keeps its zero-copy header stats path through the route
     override def stats(content: Array[Byte]): Option[(Int, Int, Long)] =
-      if (isPgm(content)) PgmCodec.stats(content) // zero-copy header path
-      else PngCodec.stats(content)
+      route(content).stats(content)
 
-    /** Multi-frame only exists in the P5-concat container; a PNG is its
-      * own single frame (PngCodec rule).
+    /** Multi-frame only exists in the P5-concat container; the compressed
+      * stills are their own single frame ([[JdkImageCodec]] rule).
       */
     def frames(content: Array[Byte], everyMs: Long): Iterator[(Long, Array[Byte])] =
-      if (isPgm(content)) PgmCodec.frames(content, everyMs)
-      else PngCodec.frames(content, everyMs)
+      route(content).frames(content, everyMs)
   }
 
   /** REAL pure-JVM codec for RIFF/WAVE PCM audio — the audio analogue of
@@ -727,14 +817,17 @@ object Multimodal {
     * `bands - 1` bits always shares a clean band — recall 1.0 at
     * maxHamming ≤ 3 with the default 4 bands). Same scale posture as the
     * image tier: bucket size is bounded by the duplicate-cluster size;
-    * replica-heavy corpora route through the q17 bucket-guard pattern.
+    * replica-heavy corpora pass `maxBucketSize` to route oversized buckets
+    * through [[Dedup.guardedBandPairs]]' star-collapse (the q17 pattern —
+    * see [[imageNearDupPairs]] for the semantics and disclosure contract).
     */
   def audioNearDupPairs(
       fps: DataFrame,
       idCol: String = "media_id",
       frames: Int = 32,
       bands: Int = 4,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     require(bands > 0 && frames % bands == 0,
       s"bands must divide the fingerprint width; got $frames/$bands")
     import Ckpt.CkptOps
@@ -743,21 +836,45 @@ object Multimodal {
     val h = fps.filter(col("afp").isNotNull)
       .select(col(idCol).as("__pid"), col("afp").as("__fp"))
       .lazySerCkpt // the self-join must not decode the corpus twice
-    val banded = h.select(col("__pid"), col("__fp"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band_idx"),
-          shiftrightunsigned(col("__fp"), b * bandBits).bitwiseAND(lit(mask))
-            .as("band_val"))): _*)).as("__b"))
-    val a = banded.select(col("__pid").as("id1"), col("__fp").as("__fp1"),
-      col("__b").as("__b1"))
-    val b = banded.select(col("__pid").as("id2"), col("__fp").as("__fp2"),
-      col("__b").as("__b2"))
-    a.join(b, col("__b1") === col("__b2") && col("id1") < col("id2"))
-      .select("id1", "id2", "__fp1", "__fp2").distinct()
-      .withColumn("hamming",
-        Dedup.hamming64(col("__fp1"), col("__fp2")).cast("int"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id1", "id2", "hamming")
+    maxBucketSize match {
+      case Some(max) =>
+        // guarded route: same band explode, flattened to the (id, fp,
+        // band, bucket, sub) shape guardedBandPairs consumes. fp = the
+        // fingerprint itself (identical fp ⇔ identical envelope — the
+        // star-collapse groups exact audio dups); sub = fp too, because
+        // the bands consume every fingerprint bit (see imageNearDupPairs)
+        val banded = h.select(col("__pid").as("id"), col("__fp").as("fp"),
+          col("__fp").as("sub"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("__fp"), b * bandBits).bitwiseAND(lit(mask))
+                .as("bucket"))): _*)).as("__b"))
+          .select(col("id"), col("fp"), col("__b.band").as("band"),
+            col("__b.bucket").as("bucket"), col("sub"))
+        Dedup.guardedBandPairs(banded, max).distinct()
+          .join(h.select(col("__pid").as("id1"), col("__fp").as("__fp1")), Seq("id1"))
+          .join(h.select(col("__pid").as("id2"), col("__fp").as("__fp2")), Seq("id2"))
+          .withColumn("hamming",
+            Dedup.hamming64(col("__fp1"), col("__fp2")).cast("int"))
+          .filter(col("hamming") <= maxHamming)
+          .select("id1", "id2", "hamming")
+      case None =>
+        val banded = h.select(col("__pid"), col("__fp"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band_idx"),
+              shiftrightunsigned(col("__fp"), b * bandBits).bitwiseAND(lit(mask))
+                .as("band_val"))): _*)).as("__b"))
+        val a = banded.select(col("__pid").as("id1"), col("__fp").as("__fp1"),
+          col("__b").as("__b1"))
+        val b = banded.select(col("__pid").as("id2"), col("__fp").as("__fp2"),
+          col("__b").as("__b2"))
+        a.join(b, col("__b1") === col("__b2") && col("id1") < col("id2"))
+          .select("id1", "id2", "__fp1", "__fp2").distinct()
+          .withColumn("hamming",
+            Dedup.hamming64(col("__fp1"), col("__fp2")).cast("int"))
+          .filter(col("hamming") <= maxHamming)
+          .select("id1", "id2", "hamming")
+    }
   }
 
   /** Perceptual average-hash (aHash) per image — the decode-side half of
@@ -843,17 +960,38 @@ object Multimodal {
     * PgmCodec.frames throws on corrupt trailing bytes by design) yields
     * null: an unreadable clip must not fail the partition here, the
     * corpus-audit rule.
+    *
+    * FRAME-SAMPLING CONTRACT (VERDICT r12 next #5): per-frame hashing is
+    * the cost ceiling on real clips (an hour at 25 fps is 90 000 frames),
+    * so the pooled hash can be computed over a bounded, deterministic
+    * SAMPLE: `frameStride` hashes every stride-th frame (positions 0,
+    * stride, 2·stride, …) and `maxFrames` stops the clip's decode after
+    * that many frames were HASHED — cost per clip is then
+    * O(maxFrames · decode), independent of clip length. `frameStride = 1,
+    * maxFrames = MaxValue` is bit-identical to the unsampled semantics
+    * (spec-pinned). Two consequences of bounded sampling, both by design:
+    * skipped frames still pay the container's frame PARSE (the iterator
+    * must advance — a real seeking codec would skip cheaper), and a
+    * corrupt region AFTER the sampled prefix is never seen (the clip
+    * fingerprints from its healthy prefix instead of nulling — bounded
+    * cost is the contract, tail validation is the full scan's job).
     */
   def videoFingerprint(
       media: DataFrame,
       codec: ImageCodec = PgmCodec,
       size: Int = 8,
-      everyMs: Long = 40L): DataFrame = {
+      everyMs: Long = 40L,
+      frameStride: Int = 1,
+      maxFrames: Int = Int.MaxValue): DataFrame = {
     require(size > 0 && size * size <= 64, s"aHash needs 1..64 sample bits; size=$size")
+    require(frameStride >= 1, s"frameStride must be >= 1; got $frameStride")
+    require(maxFrames >= 1, s"maxFrames must be >= 1; got $maxFrames")
     val schema = StructType(AHashSchema.fields.toSeq :+
       StructField("n_frames", LongType, nullable = false))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val n = size
+    val stride = frameStride
+    val cap = maxFrames
     media.select("media_id", "content").mapPartitions { rows =>
       val c = codec
       rows.map { r =>
@@ -861,20 +999,26 @@ object Multimodal {
         val counts = new Array[Int](n * n)
         var frames = 0
         try {
-          c.frames(r.getAs[Array[Byte]](1), everyMs).foreach { case (_, bytes) =>
-            c.decodeImage(bytes) match {
-              case Some((w, h, _, px)) =>
-                val (hi, lo) = ahashOf(px, w, h, n)
-                var pos = 0
-                while (pos < n * n) {
-                  val set =
-                    if (pos >= 32) (hi >>> (pos - 32)) & 1L else (lo >>> pos) & 1L
-                  counts(pos) += set.toInt
-                  pos += 1
-                }
-                frames += 1
-              case None => // skip undecodable frame
+          val it = c.frames(r.getAs[Array[Byte]](1), everyMs)
+          var pos0 = 0L
+          while (frames < cap && it.hasNext) {
+            val (_, bytes) = it.next()
+            if (pos0 % stride == 0) {
+              c.decodeImage(bytes) match {
+                case Some((w, h, _, px)) =>
+                  val (hi, lo) = ahashOf(px, w, h, n)
+                  var pos = 0
+                  while (pos < n * n) {
+                    val set =
+                      if (pos >= 32) (hi >>> (pos - 32)) & 1L else (lo >>> pos) & 1L
+                    counts(pos) += set.toInt
+                    pos += 1
+                  }
+                  frames += 1
+                case None => // skip undecodable frame
+              }
             }
+            pos0 += 1
           }
         } catch {
           case scala.util.control.NonFatal(_) => frames = 0 // corrupt clip
@@ -1013,15 +1157,34 @@ object Multimodal {
     *
     * Scale shape: the self-join keys on (band_idx, band_val) — bucket size
     * is bounded by the perceptual-duplicate cluster size, the same
-    * replica-cluster exposure as every banded-LSH tier here; a
-    * replication-heavy corpus routes through the q17 bucket-guard pattern
-    * (star-collapse) rather than this plain join. Null hashes
-    * (undecodable images) are filtered before banding.
+    * replica-cluster exposure as every banded-LSH tier here. On a
+    * replication-heavy corpus (one meme repeated millions of times) the
+    * plain join's verified output grows quadratically per cluster — pass
+    * `maxBucketSize` to route oversized buckets through
+    * [[Dedup.guardedBandPairs]]' star-collapse instead (VERDICT r12 next
+    * #1): a bucket over the limit emits (rep = min id per fingerprint,
+    * member) star pairs plus one rep-level clique, so output per bucket is
+    * linear in members + quadratic only in DISTINCT fingerprints.
+    * Activation is disclosed through the `lsh_bucket_guard_*` observed
+    * metrics, and oracle-gated runs treat any nonzero counter as
+    * divergence from the plain join (graft.Verify) unless the oracle
+    * itself mirrors the guard (q87).
+    *
+    * Guard sub-key note: the four bands consume all 64 hash bits, so —
+    * unlike the embedding tier, which has sign bits no band used — there
+    * is no extra signature signal for the sub-split level; sub = fp, which
+    * makes the sub-split degenerate to per-fingerprint singletons (zero
+    * extra pairs, nothing dropped). A bucket with more than
+    * `maxBucketSize` DISTINCT fingerprints therefore contributes only its
+    * star pairs, with `subsplit_rep_rows` disclosing the recall loss.
+    *
+    * Null hashes (undecodable images) are filtered before banding.
     */
   def imageNearDupPairs(
       hashes: DataFrame,
       idCol: String = "media_id",
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     import Ckpt.CkptOps
     // checkpoint the hash frame: the self-join's two sides would otherwise
     // each re-execute the full upstream lineage — on a real corpus that is
@@ -1030,27 +1193,51 @@ object Multimodal {
       .filter(col("ahash_hi").isNotNull && col("ahash_lo").isNotNull)
       .select(col(idCol).as("__pid"), col("ahash_hi").as("__hi"), col("ahash_lo").as("__lo"))
       .lazySerCkpt
-    val banded = h.select(col("__pid"), col("__hi"), col("__lo"),
-      explode(array(
-        struct(lit(0).as("band_idx"), col("__lo").bitwiseAND(lit(0xffffL)).as("band_val")),
-        struct(lit(1).as("band_idx"), shiftrightunsigned(col("__lo"), 16).as("band_val")),
-        struct(lit(2).as("band_idx"), col("__hi").bitwiseAND(lit(0xffffL)).as("band_val")),
-        struct(lit(3).as("band_idx"), shiftrightunsigned(col("__hi"), 16).as("band_val"))
-      )).as("__b"))
-    // rename the band key per side: a self-join on the SAME attribute
-    // resolves to a trivially-true predicate (Spark's '__b == __b'
-    // warning) and the join silently degenerates to a filtered cartesian
-    val a = banded.select(col("__pid").as("id1"), col("__hi").as("__hi1"),
-      col("__lo").as("__lo1"), col("__b").as("__b1"))
-    val b = banded.select(col("__pid").as("id2"), col("__hi").as("__hi2"),
-      col("__lo").as("__lo2"), col("__b").as("__b2"))
-    a.join(b, col("__b1") === col("__b2") && col("id1") < col("id2"))
-      .select("id1", "id2", "__hi1", "__lo1", "__hi2", "__lo2").distinct()
-      .withColumn("hamming",
-        (Dedup.hamming64(col("__hi1"), col("__hi2")) +
-          Dedup.hamming64(col("__lo1"), col("__lo2"))).cast("int"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id1", "id2", "hamming")
+    val bandArr = array(
+      struct(lit(0).as("band_idx"), col("__lo").bitwiseAND(lit(0xffffL)).as("band_val")),
+      struct(lit(1).as("band_idx"), shiftrightunsigned(col("__lo"), 16).as("band_val")),
+      struct(lit(2).as("band_idx"), col("__hi").bitwiseAND(lit(0xffffL)).as("band_val")),
+      struct(lit(3).as("band_idx"), shiftrightunsigned(col("__hi"), 16).as("band_val")))
+    maxBucketSize match {
+      case Some(max) =>
+        // fp = the full hash as a struct (exact equality, no xxhash
+        // collision risk in the star-collapse); sub = fp (see scaladoc).
+        // Thin (id, fp, band, bucket, sub) rows ride the guard's shuffles;
+        // the 16-byte hashes join back only per surviving pair.
+        val banded = h.select(col("__pid").as("id"),
+          struct(col("__hi"), col("__lo")).as("fp"),
+          struct(col("__hi"), col("__lo")).as("sub"),
+          explode(bandArr).as("__b"))
+          .select(col("id"), col("fp"), col("__b.band_idx").as("band"),
+            col("__b.band_val").as("bucket"), col("sub"))
+        Dedup.guardedBandPairs(banded, max).distinct()
+          .join(h.select(col("__pid").as("id1"),
+            col("__hi").as("__hi1"), col("__lo").as("__lo1")), Seq("id1"))
+          .join(h.select(col("__pid").as("id2"),
+            col("__hi").as("__hi2"), col("__lo").as("__lo2")), Seq("id2"))
+          .withColumn("hamming",
+            (Dedup.hamming64(col("__hi1"), col("__hi2")) +
+              Dedup.hamming64(col("__lo1"), col("__lo2"))).cast("int"))
+          .filter(col("hamming") <= maxHamming)
+          .select("id1", "id2", "hamming")
+      case None =>
+        val banded = h.select(col("__pid"), col("__hi"), col("__lo"),
+          explode(bandArr).as("__b"))
+        // rename the band key per side: a self-join on the SAME attribute
+        // resolves to a trivially-true predicate (Spark's '__b == __b'
+        // warning) and the join silently degenerates to a filtered cartesian
+        val a = banded.select(col("__pid").as("id1"), col("__hi").as("__hi1"),
+          col("__lo").as("__lo1"), col("__b").as("__b1"))
+        val b = banded.select(col("__pid").as("id2"), col("__hi").as("__hi2"),
+          col("__lo").as("__lo2"), col("__b").as("__b2"))
+        a.join(b, col("__b1") === col("__b2") && col("id1") < col("id2"))
+          .select("id1", "id2", "__hi1", "__lo1", "__hi2", "__lo2").distinct()
+          .withColumn("hamming",
+            (Dedup.hamming64(col("__hi1"), col("__hi2")) +
+              Dedup.hamming64(col("__lo1"), col("__lo2"))).cast("int"))
+          .filter(col("hamming") <= maxHamming)
+          .select("id1", "id2", "hamming")
+    }
   }
 
   /** Metadata-only projection — the common fast path: prune the blob column

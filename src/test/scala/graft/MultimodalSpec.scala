@@ -467,4 +467,224 @@ class MultimodalSpec extends SparkSpecBase {
       assert(d.samples.length / d.channels * 1000L / d.sampleRate === 20L, s"id=$id")
     }
   }
+
+  test("JdkImageCodec rejects decompression bombs by header dims, before the " +
+      "raster allocation (ADVICE r12)") {
+    // a real 16×8 PNG, IHDR patched to declare a 10⁶×10⁶ raster (10¹² px —
+    // ~4 TB as a color raster) with the chunk CRC recomputed so the header
+    // parses cleanly: the cap must reject it as undecodable WITHOUT
+    // calling read(0), whose allocation would OOM-kill the partition
+    val px = Array.tabulate[Byte](16 * 8)(i => ((i * 7 + 3) % 256).toByte)
+    val bomb = Multimodal.PngCodec.encode(16, 8, px).clone()
+    def putInt(off: Int, v: Int): Unit = {
+      bomb(off) = (v >>> 24).toByte; bomb(off + 1) = (v >>> 16).toByte
+      bomb(off + 2) = (v >>> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    putInt(16, 1000000) // IHDR width  (bytes 16..19, big-endian)
+    putInt(20, 1000000) // IHDR height (bytes 20..23)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 17) // chunk type "IHDR" + 13 data bytes
+    putInt(29, crc.getValue.toInt)
+    assert(Multimodal.PngCodec.decodeImage(bomb).isEmpty)
+    assert(Multimodal.AutoImageCodec.stats(bomb).isEmpty)
+    // the cap is about AMPLIFICATION, so honest images far under it are
+    // untouched (and PGM needs no cap at all: its pixels must be present
+    // in the payload byte-for-byte — no amplification to exploit)
+    assert(Multimodal.PngCodec.decodeImage(Multimodal.PngCodec.encode(16, 8, px)).isDefined)
+  }
+
+  test("BMP and GIF round-trip gray rasters exactly; JPEG is lossy-but-close; " +
+      "AutoImageCodec sniffs all five formats (VERDICT r12 next #3)") {
+    import org.apache.spark.sql.types._
+    val px = Array.tabulate[Byte](20 * 10)(i => ((i * 7 + 3) % 256).toByte)
+    // lossless members: bit-exact round-trip, same contract as PNG/PGM
+    for (codec <- Seq(Multimodal.BmpCodec, Multimodal.GifCodec)) {
+      val enc = codec.encode(20, 10, px)
+      val Some((w, h, m, back)) = codec.decodeImage(enc)
+      assert((w, h, m) === ((20, 10, 255)))
+      assert(back.toSeq === px.toSeq, s"codec=$codec")
+      // each signature rejects the others' payloads
+      assert(codec.decodeImage(Multimodal.PngCodec.encode(20, 10, px)).isEmpty)
+    }
+    // JPEG: dims exact; a smooth gradient reproduces within a few gray
+    // levels (DCT quantization — why JPEG stats get no closed-form oracle)
+    val smooth = Array.tabulate[Byte](20 * 10)(i => (50 + (i % 20) + 2 * (i / 20)).toByte)
+    val jpg = Multimodal.JpegCodec.encode(20, 10, smooth)
+    val Some((jw, jh, _, jback)) = Multimodal.JpegCodec.decodeImage(jpg)
+    assert((jw, jh) === ((20, 10)))
+    val maxErr = jback.zip(smooth).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 8, s"JPEG round-trip drifted $maxErr gray levels")
+    // AutoImageCodec routes every container by magic bytes — the same
+    // pixels through five containers give identical exact stats (JPEG:
+    // decodable with exact dims, approximate sum)
+    val pgm = Multimodal.PgmCodec.encode(20, 10, 255, px)
+    val rows = Seq(
+      Row(1L, pgm),
+      Row(2L, Multimodal.PngCodec.encode(20, 10, px)),
+      Row(3L, Multimodal.BmpCodec.encode(20, 10, px)),
+      Row(4L, Multimodal.GifCodec.encode(20, 10, px)),
+      Row(5L, jpg),
+      Row(9L, "not an image at all".getBytes("US-ASCII")))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val stats = Multimodal.imageStats(media, Multimodal.AutoImageCodec)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    val exact = (20, 10, px.map(b => (b & 0xff).toLong).sum)
+    assert(stats(1L) === exact && stats(2L) === exact)
+    assert(stats(3L) === exact && stats(4L) === exact)
+    assert(stats(5L)._1 === 20 && stats(5L)._2 === 10) // lossy sum, exact dims
+    assert(stats(9L) === ((-1, -1, -1L)))
+    // cross-container near-dup: a structured image through BMP and PNG
+    // aHashes identically (hamming 0) — the mixed-corpus dedup story
+    val structured = Array.tabulate[Byte](16 * 8)(i => if (i % 16 < 8) 20 else (220).toByte)
+    val dupRows = Seq(
+      Row(11L, Multimodal.PngCodec.encode(16, 8, structured)),
+      Row(12L, Multimodal.BmpCodec.encode(16, 8, structured)),
+      Row(13L, Multimodal.JpegCodec.encode(16, 8, structured)))
+    val dupMedia = spark.createDataFrame(spark.sparkContext.parallelize(dupRows, 1), schema)
+    val pairs = Multimodal.imageNearDupPairs(
+        Multimodal.imageAHash(dupMedia, Multimodal.AutoImageCodec), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((11L, 12L, 0)))
+    assert(pairs.exists(p => p._1 == 11L && p._2 == 13L)) // JPEG lands within threshold
+  }
+
+  test("videoFingerprint frame sampling: stride 1 + unbounded ≡ full semantics; " +
+      "stride samples deterministically; maxFrames bounds decode cost " +
+      "(VERDICT r12 next #5)") {
+    import org.apache.spark.sql.types._
+    def frame(id: Long, f: Int) = Multimodal.PgmCodec.encode(16, 8, 255,
+      Array.tabulate[Byte](128)(i => ((id * (i + 1) + 17 * f) % 256).toByte))
+    def clip(id: Long, fs: Seq[Int]) = fs.toArray.flatMap(frame(id, _))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    def mediaOf(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    def fp(media: org.apache.spark.sql.DataFrame, stride: Int, cap: Int) =
+      Multimodal.videoFingerprint(media, frameStride = stride, maxFrames = cap)
+        .collect().map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) null else r.getLong(1), if (r.isNullAt(2)) null
+            else r.getLong(2), r.getLong(3)))).toMap
+    val full = mediaOf(Seq(Row(1L, clip(1L, 0 until 6))))
+    // defaults ≡ explicit (stride 1, unbounded): bit-identical
+    assert(fp(full, 1, Int.MaxValue)(1L) ===
+      Multimodal.videoFingerprint(full).collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap.apply(1L))
+    // stride 2 over frames 0..5 hashes exactly frames 0,2,4 — identical to
+    // the full fingerprint of a clip containing only those frames
+    val sampled = fp(full, 2, Int.MaxValue)(1L)
+    val explicit = fp(mediaOf(Seq(Row(1L, clip(1L, Seq(0, 2, 4))))), 1, Int.MaxValue)(1L)
+    assert(sampled === explicit)
+    assert(sampled._3 === 3L) // n_frames counts HASHED frames
+    // maxFrames stops the decode after the budget: a corrupt region AFTER
+    // the sampled prefix is never read (bounded cost contract) — the same
+    // clip nulls under full iteration (corrupt-tail throw preserved)
+    val corruptTail = mediaOf(Seq(
+      Row(2L, clip(2L, Seq(0, 1)) ++ "garbage".getBytes("US-ASCII"))))
+    val capped = fp(corruptTail, 1, 2)(2L)
+    assert(capped === fp(mediaOf(Seq(Row(2L, clip(2L, Seq(0, 1))))), 1, Int.MaxValue)(2L))
+    assert(fp(corruptTail, 1, Int.MaxValue)(2L) === ((null, null, 0L)))
+    intercept[IllegalArgumentException](
+      Multimodal.videoFingerprint(full, frameStride = 0))
+    intercept[IllegalArgumentException](
+      Multimodal.videoFingerprint(full, maxFrames = 0))
+  }
+
+  test("guarded media near-dup pairs: ≡ plain when no bucket is oversized; " +
+      "star-collapse bounds replica clusters with identical components " +
+      "(VERDICT r12 next #1)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    def pixels(id: Long) = Array.tabulate[Byte](16 * 8)(i => ((id * (i + 1)) % 256).toByte)
+    // --- image tier ---
+    val ids = (1L to 40L) ++ Seq(257L, 261L)
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(
+      ids.map(id => Row(id, Multimodal.PgmCodec.encode(16, 8, 255, pixels(id)))), 3), schema)
+    val hashes = Multimodal.imageAHash(media, Multimodal.PgmCodec)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = pairSet(Multimodal.imageNearDupPairs(hashes, maxHamming = 6))
+    // guard present but never activating (no bucket over 10⁴) — identical
+    val guardedLoose = pairSet(Multimodal.imageNearDupPairs(hashes, maxHamming = 6,
+      maxBucketSize = Some(10000)))
+    assert(guardedLoose === plain)
+    // replica-heavy fixture: 20 copies of one image + one distinct pair
+    // cluster; plain → C(20,2)=190 intra-cluster pairs, guarded(4) →
+    // 19 star pairs (rep = min id), bounded LINEAR in cluster size
+    val replicas = (1L to 20L).map(id => Row(id, Multimodal.PgmCodec.encode(16, 8, 255,
+      pixels(5000L)))) ++ Seq(301L, 302L).map(id =>
+      Row(id, Multimodal.PgmCodec.encode(16, 8, 255, pixels(7777L))))
+    val rMedia = spark.createDataFrame(
+      spark.sparkContext.parallelize(replicas, 3), schema)
+    val rHashes = Multimodal.imageAHash(rMedia, Multimodal.PgmCodec)
+    val rPlain = pairSet(Multimodal.imageNearDupPairs(rHashes, maxHamming = 6))
+    assert(rPlain.count(p => p._1 <= 20 && p._2 <= 20) === 190)
+    val rGuarded = pairSet(Multimodal.imageNearDupPairs(rHashes, maxHamming = 6,
+      maxBucketSize = Some(4)))
+    assert(rGuarded.count(p => p._1 <= 20 && p._2 <= 20) === 19)
+    assert((2L to 20L).forall(k => rGuarded.contains((1L, k, 0)))) // stars off min id
+    assert(rGuarded.contains((301L, 302L, 0))) // small cluster untouched
+    // the star graph closes to the SAME components as the full cliques
+    def comps(pairs: Set[(Long, Long, Int)]) = {
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(
+        pairs.toSeq.map(p => Row(p._1, p._2)), 2), StructType(Seq(
+        StructField("id1", LongType, nullable = false),
+        StructField("id2", LongType, nullable = false))))
+      graft.operators.Dedup.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    }
+    assert(comps(rGuarded) === comps(rPlain))
+    // --- audio tier: same contract through the fingerprint-wide guard ---
+    def clipOf(id: Long) = Multimodal.WavCodec.encode(8000, 1,
+      Array.tabulate[Short](160)(i => ((id * (i + 3)) % 256).toShort))
+    val aRows = (1L to 12L).map(id => Row(id, clipOf(9000L))) ++
+      (21L to 40L).map(id => Row(id, clipOf(id)))
+    val aMedia = spark.createDataFrame(spark.sparkContext.parallelize(aRows, 3), schema)
+    val aFps = Multimodal.audioFingerprint(aMedia, frames = 32)
+    val aPlain = pairSet(Multimodal.audioNearDupPairs(aFps, frames = 32, maxHamming = 3))
+    val aLoose = pairSet(Multimodal.audioNearDupPairs(aFps, frames = 32, maxHamming = 3,
+      maxBucketSize = Some(10000)))
+    assert(aLoose === aPlain)
+    val aGuarded = pairSet(Multimodal.audioNearDupPairs(aFps, frames = 32, maxHamming = 3,
+      maxBucketSize = Some(4)))
+    assert(aGuarded.count(p => p._1 <= 12 && p._2 <= 12) === 11) // stars, not C(12,2)=66
+    assert((2L to 12L).forall(k => aGuarded.contains((1L, k, 0))))
+    assert(comps(aGuarded.filter(p => p._1 <= 12 && p._2 <= 12)) ===
+      comps(aPlain.filter(p => p._1 <= 12 && p._2 <= 12)))
+  }
+
+  test("survivorsFromPairs: transitive closure keeps min id per cluster, " +
+      "unpaired rows survive as singletons (VERDICT r12 next #2)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    def pixels(id: Long) = Array.tabulate[Byte](16 * 8)(i => ((id * (i + 1)) % 256).toByte)
+    // three exact replicas of one image (2,7,9), two of another (3,8),
+    // three distinct singletons (1,4,6)
+    val img = Map(2L -> 100L, 7L -> 100L, 9L -> 100L, 3L -> 200L, 8L -> 200L,
+      1L -> 1L, 4L -> 4L, 6L -> 6L)
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(
+      img.toSeq.map { case (id, cls) =>
+        Row(id, Multimodal.PgmCodec.encode(16, 8, 255, pixels(cls))) }, 2), schema)
+    val hashes = Multimodal.imageAHash(media, Multimodal.PgmCodec)
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 0)
+    val survivors = graft.operators.Dedup
+      .survivorsFromPairs(media, "media_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 2L, 3L, 4L, 6L))
+    // and through the guarded pair route: same survivors (stars close to
+    // the same components)
+    val gPairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 0,
+      maxBucketSize = Some(2))
+    val gSurvivors = graft.operators.Dedup
+      .survivorsFromPairs(media, "media_id", gPairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(gSurvivors === survivors)
+  }
 }
