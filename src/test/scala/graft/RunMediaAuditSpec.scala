@@ -53,11 +53,14 @@ class RunMediaAuditSpec extends SparkSpecBase {
     val cfg = RunMediaAudit.parse(Seq("--in", s"$tmp/in", "--out", s"$tmp/out", "--pairs"))
     val report = RunMediaAudit.execute(spark, cfg)
 
-    assert(report("image") === RunMediaAudit.ModalityReport(4L, 1L, 1L))
-    assert(report("audio") === RunMediaAudit.ModalityReport(4L, 1L, 1L))
-    assert(report("video") === RunMediaAudit.ModalityReport(4L, 1L, 1L))
+    assert(report.modalities("image") === RunMediaAudit.ModalityReport(4L, 1L, 1L))
+    assert(report.modalities("audio") === RunMediaAudit.ModalityReport(4L, 1L, 1L))
+    assert(report.modalities("video") === RunMediaAudit.ModalityReport(4L, 1L, 1L))
     // the unmatched modality is DISCLOSED, not silently skipped
-    assert(report("UNAUDITED:text") === RunMediaAudit.ModalityReport(2L, -1L, -1L))
+    assert(report.unauditedRows === 2L && report.unauditedModalities === 1L)
+    assert(report.unauditedTop === Seq("text" -> 2L))
+    // no replica clusters and no --max-bucket: the guard never activates
+    assert(report.guard.isEmpty)
 
     // the pair artifacts carry the planted duplicates (and only them)
     def pairs(name: String) = spark.read.parquet(s"$tmp/out/media_${name}_pairs")
@@ -86,6 +89,77 @@ class RunMediaAuditSpec extends SparkSpecBase {
     assert(vid(24L) === ((true, 0L)) && vid(21L)._2 === 4L)
   }
 
+  test("--max-bucket + --dedup: guard star-collapses replica clusters with a " +
+      "disclosed report, survivors close the pair graph; dirty modality " +
+      "columns summarize bounded (VERDICT r12 next #1/#2, ADVICE r12)") {
+    def gray(id: Long) = Array.tabulate[Byte](128)(i => ((id * (i + 1)) % 256).toByte)
+    def wav(id: Long) = Multimodal.WavCodec.encode(8000, 1,
+      Array.tabulate[Short](160)(i => ((id * (i + 3)) % 256).toShort))
+    // replica-heavy: 8 copies of one image + 2 distinct; 6 copies of one
+    // clip + 2 distinct; a dirty free-text modality column with more
+    // distinct junk values than the top-5 disclosure keeps
+    val rows =
+      (1L to 8L).map(id => Row(id, "image", Multimodal.PgmCodec.encode(16, 8, 255, gray(500L)))) ++
+      Seq(Row(9L, "image", Multimodal.PgmCodec.encode(16, 8, 255, gray(9L))),
+        Row(10L, "image", Multimodal.PgmCodec.encode(16, 8, 255, gray(10L)))) ++
+      (21L to 26L).map(id => Row(id, "audio", wav(700L))) ++
+      Seq(Row(27L, "audio", wav(27L)), Row(28L, "audio", wav(28L))) ++
+      (1L to 7L).map(i => Row(100L + i, s"junk-$i", Array[Byte](1))) ++
+      Seq(Row(110L, "junk-1", Array[Byte](2)))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media-guard").toString
+    media.write.mode("overwrite").parquet(s"$tmp/in")
+
+    val cfg = RunMediaAudit.parse(Seq("--in", s"$tmp/in", "--out", s"$tmp/out",
+      "--pairs", "--max-bucket", "3", "--dedup"))
+    val report = RunMediaAudit.execute(spark, cfg)
+
+    // image: 8-replica cluster star-collapses to 7 pairs (not C(8,2)=28);
+    // survivors = min id of the cluster + the two distinct + nothing lost
+    assert(report.modalities("image") === RunMediaAudit.ModalityReport(10L, 0L, 7L, 3L))
+    assert(report.modalities("audio") === RunMediaAudit.ModalityReport(8L, 0L, 5L, 3L))
+    assert(report.modalities("video") === RunMediaAudit.ModalityReport(0L, 0L, 0L, 0L))
+    // guard activation is attributed per modality and DISCLOSED; the
+    // counters are per-band EMISSIONS (the guardedBandPairs contract —
+    // 7 stars × 4 bands; multi-band callers distinct() afterward)
+    assert(report.guard.keySet === Set("image", "audio"))
+    assert(report.guard("image")("star_pairs") === 28L)
+    assert(report.guard("audio")("star_pairs") === 20L)
+    val survivors = spark.read.parquet(s"$tmp/out/media_image_survivors")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 9L, 10L))
+    val aSurvivors = spark.read.parquet(s"$tmp/out/media_audio_survivors")
+      .collect().map(_.getLong(0)).toSet
+    assert(aSurvivors === Set(21L, 27L, 28L))
+    // dirty modality column: bounded top-5 summary, exact totals
+    assert(report.unauditedRows === 8L && report.unauditedModalities === 7L)
+    assert(report.unauditedTop.length === 5)
+    assert(report.unauditedTop.head === ("junk-1" -> 2L))
+  }
+
+  test("non-string modality columns report instead of throwing (ADVICE r12)") {
+    // an integer modality column matches no branch; the disclosure must
+    // stringify it, not ClassCastException after the artifacts are written
+    val rows = Seq(Row(1L, 7, Array[Byte](1)), Row(2L, 7, Array[Byte](2)),
+      Row(3L, 9, Array[Byte](3)))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("modality", IntegerType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media-int").toString
+    media.write.mode("overwrite").parquet(s"$tmp/in")
+    val report = RunMediaAudit.execute(spark,
+      RunMediaAudit.parse(Seq("--in", s"$tmp/in", "--out", s"$tmp/out")))
+    assert(report.modalities("image").rows === 0L)
+    assert(report.unauditedRows === 3L && report.unauditedModalities === 2L)
+    assert(report.unauditedTop === Seq("7" -> 2L, "9" -> 1L))
+  }
+
   test("parse validates flag ranges and pair-tier preconditions") {
     intercept[IllegalArgumentException](RunMediaAudit.parse(Seq("--out", "x")))
     intercept[IllegalArgumentException](
@@ -107,5 +181,16 @@ class RunMediaAuditSpec extends SparkSpecBase {
     val cfg = RunMediaAudit.parse(Seq("--in", "a", "--out", "b",
       "--pairs", "--audio-frames", "60", "--table", "t"))
     assert(cfg.pairs && cfg.audioFrames === 60 && cfg.table === "t")
+    // guard and dedup are pair-tier features: they must fail at parse
+    // without --pairs, and the bucket cap must be positive
+    intercept[IllegalArgumentException](RunMediaAudit.parse(
+      Seq("--in", "a", "--out", "b", "--max-bucket", "4")))
+    intercept[IllegalArgumentException](RunMediaAudit.parse(
+      Seq("--in", "a", "--out", "b", "--dedup")))
+    intercept[IllegalArgumentException](RunMediaAudit.parse(
+      Seq("--in", "a", "--out", "b", "--pairs", "--max-bucket", "0")))
+    val g = RunMediaAudit.parse(Seq("--in", "a", "--out", "b",
+      "--pairs", "--max-bucket", "64", "--dedup"))
+    assert(g.maxBucket === Some(64) && g.dedup)
   }
 }
