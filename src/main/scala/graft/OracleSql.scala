@@ -1217,6 +1217,130 @@ object OracleSql {
         |WHERE bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) <= 6
         |ORDER BY id1, id2""".stripMargin,
 
+    // image dedup survivors: the q80 hash + banded-pair recipe closed into
+    // components by the q68-style recursive reachability; survivors = every
+    // doc not dropped (min id per perceptual cluster survives, unpaired
+    // docs are their own singletons)
+    "q85_image_dedup" ->
+      """WITH RECURSIVE px AS (
+        |  SELECT doc_id, UNNEST(generate_series(0, 63)) AS pos FROM documents
+        |), v AS (
+        |  SELECT doc_id, pos, (doc_id * (2*pos + 1)) % 256 AS val FROM px
+        |), s AS (
+        |  SELECT doc_id, SUM(val) AS total FROM v GROUP BY doc_id
+        |), b AS (
+        |  SELECT v.doc_id, v.pos, CASE WHEN 64*v.val > s.total THEN 1 ELSE 0 END AS bit
+        |  FROM v JOIN s USING (doc_id)
+        |), hashes AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN pos >= 32 THEN bit * (1::BIGINT << (pos-32))
+        |      ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN pos < 32 THEN bit * (1::BIGINT << pos)
+        |      ELSE 0 END) AS BIGINT) AS lo
+        |  FROM b GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, hi, lo, band_idx,
+        |    CASE band_idx WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+        |                  WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+        |  FROM hashes, (SELECT UNNEST(generate_series(0, 3)) AS band_idx)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+        |  FROM bands a JOIN bands c
+        |    ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+        |    AND a.doc_id < c.doc_id
+        |  WHERE bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= 6
+        |), edges AS (
+        |  SELECT id1 AS a, id2 AS e2 FROM pairs UNION SELECT id2, id1 FROM pairs
+        |), reach AS (
+        |  SELECT a AS id, e2 AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, e.e2 FROM reach JOIN edges e ON reach.r = e.a
+        |), comp AS (
+        |  SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id
+        |), dropped AS (SELECT id FROM comp WHERE comp <> id)
+        |SELECT doc_id FROM documents dd
+        |WHERE NOT EXISTS (SELECT 1 FROM dropped c WHERE c.id = dd.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // BMP decode round-trip: q77's closed-form ramp recipe, multiplier 13 —
+    // the engine really writes + sniffs + decodes JDK BMP bytes through
+    // AutoImageCodec; the oracle recomputes the 200-consecutive-residue
+    // stats starting at a = 13·id mod 256
+    "q86_bmp_decode" ->
+      """SELECT doc_id, 20 AS width, 10 AS height,
+        |  200*a + 19900 - 256*GREATEST(a - 56, 0) AS sum_px
+        |FROM (SELECT doc_id, (doc_id*13) % 256 AS a FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // GUARD-ACTIVE image near-dup pairs: the oracle mirrors
+    // guardedBandPairs' star-collapse at maxBucketSize = 6 — per-band
+    // bucket counts; buckets ≤ 6 pair plainly; oversized buckets collapse
+    // to (min-id rep per fingerprint → stars) + a rep-level clique where
+    // ≤ 6 distinct fingerprints share the bucket (the sub-split level
+    // emits nothing here: sub = fp, so its groups are singletons by
+    // construction); then the same DISTINCT + hamming ≤ 6 verify as q80
+    "q87_guarded_image_neardup" ->
+      """WITH px AS (
+        |  SELECT doc_id, UNNEST(generate_series(0, 63)) AS pos FROM documents
+        |), v AS (
+        |  SELECT doc_id, pos, (doc_id * (2*pos + 1)) % 256 AS val FROM px
+        |), s AS (
+        |  SELECT doc_id, SUM(val) AS total FROM v GROUP BY doc_id
+        |), b AS (
+        |  SELECT v.doc_id, v.pos, CASE WHEN 64*v.val > s.total THEN 1 ELSE 0 END AS bit
+        |  FROM v JOIN s USING (doc_id)
+        |), hashes AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN pos >= 32 THEN bit * (1::BIGINT << (pos-32))
+        |      ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN pos < 32 THEN bit * (1::BIGINT << pos)
+        |      ELSE 0 END) AS BIGINT) AS lo
+        |  FROM b GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, hi, lo, band_idx,
+        |    CASE band_idx WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+        |                  WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+        |  FROM hashes, (SELECT UNNEST(generate_series(0, 3)) AS band_idx)
+        |), bcnt AS (
+        |  SELECT band_idx, band_val, COUNT(*) AS n FROM bands GROUP BY 1, 2
+        |), small AS (
+        |  SELECT b2.* FROM bands b2 JOIN bcnt USING (band_idx, band_val) WHERE n <= 6
+        |), normal AS (
+        |  SELECT a.doc_id AS id1, c.doc_id AS id2
+        |  FROM small a JOIN small c USING (band_idx, band_val)
+        |  WHERE a.doc_id < c.doc_id
+        |), big AS (
+        |  SELECT b2.* FROM bands b2 JOIN bcnt USING (band_idx, band_val) WHERE n > 6
+        |), grp AS (
+        |  SELECT band_idx, band_val, hi, lo, MIN(doc_id) AS rep
+        |  FROM big GROUP BY 1, 2, 3, 4
+        |), stars AS (
+        |  SELECT g.rep AS id1, b2.doc_id AS id2
+        |  FROM big b2 JOIN grp g USING (band_idx, band_val, hi, lo)
+        |  WHERE b2.doc_id <> g.rep
+        |), rcnt AS (
+        |  SELECT band_idx, band_val, COUNT(*) AS r FROM grp GROUP BY 1, 2
+        |), reps AS (
+        |  SELECT g.* FROM grp g JOIN rcnt USING (band_idx, band_val) WHERE r <= 6
+        |), reppairs AS (
+        |  SELECT a.rep AS id1, c.rep AS id2
+        |  FROM reps a JOIN reps c USING (band_idx, band_val)
+        |  WHERE a.rep < c.rep
+        |), cand AS (
+        |  SELECT DISTINCT id1, id2 FROM (
+        |    SELECT id1, id2 FROM normal
+        |    UNION ALL SELECT id1, id2 FROM stars
+        |    UNION ALL SELECT id1, id2 FROM reppairs)
+        |)
+        |SELECT cand.id1, cand.id2,
+        |  CAST(bit_count(xor(h1.hi, h2.hi)) + bit_count(xor(h1.lo, h2.lo))
+        |    AS INTEGER) AS hamming
+        |FROM cand
+        |JOIN hashes h1 ON h1.doc_id = cand.id1
+        |JOIN hashes h2 ON h2.doc_id = cand.id2
+        |WHERE bit_count(xor(h1.hi, h2.hi)) + bit_count(xor(h1.lo, h2.lo)) <= 6
+        |ORDER BY id1, id2""".stripMargin,
+
     // capacity-overflow packing: each doc splits into ⌈n/200⌉ sequences
     // (full 200-token chunks + remainder; 0-token docs keep one 0-token
     // sequence), then the SEQUENCES bin by the q60 cumulative-sum rule

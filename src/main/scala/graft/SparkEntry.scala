@@ -1154,6 +1154,69 @@ object SparkEntry {
         maxHamming = 6)
       .orderBy("id1", "id2")
 
+  // ---- media dedup closure (VERDICT r12 next #2): the q80 pair evidence
+  // closed into an ACTIONABLE survivor set — pairs → connected components
+  // → one min-id survivor per perceptual cluster, unpaired images surviving
+  // as singletons (the q68 recipe applied to the image modality). Oracle:
+  // q80's closed-form hash + banded-pair CTEs + the q68-style recursive
+  // reachability closure ----------------------------------------------------
+  private def q85ImageDedup(s: SparkSession, d: String): DataFrame = {
+    val media = pngMedia(s, d)
+    val pairs = graft.operators.Multimodal.imageNearDupPairs(
+      graft.operators.Multimodal.imageAHash(media, graft.operators.Multimodal.PngCodec),
+      maxHamming = 6)
+    Dedup.survivorsFromPairs(media, "media_id", pairs)
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  // ---- BMP decode round-trip (q77's recipe, third container family):
+  // synthesize a REAL 20×10 gray BMP per document via the JDK's BMP writer
+  // (pixel i = (13·id + i) mod 256 — multiplier distinct from q77's 11 so
+  // a container mix-up cannot alias), decode through AutoImageCodec — this
+  // query pins the magic-byte SNIFF path ("BM" → BmpCodec) as well as the
+  // decode, since a routing bug would land on PngCodec and emit −1s. BMP
+  // is uncompressed, so the oracle recomputes the ramp stats in closed
+  // form exactly as q77 does ------------------------------------------------
+  private def q86BmpDecode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true))))
+    val media = T(s, d, "documents").select(col("doc_id").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val px = new Array[Byte](20 * 10)
+          var i = 0
+          while (i < px.length) { px(i) = ((id * 13 + i) % 256).toByte; i += 1 }
+          Row(id, graft.operators.Multimodal.BmpCodec.encode(20, 10, px))
+        }
+      }(enc)
+    graft.operators.Multimodal
+      .imageStats(media, graft.operators.Multimodal.AutoImageCodec)
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  // ---- GUARD-ACTIVE image near-dup pairs (VERDICT r12 next #1): the q80
+  // tier with maxBucketSize = 6 — at sf0.01 the 16-bit band buckets reach
+  // size 18, so the star-collapse really fires (stars + rep cliques replace
+  // the plain quadratic expansion in ~30 buckets). The oracle MIRRORS the
+  // guard: per-band bucket counts, min-id rep per (band, bucket,
+  // fingerprint), star pairs + small-bucket pairs + rep pairs, then the
+  // same distinct + hamming ≤ 6 verify — so this is the one guarded pair
+  // query whose semantics are oracle-checked rather than twin-pinned
+  // (SparkEntry.guardMirroredOracles exempts it from Verify's
+  // guard-activation withhold, the containment-guard precedent) -----------
+  private def q87GuardedImageNeardup(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.imageNearDupPairs(
+        graft.operators.Multimodal.imageAHash(
+          pngMedia(s, d), graft.operators.Multimodal.PngCodec),
+        maxHamming = 6, maxBucketSize = Some(6))
+      .orderBy("id1", "id2")
+
   /** Shared q83/q84 fixture: one 4-frame PGM clip per document (the
     * concatenated-P5 container PgmCodec.frames parses for real).
     */
@@ -1350,8 +1413,19 @@ object SparkEntry {
     "q81_audio_fingerprint" -> (q81AudioFingerprint _),
     "q82_audio_neardup" -> (q82AudioNeardup _),
     "q83_video_fingerprint" -> (q83VideoFingerprint _),
-    "q84_video_neardup" -> (q84VideoNeardup _)
+    "q84_video_neardup" -> (q84VideoNeardup _),
+    "q85_image_dedup" -> (q85ImageDedup _),
+    "q86_bmp_decode" -> (q86BmpDecode _),
+    "q87_guarded_image_neardup" -> (q87GuardedImageNeardup _)
   )
+
+  /** Oracle-checked queries whose oracle SQL MIRRORS the LSH bucket
+    * guard's star-collapse semantics: activation of lsh_bucket_guard_*
+    * counters is their designed behavior, not divergence from the oracle,
+    * so graft.Verify reports it as a note instead of withholding the
+    * output (the containment-guard precedent).
+    */
+  val guardMirroredOracles: Set[String] = Set("q87_guarded_image_neardup")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

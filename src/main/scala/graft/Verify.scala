@@ -86,8 +86,18 @@ object Verify {
           System.err.println(s"[verify] $name note: containment candidate-budget " +
             s"guard active (${info.mkString(", ")}) — oracle mirrors the cap; " +
             "curate-first (q69 order) avoids the recall loss")
+        // Guard-MIRRORED oracles (q87): the oracle SQL computes the same
+        // star-collapse, so activation never diverges — report as a note,
+        // don't withhold (the containment-guard precedent above).
+        val mirrored =
+          if (SparkEntry.guardMirroredOracles(name)) guardViolations(seen)
+          else Seq.empty
+        if (mirrored.nonEmpty)
+          System.err.println(s"[verify] $name note: LSH bucket guard active " +
+            s"(${mirrored.mkString(", ")}) — oracle mirrors the star-collapse")
         val bad =
-          if (SparkEntry.oracleSql.contains(name)) guardViolations(seen)
+          if (SparkEntry.oracleSql.contains(name) &&
+            !SparkEntry.guardMirroredOracles(name)) guardViolations(seen)
           else Seq.empty
         if (bad.nonEmpty) {
           System.err.println(
