@@ -189,14 +189,21 @@ object Sampling {
       capacity: Long): DataFrame = {
     require(capacity > 0, s"packSplit capacity must be positive; got $capacity")
     val cap = lit(capacity)
-    val nseq = greatest(ceil(tokens.cast("double") / lit(capacity.toDouble)).cast("long"),
+    // null tokens coalesce to 0 BEFORE the sequence arithmetic: a null
+    // count would make __nseq null, `sequence(0, null-1)` null, and
+    // explode(null) would silently DELETE the row — breaking the
+    // "no row vanishes" invariant this operator documents (packBins keeps
+    // such rows too; a doc with an unknown token count packs as one
+    // 0-token sequence, not as a disappearance) (ADVICE r12)
+    val tok = coalesce(tokens.cast("long"), lit(0L))
+    val nseq = greatest(ceil(tok.cast("double") / lit(capacity.toDouble)).cast("long"),
       lit(1L))
     val seqs = df
       .withColumn("__nseq", nseq)
       .withColumn("seq_idx", explode(sequence(lit(0L), col("__nseq") - 1)))
       .withColumn("seq_tokens",
         when(col("seq_idx") < col("__nseq") - 1, cap)
-          .otherwise(tokens.cast("long") - (col("__nseq") - 1) * cap))
+          .otherwise(tok - (col("__nseq") - 1) * cap))
       .drop("__nseq")
     val w = Window.partitionBy(shard).orderBy(order, col("seq_idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

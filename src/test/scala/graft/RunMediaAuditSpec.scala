@@ -160,6 +160,55 @@ class RunMediaAuditSpec extends SparkSpecBase {
     assert(report.unauditedTop === Seq("7" -> 2L, "9" -> 1L))
   }
 
+  test("mixed-modality production stack: TrainPrep text survivors join media " +
+      "survivors on doc id (VERDICT r12 next #6)") {
+    // one corpus row per document, text + image payload side by side — the
+    // two-CLI production recipe: RunTrainPrep curates the text column,
+    // RunMediaAudit --pairs --dedup curates the image column, and the
+    // trainer keeps the INTERSECTION on doc id (text-clean AND
+    // visually-unique). Fixture plants one failure of each kind.
+    def img(cls: Long) = Multimodal.PgmCodec.encode(16, 8, 255,
+      Array.tabulate[Byte](128)(i => ((cls * (i + 1)) % 256).toByte))
+    val tA = "the quick brown fox jumps over the lazy dog and runs to the green hills"
+    val rows = Seq(
+      Row(1L, tA, "image", img(10L)), // text dup of 2: min id survives
+      Row(2L, tA, "image", img(20L)), // dropped by TEXT dedup
+      Row(3L, "completely different prose about the spark engine and the shuffles it avoids",
+        "image", img(30L)), // unique text, image dup of 4: min id survives
+      Row(4L, "a third unique document that talks about the training data pipeline",
+        "image", img(30L)), // dropped by MEDIA dedup
+      Row(5L, "yet another unique body of text with the usual english marker words and more",
+        "image", img(50L)), // kept on both sides
+      Row(6L, "!!! ??? !!!", "image", img(60L))) // dropped by the quality gate
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val corpus = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mixed").toString
+    corpus.write.mode("overwrite").parquet(s"$tmp/in")
+
+    // media half: the real CLI path, id-col pointed at the shared doc id
+    val report = RunMediaAudit.execute(spark, RunMediaAudit.parse(Seq(
+      "--in", s"$tmp/in", "--out", s"$tmp/out",
+      "--id-col", "doc_id", "--pairs", "--dedup")))
+    assert(report.modalities("image").survivors === 5L) // 4 lost to the pair (3,4)
+    val mediaSurvivors = spark.read.parquet(s"$tmp/out/media_image_survivors")
+      .withColumnRenamed("media_id", "doc_id")
+
+    // text half: the TrainPrep pipeline over the same corpus's text column
+    val textClean = graft.operators.TrainPrep
+      .pipeline(corpus.select("doc_id", "text"), "doc_id", "text")
+      .select("doc_id")
+    assert(textClean.collect().map(_.getLong(0)).toSet === Set(1L, 3L, 4L, 5L))
+
+    // the trainer's keep set: both curations agree on the shared id
+    val kept = textClean.join(mediaSurvivors, Seq("doc_id"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 5L))
+  }
+
   test("parse validates flag ranges and pair-tier preconditions") {
     intercept[IllegalArgumentException](RunMediaAudit.parse(Seq("--out", "x")))
     intercept[IllegalArgumentException](

@@ -174,6 +174,22 @@ class SamplingSpec extends SparkSpecBase {
       (5L, 0L, 0L), (5L, 1L, 1L), (5L, 2L, 2L), (6L, 0L, 2L)))
   }
 
+  test("packSplit: null token counts keep their row as one 0-token sequence " +
+      "— no row vanishes (ADVICE r12)") {
+    // a null count made __nseq null → sequence(0, null) → explode deleted
+    // the row silently; it must instead degrade like the 0-token case
+    val docs = Seq(
+      ("a", 1L, Some(150L)), ("a", 2L, None), ("a", 3L, Some(30L)))
+      .toDF("shard", "id", "tokens")
+    val out = Sampling.packSplit(docs, col("shard"), col("id"), col("tokens"), capacity = 100L)
+      .select("id", "seq_idx", "seq_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.map(_._1).distinct.toSeq === Seq(1L, 2L, 3L)) // every doc present
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0L)))
+    assert(out.filter(_._1 == 1L).map(_._3).sum === 150L) // others unchanged
+  }
+
   test("prep -> pack stage interaction: span removal conserves tokens under the packer") {
     // The q75 composition's arithmetic, pinned stage-by-stage: docs 1 and 2
     // share one 8-token block — the global-first copy (doc 1) keeps it,
