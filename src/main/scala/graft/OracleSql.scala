@@ -1341,6 +1341,43 @@ object OracleSql {
         |WHERE bit_count(xor(h1.hi, h2.hi)) + bit_count(xor(h1.lo, h2.lo)) <= 6
         |ORDER BY id1, id2""".stripMargin,
 
+    // GIF decode round-trip: q86's closed-form ramp recipe, multiplier 17 —
+    // the engine really writes + sniffs + LZW-decodes JDK GIF bytes through
+    // AutoImageCodec; lossless, so the residue arithmetic holds exactly
+    "q88_gif_decode" ->
+      """SELECT doc_id, 20 AS width, 10 AS height,
+        |  200*a + 19900 - 256*GREATEST(a - 56, 0) AS sum_px
+        |FROM (SELECT doc_id, (doc_id*17) % 256 AS a FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // strided video fingerprint: q83's per-frame recipe restricted to the
+    // sampled frames f ∈ {0, 2} (frameStride = 2 over the 4-frame clip),
+    // majority over the 2 hashed frames (2·c ≥ 2), n_frames = hashed count
+    "q89_video_strided" ->
+      """WITH px AS (
+        |  SELECT doc_id, f, UNNEST(generate_series(0, 63)) AS pos
+        |  FROM documents, (SELECT UNNEST([0, 2]) AS f)
+        |), v AS (
+        |  SELECT doc_id, f, pos, (doc_id * (2*pos + 1) + 17*f) % 256 AS val FROM px
+        |), fs AS (
+        |  SELECT doc_id, f, SUM(val) AS fsum FROM v GROUP BY doc_id, f
+        |), fb AS (
+        |  SELECT v.doc_id, v.f, v.pos,
+        |    CASE WHEN 64*v.val > fs.fsum THEN 1 ELSE 0 END AS bit
+        |  FROM v JOIN fs ON v.doc_id = fs.doc_id AND v.f = fs.f
+        |), cnt AS (
+        |  SELECT doc_id, pos, SUM(bit) AS c FROM fb GROUP BY doc_id, pos
+        |), cb AS (
+        |  SELECT doc_id, pos, CASE WHEN 2*c >= 2 THEN 1 ELSE 0 END AS bit FROM cnt
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN pos >= 32 THEN bit * (1::BIGINT << (pos-32))
+        |    ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN pos < 32 THEN bit * (1::BIGINT << pos)
+        |    ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |  CAST(2 AS BIGINT) AS n_frames
+        |FROM cb GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // capacity-overflow packing: each doc splits into ⌈n/200⌉ sequences
     // (full 200-token chunks + remainder; 0-token docs keep one 0-token
     // sequence), then the SEQUENCES bin by the q60 cumulative-sum rule

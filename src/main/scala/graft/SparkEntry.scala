@@ -1217,6 +1217,47 @@ object SparkEntry {
         maxHamming = 6, maxBucketSize = Some(6))
       .orderBy("id1", "id2")
 
+  // ---- GIF decode round-trip (q86's recipe, fourth container family):
+  // LZW is lossless and a gray palette indexes to its own value, so the
+  // closed-form ramp oracle holds exactly as for PNG/BMP; multiplier 17
+  // keeps the three compressed-container ramps mutually non-aliasing.
+  // With q77 + q86 this completes the oracle matrix over every LOSSLESS
+  // JDK container (JPEG, the lossy one, is pinned by spec tolerance +
+  // the hamming-0 cross-container pairing instead) -------------------------
+  private def q88GifDecode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true))))
+    val media = T(s, d, "documents").select(col("doc_id").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val px = new Array[Byte](20 * 10)
+          var i = 0
+          while (i < px.length) { px(i) = ((id * 17 + i) % 256).toByte; i += 1 }
+          Row(id, graft.operators.Multimodal.GifCodec.encode(20, 10, px))
+        }
+      }(enc)
+    graft.operators.Multimodal
+      .imageStats(media, graft.operators.Multimodal.AutoImageCodec)
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  // ---- strided video fingerprint (VERDICT r12 next #5 at the oracle
+  // gate): the q83 clip through frameStride=2 — frames 0 and 2 of the
+  // 4-frame container are hashed, the majority pools over exactly those
+  // two, and the skipped frames are still PARSED (the iterator advances)
+  // but never aHashed. The oracle recomputes the same two-frame pooling
+  // in closed form; a sampling bug that hashed all four frames (or the
+  // wrong two) breaks bits wherever frames disagree ------------------------
+  private def q89VideoStrided(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.videoFingerprint(pgmClipMedia(s, d), frameStride = 2)
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy("doc_id")
+
   /** Shared q83/q84 fixture: one 4-frame PGM clip per document (the
     * concatenated-P5 container PgmCodec.frames parses for real).
     */
@@ -1416,7 +1457,9 @@ object SparkEntry {
     "q84_video_neardup" -> (q84VideoNeardup _),
     "q85_image_dedup" -> (q85ImageDedup _),
     "q86_bmp_decode" -> (q86BmpDecode _),
-    "q87_guarded_image_neardup" -> (q87GuardedImageNeardup _)
+    "q87_guarded_image_neardup" -> (q87GuardedImageNeardup _),
+    "q88_gif_decode" -> (q88GifDecode _),
+    "q89_video_strided" -> (q89VideoStrided _)
   )
 
   /** Oracle-checked queries whose oracle SQL MIRRORS the LSH bucket
