@@ -20,7 +20,7 @@ import graft.sink.ParquetSink
   *   [--id-col media_id] [--content-col content] [--modality-col modality]
   *   [--ahash-size 8] [--audio-frames 32] [--pairs]
   *   [--image-max-hamming 6] [--audio-max-hamming 3]
-  *   [--max-bucket N] [--dedup] [--table media]
+  *   [--max-bucket N] [--dedup] [--max-pixels N] [--table media]
   * }}}
   *
   * Per modality value of the `modality` column — each a SINGLE decode
@@ -80,6 +80,7 @@ object RunMediaAudit {
       audioMaxHamming: Int = 3,
       maxBucket: Option[Int] = None,
       dedup: Boolean = false,
+      maxPixels: Long = Multimodal.DefaultMaxImagePixels,
       table: String = "media")
 
   def parse(args: Seq[String]): Config = {
@@ -97,6 +98,7 @@ object RunMediaAudit {
       case "--audio-max-hamming" :: v :: t => loop(t, cfg.copy(audioMaxHamming = v.toInt))
       case "--max-bucket" :: v :: t => loop(t, cfg.copy(maxBucket = Some(v.toInt)))
       case "--dedup" :: t => loop(t, cfg.copy(dedup = true))
+      case "--max-pixels" :: v :: t => loop(t, cfg.copy(maxPixels = v.toLong))
       case "--table" :: v :: t => loop(t, cfg.copy(table = v))
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
     }
@@ -111,6 +113,8 @@ object RunMediaAudit {
       "hamming thresholds must be non-negative")
     require(cfg.maxBucket.forall(_ > 0),
       s"--max-bucket must be positive; got ${cfg.maxBucket.get}")
+    require(cfg.maxPixels > 0,
+      s"--max-pixels must be positive; got ${cfg.maxPixels}")
     // the pair tiers' preconditions must fail HERE, not hours into the
     // run after every audit artifact is written: imageNearDupPairs' band
     // layout is fixed 4×16 over the full 64-bit hash (a narrower hash
@@ -185,15 +189,19 @@ object RunMediaAudit {
       // same mapPartitions (imageAudit/audioAudit) — writing them as two
       // jobs would decode every blob twice, and for PNG the "stats" half
       // is a full zlib inflate. All health counts ride the write actions.
+      // The sniffing codec carries the run's decompression-bomb ceiling
+      // (--max-pixels): over-cap rasters count as undecodable instead of
+      // OOM-killing a partition.
+      val codec = new Multimodal.AutoCodec(cfg.maxPixels)
       sink.overwrite(s"${cfg.table}_image_audit",
-        audited(Multimodal.imageAudit(images, Multimodal.AutoImageCodec, cfg.ahashSize),
+        audited(Multimodal.imageAudit(images, codec, cfg.ahashSize),
           "image", col("width") === -1))
       sink.overwrite(s"${cfg.table}_audio_audit",
         audited(Multimodal.audioAudit(audio, cfg.audioFrames),
           "audio", col("sample_rate") === -1))
       // VIDEO: the fingerprint IS the decode audit (n_frames=0 ⇒ unreadable)
       sink.overwrite(s"${cfg.table}_video_audit",
-        audited(Multimodal.videoFingerprint(video, Multimodal.AutoImageCodec, cfg.ahashSize),
+        audited(Multimodal.videoFingerprint(video, codec, cfg.ahashSize),
           "video", col("n_frames") === 0L))
 
       var guard = Map.empty[String, Map[String, Long]]

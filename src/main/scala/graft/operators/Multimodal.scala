@@ -280,12 +280,16 @@ object Multimodal {
     protected def formatSignature(content: Array[Byte]): Boolean
 
     // ImageReader is stateful (setInput) and not thread-safe — one per
-    // executor thread, reused across every row the thread decodes
-    private val reader = new ThreadLocal[javax.imageio.ImageReader] {
+    // executor thread, reused across every row the thread decodes.
+    // @transient lazy: ThreadLocal is not Serializable, and unlike the
+    // singleton objects (serialized by module reference) INSTANCES of
+    // this class ride inside mapPartitions closures — each executor
+    // re-creates its ThreadLocals on first decode after deserialization.
+    @transient private lazy val reader = new ThreadLocal[javax.imageio.ImageReader] {
       override def initialValue(): javax.imageio.ImageReader =
         javax.imageio.ImageIO.getImageReadersByFormatName(formatName).next()
     }
-    private val writer = new ThreadLocal[javax.imageio.ImageWriter] {
+    @transient private lazy val writer = new ThreadLocal[javax.imageio.ImageWriter] {
       override def initialValue(): javax.imageio.ImageWriter =
         javax.imageio.ImageIO.getImageWritersByFormatName(formatName).next()
     }
@@ -390,16 +394,33 @@ object Multimodal {
       formatSignature(content)
   }
 
-  /** PNG via the shared [[JdkImageCodec]] machinery (8-byte signature). */
-  object PngCodec extends JdkImageCodec("png") {
-    private val Sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
-    protected def formatSignature(content: Array[Byte]): Boolean = {
-      if (content == null || content.length < 8) return false
+  /** Magic-bytes predicates shared by the singleton codecs and the
+    * capped [[AutoCodec]] instances.
+    */
+  private[operators] object ImageSig {
+    private val Png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    def png(c: Array[Byte]): Boolean = {
+      if (c == null || c.length < 8) return false
       var i = 0
-      while (i < 8) { if ((content(i) & 0xff) != Sig(i)) return false; i += 1 }
+      while (i < 8) { if ((c(i) & 0xff) != Png(i)) return false; i += 1 }
       true
     }
+    def jpeg(c: Array[Byte]): Boolean =
+      c != null && c.length >= 2 && (c(0) & 0xff) == 0xff && (c(1) & 0xff) == 0xd8
+    def bmp(c: Array[Byte]): Boolean =
+      c != null && c.length >= 2 && c(0) == 'B' && c(1) == 'M'
+    def gif(c: Array[Byte]): Boolean =
+      c != null && c.length >= 4 && c(0) == 'G' && c(1) == 'I' && c(2) == 'F' && c(3) == '8'
+    def pgm(c: Array[Byte]): Boolean =
+      c != null && c.length >= 2 && c(0) == 'P' && c(1) == '5'
   }
+
+  /** PNG via the shared [[JdkImageCodec]] machinery (8-byte signature). */
+  class PngImageCodec(maxPx: Long = DefaultMaxImagePixels)
+      extends JdkImageCodec("png", maxPx) {
+    protected def formatSignature(content: Array[Byte]): Boolean = ImageSig.png(content)
+  }
+  object PngCodec extends PngImageCodec()
 
   /** JPEG (JFIF/Exif both start FF D8). The one LOSSY member: encode →
     * decode round-trips within a few gray levels, never exactly — so JPEG
@@ -407,28 +428,29 @@ object Multimodal {
     * tolerance + the hamming-0 cross-container pairing trick
     * (RunMediaAuditSpec pattern) instead.
     */
-  object JpegCodec extends JdkImageCodec("jpeg") {
-    protected def formatSignature(content: Array[Byte]): Boolean =
-      content != null && content.length >= 2 &&
-        (content(0) & 0xff) == 0xff && (content(1) & 0xff) == 0xd8
+  class JpegImageCodec(maxPx: Long = DefaultMaxImagePixels)
+      extends JdkImageCodec("jpeg", maxPx) {
+    protected def formatSignature(content: Array[Byte]): Boolean = ImageSig.jpeg(content)
   }
+  object JpegCodec extends JpegImageCodec()
 
   /** BMP ("BM"): uncompressed in the JDK writer's default form, so gray
     * rasters round-trip exactly — closed-form oracle possible (q86).
     */
-  object BmpCodec extends JdkImageCodec("bmp") {
-    protected def formatSignature(content: Array[Byte]): Boolean =
-      content != null && content.length >= 2 && content(0) == 'B' && content(1) == 'M'
+  class BmpImageCodec(maxPx: Long = DefaultMaxImagePixels)
+      extends JdkImageCodec("bmp", maxPx) {
+    protected def formatSignature(content: Array[Byte]): Boolean = ImageSig.bmp(content)
   }
+  object BmpCodec extends BmpImageCodec()
 
   /** GIF ("GIF8" covers 87a and 89a): LZW is lossless and a gray palette
     * indexes to its own value, so gray rasters round-trip exactly.
     */
-  object GifCodec extends JdkImageCodec("gif") {
-    protected def formatSignature(content: Array[Byte]): Boolean =
-      content != null && content.length >= 4 && content(0) == 'G' &&
-        content(1) == 'I' && content(2) == 'F' && content(3) == '8'
+  class GifImageCodec(maxPx: Long = DefaultMaxImagePixels)
+      extends JdkImageCodec("gif", maxPx) {
+    protected def formatSignature(content: Array[Byte]): Boolean = ImageSig.gif(content)
   }
+  object GifCodec extends GifImageCodec()
 
   /** Format-sniffing image codec for MIXED corpora: binary PGM payloads
     * (2-byte `P5` signature, checked first — a free comparison) decode via
@@ -440,21 +462,25 @@ object Multimodal {
     * is the codec a real media audit runs — a 100 TB crawl corpus never
     * carries one uniform image format.
     */
-  object AutoImageCodec extends ImageCodec {
-    private def isPgm(c: Array[Byte]) =
-      c != null && c.length >= 2 && c(0) == 'P' && c(1) == '5'
+  class AutoCodec(maxPixels: Long = DefaultMaxImagePixels) extends ImageCodec {
+    private val png = new PngImageCodec(maxPixels)
+    private val jpeg = new JpegImageCodec(maxPixels)
+    private val bmp = new BmpImageCodec(maxPixels)
+    private val gif = new GifImageCodec(maxPixels)
 
     /** One branchy sniff, shared by every operation: the per-payload cost
-      * is a handful of byte compares; [[PngCodec]] is the fallthrough so a
+      * is a handful of byte compares; PNG is the fallthrough so a
       * short/null payload still lands on a codec whose signature check
-      * rejects it (None, never a throw).
+      * rejects it (None, never a throw). PGM needs no cap — its pixels
+      * must be present in the payload byte-for-byte, so there is no
+      * decompression amplification to exploit.
       */
     private def route(c: Array[Byte]): ImageCodec =
-      if (isPgm(c)) PgmCodec
-      else if (JpegCodec.hasSignature(c)) JpegCodec
-      else if (BmpCodec.hasSignature(c)) BmpCodec
-      else if (GifCodec.hasSignature(c)) GifCodec
-      else PngCodec
+      if (ImageSig.pgm(c)) PgmCodec
+      else if (ImageSig.jpeg(c)) jpeg
+      else if (ImageSig.bmp(c)) bmp
+      else if (ImageSig.gif(c)) gif
+      else png
 
     def decodeImage(content: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
       route(content).decodeImage(content)
@@ -472,6 +498,12 @@ object Multimodal {
     def frames(content: Array[Byte], everyMs: Long): Iterator[(Long, Array[Byte])] =
       route(content).frames(content, everyMs)
   }
+
+  /** The default-capped sniffing instance (production knob: construct an
+    * [[AutoCodec]] with a corpus-appropriate `maxPixels`, e.g.
+    * `RunMediaAudit --max-pixels`).
+    */
+  object AutoImageCodec extends AutoCodec()
 
   /** REAL pure-JVM codec for RIFF/WAVE PCM audio — the audio analogue of
     * [[PgmCodec]] (VERDICT r10 next #5): `javax.sound.sampled` ships in the

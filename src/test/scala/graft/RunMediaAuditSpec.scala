@@ -241,5 +241,28 @@ class RunMediaAuditSpec extends SparkSpecBase {
     val g = RunMediaAudit.parse(Seq("--in", "a", "--out", "b",
       "--pairs", "--max-bucket", "64", "--dedup"))
     assert(g.maxBucket === Some(64) && g.dedup)
+    intercept[IllegalArgumentException](RunMediaAudit.parse(
+      Seq("--in", "a", "--out", "b", "--max-pixels", "0")))
+    assert(RunMediaAudit.parse(Seq("--in", "a", "--out", "b",
+      "--max-pixels", "1024")).maxPixels === 1024L)
+  }
+
+  test("--max-pixels caps the image decode: over-cap rasters count as " +
+      "undecodable instead of OOM-killing the partition") {
+    def gray(id: Long) = Array.tabulate[Byte](128)(i => ((id * (i + 1)) % 256).toByte)
+    val rows = Seq(
+      Row(1L, "image", Multimodal.PngCodec.encode(16, 8, gray(1L))), // 128 px
+      Row(2L, "image", Multimodal.PngCodec.encode(16, 8, gray(2L))),
+      Row(3L, "image", Multimodal.PgmCodec.encode(16, 8, 255, gray(3L)))) // un-capped
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media-px").toString
+    media.write.mode("overwrite").parquet(s"$tmp/in")
+    val report = RunMediaAudit.execute(spark, RunMediaAudit.parse(Seq(
+      "--in", s"$tmp/in", "--out", s"$tmp/out", "--max-pixels", "100")))
+    assert(report.modalities("image") === RunMediaAudit.ModalityReport(3L, 2L, -1L))
   }
 }
