@@ -1378,6 +1378,67 @@ object OracleSql {
         |  CAST(2 AS BIGINT) AS n_frames
         |FROM cb GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // GUARD-ACTIVE audio near-dup pairs: q82's fingerprint recipe + the
+    // q87-style star-collapse mirror at maxBucketSize = 6 over the four
+    // 8-bit bands (sub = fp ⇒ the sub-split level emits nothing; rep
+    // cliques only where ≤ 6 distinct fingerprints share the bucket)
+    "q90_guarded_audio_neardup" ->
+      """WITH s AS (
+        |  SELECT doc_id, UNNEST(generate_series(0, 159)) AS i FROM documents
+        |), v AS (
+        |  SELECT doc_id, i // 5 AS w, (doc_id * (i + 3)) % 256 AS val FROM s
+        |), e AS (
+        |  SELECT doc_id, w, SUM(val) AS ew FROM v GROUP BY doc_id, w
+        |), t AS (
+        |  SELECT doc_id, SUM(ew) AS total FROM e GROUP BY doc_id
+        |), fp AS (
+        |  SELECT e.doc_id AS doc_id,
+        |    CAST(SUM(CASE WHEN 32*e.ew > t.total THEN (1::BIGINT << w)
+        |      ELSE 0 END) AS BIGINT) AS afp
+        |  FROM e JOIN t ON e.doc_id = t.doc_id GROUP BY e.doc_id
+        |), bands AS (
+        |  SELECT doc_id, afp, band_idx,
+        |    (afp // (1::BIGINT << (8*band_idx))) % 256 AS band_val
+        |  FROM fp, (SELECT UNNEST(generate_series(0, 3)) AS band_idx)
+        |), bcnt AS (
+        |  SELECT band_idx, band_val, COUNT(*) AS n FROM bands GROUP BY 1, 2
+        |), small AS (
+        |  SELECT b2.* FROM bands b2 JOIN bcnt USING (band_idx, band_val) WHERE n <= 6
+        |), normal AS (
+        |  SELECT a.doc_id AS id1, c.doc_id AS id2
+        |  FROM small a JOIN small c USING (band_idx, band_val)
+        |  WHERE a.doc_id < c.doc_id
+        |), big AS (
+        |  SELECT b2.* FROM bands b2 JOIN bcnt USING (band_idx, band_val) WHERE n > 6
+        |), grp AS (
+        |  SELECT band_idx, band_val, afp, MIN(doc_id) AS rep
+        |  FROM big GROUP BY 1, 2, 3
+        |), stars AS (
+        |  SELECT g.rep AS id1, b2.doc_id AS id2
+        |  FROM big b2 JOIN grp g USING (band_idx, band_val, afp)
+        |  WHERE b2.doc_id <> g.rep
+        |), rcnt AS (
+        |  SELECT band_idx, band_val, COUNT(*) AS r FROM grp GROUP BY 1, 2
+        |), reps AS (
+        |  SELECT g.* FROM grp g JOIN rcnt USING (band_idx, band_val) WHERE r <= 6
+        |), reppairs AS (
+        |  SELECT a.rep AS id1, c.rep AS id2
+        |  FROM reps a JOIN reps c USING (band_idx, band_val)
+        |  WHERE a.rep < c.rep
+        |), cand AS (
+        |  SELECT DISTINCT id1, id2 FROM (
+        |    SELECT id1, id2 FROM normal
+        |    UNION ALL SELECT id1, id2 FROM stars
+        |    UNION ALL SELECT id1, id2 FROM reppairs)
+        |)
+        |SELECT cand.id1, cand.id2,
+        |  CAST(bit_count(xor(f1.afp, f2.afp)) AS INTEGER) AS hamming
+        |FROM cand
+        |JOIN fp f1 ON f1.doc_id = cand.id1
+        |JOIN fp f2 ON f2.doc_id = cand.id2
+        |WHERE bit_count(xor(f1.afp, f2.afp)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
+
     // capacity-overflow packing: each doc splits into ⌈n/200⌉ sequences
     // (full 200-token chunks + remainder; 0-token docs keep one 0-token
     // sequence), then the SEQUENCES bin by the q60 cumulative-sum rule

@@ -1258,6 +1258,18 @@ object SparkEntry {
       .withColumnRenamed("media_id", "doc_id")
       .orderBy("doc_id")
 
+  // ---- GUARD-ACTIVE audio near-dup pairs (q87's contract for the audio
+  // tier): q82 at maxBucketSize = 6 — the 32-bit fingerprint's four 8-bit
+  // bands have ≤ 256 distinct values each, so at sf0.01 (500 clips) every
+  // hot band bucket is oversized and the star-collapse carries most of the
+  // pair set. The oracle mirrors the guard exactly as q87's does; with
+  // q87 this makes BOTH media guard paths oracle-checked --------------------
+  private def q90GuardedAudioNeardup(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.audioNearDupPairs(
+        graft.operators.Multimodal.audioFingerprint(wavMedia(s, d), frames = 32),
+        frames = 32, bands = 4, maxHamming = 3, maxBucketSize = Some(6))
+      .orderBy("id1", "id2")
+
   /** Shared q83/q84 fixture: one 4-frame PGM clip per document (the
     * concatenated-P5 container PgmCodec.frames parses for real).
     */
@@ -1459,7 +1471,8 @@ object SparkEntry {
     "q86_bmp_decode" -> (q86BmpDecode _),
     "q87_guarded_image_neardup" -> (q87GuardedImageNeardup _),
     "q88_gif_decode" -> (q88GifDecode _),
-    "q89_video_strided" -> (q89VideoStrided _)
+    "q89_video_strided" -> (q89VideoStrided _),
+    "q90_guarded_audio_neardup" -> (q90GuardedAudioNeardup _)
   )
 
   /** Oracle-checked queries whose oracle SQL MIRRORS the LSH bucket
@@ -1468,7 +1481,8 @@ object SparkEntry {
     * so graft.Verify reports it as a note instead of withholding the
     * output (the containment-guard precedent).
     */
-  val guardMirroredOracles: Set[String] = Set("q87_guarded_image_neardup")
+  val guardMirroredOracles: Set[String] =
+    Set("q87_guarded_image_neardup", "q90_guarded_audio_neardup")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
