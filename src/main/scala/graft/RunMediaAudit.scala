@@ -20,7 +20,8 @@ import graft.sink.ParquetSink
   *   [--id-col media_id] [--content-col content] [--modality-col modality]
   *   [--ahash-size 8] [--audio-frames 32] [--pairs]
   *   [--image-max-hamming 6] [--audio-max-hamming 3]
-  *   [--max-bucket N] [--dedup] [--max-pixels N] [--table media]
+  *   [--max-bucket N] [--dedup] [--max-pixels N]
+  *   [--frame-stride N] [--max-frames N] [--table media]
   * }}}
   *
   * Per modality value of the `modality` column — each a SINGLE decode
@@ -81,6 +82,8 @@ object RunMediaAudit {
       maxBucket: Option[Int] = None,
       dedup: Boolean = false,
       maxPixels: Long = Multimodal.DefaultMaxImagePixels,
+      frameStride: Int = 1,
+      maxFrames: Int = Int.MaxValue,
       table: String = "media")
 
   def parse(args: Seq[String]): Config = {
@@ -99,6 +102,8 @@ object RunMediaAudit {
       case "--max-bucket" :: v :: t => loop(t, cfg.copy(maxBucket = Some(v.toInt)))
       case "--dedup" :: t => loop(t, cfg.copy(dedup = true))
       case "--max-pixels" :: v :: t => loop(t, cfg.copy(maxPixels = v.toLong))
+      case "--frame-stride" :: v :: t => loop(t, cfg.copy(frameStride = v.toInt))
+      case "--max-frames" :: v :: t => loop(t, cfg.copy(maxFrames = v.toInt))
       case "--table" :: v :: t => loop(t, cfg.copy(table = v))
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
     }
@@ -115,6 +120,10 @@ object RunMediaAudit {
       s"--max-bucket must be positive; got ${cfg.maxBucket.get}")
     require(cfg.maxPixels > 0,
       s"--max-pixels must be positive; got ${cfg.maxPixels}")
+    require(cfg.frameStride >= 1,
+      s"--frame-stride must be >= 1; got ${cfg.frameStride}")
+    require(cfg.maxFrames >= 1,
+      s"--max-frames must be >= 1; got ${cfg.maxFrames}")
     // the pair tiers' preconditions must fail HERE, not hours into the
     // run after every audit artifact is written: imageNearDupPairs' band
     // layout is fixed 4×16 over the full 64-bit hash (a narrower hash
@@ -199,9 +208,13 @@ object RunMediaAudit {
       sink.overwrite(s"${cfg.table}_audio_audit",
         audited(Multimodal.audioAudit(audio, cfg.audioFrames),
           "audio", col("sample_rate") === -1))
-      // VIDEO: the fingerprint IS the decode audit (n_frames=0 ⇒ unreadable)
+      // VIDEO: the fingerprint IS the decode audit (n_frames=0 ⇒ unreadable).
+      // --frame-stride/--max-frames bound the per-clip decode cost (the
+      // videoFingerprint sampling contract — an hour-long real clip must
+      // not cost 90 000 frame decodes when a bounded sample fingerprints it)
       sink.overwrite(s"${cfg.table}_video_audit",
-        audited(Multimodal.videoFingerprint(video, codec, cfg.ahashSize),
+        audited(Multimodal.videoFingerprint(video, codec, cfg.ahashSize,
+            frameStride = cfg.frameStride, maxFrames = cfg.maxFrames),
           "video", col("n_frames") === 0L))
 
       var guard = Map.empty[String, Map[String, Long]]
@@ -215,20 +228,21 @@ object RunMediaAudit {
         // bracket each pair write with a listener-bus drain + snapshot
         // diff so the bucket-guard counters (fresh lsh_bucket_guard_*
         // names per guardedBandPairs call) attribute to THEIR modality —
-        // a replica-heavy image corpus must not read as an audio guard hit
+        // a replica-heavy image corpus must not read as an audio guard
+        // hit. A drain that times out makes the attribution unreliable —
+        // WARN, like every other drain site, instead of silently
+        // misreporting "guard never activated"
+        def drainOrWarn(where: String): Unit =
+          if (!org.apache.spark.GraftListenerBridge.waitListenerBusEmpty(spark.sparkContext))
+            System.err.println(s"[media-audit] warning: listener bus did not drain " +
+              s"in 10 s around the $where pair write — guard attribution may lag")
         def guardedWrite(name: String, pairs: DataFrame): Unit = {
-          org.apache.spark.GraftListenerBridge.waitListenerBusEmpty(spark.sparkContext)
+          drainOrWarn(name)
           val seen = mc.snapshot.keySet
           sink.overwrite(s"${cfg.table}_${name}_pairs", observed(name, pairs))
-          org.apache.spark.GraftListenerBridge.waitListenerBusEmpty(spark.sparkContext)
-          val hits = mc.snapshot.toSeq
-            .filter { case (n, _) => n.startsWith("lsh_bucket_guard_") && !seen(n) }
-            .flatMap { case (_, fields) =>
-              fields.collect {
-                case (f, v: Long) if v != 0L => f -> v
-                case (f, v: Double) if v != 0.0 => f -> math.round(v)
-              }
-            }
+          drainOrWarn(name)
+          val hits = mc.newNonZeroByPrefix("lsh_bucket_guard_", seen)
+            .toSeq.flatMap(_._2)
             .groupMapReduce(_._1)(_._2)(_ + _)
           if (hits.nonEmpty) guard += name -> hits
         }
@@ -269,17 +283,23 @@ object RunMediaAudit {
       // a dirty free-text modality column (VERDICT r12 #2); cast-to-string
       // first so a non-string --modality-col reports instead of throwing
       // a ClassCastException after all artifacts are written (ADVICE r12).
+      // ONE corpus scan: group to the distinct-value frame first (tiny —
+      // modality-cardinality-sized), lazily checkpointed so the totals agg
+      // and the top-5 read the same materialization instead of re-scanning
+      // the 100 TB input twice
+      import graft.operators.Ckpt.CkptOps
       val unmatched = media
         .select(coalesce(col(cfg.modalityCol).cast("string"), lit("null")).as("__m"))
         .filter(!col("__m").isin("image", "audio", "video"))
+        .groupBy("__m").agg(count(lit(1)).as("n"))
+        .lazySerCkpt
       val totals = unmatched.agg(
-        count(lit(1)).as("n"), count_distinct(col("__m")).as("d")).head()
+        coalesce(sum(col("n")), lit(0L)).as("rows"), count(lit(1)).as("d")).head()
       val unauditedRows = totals.getLong(0)
       val unauditedModalities = totals.getLong(1)
       val unauditedTop =
         if (unauditedRows == 0L) Seq.empty[(String, Long)]
-        else unmatched.groupBy("__m").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("__m").asc).limit(5)
+        else unmatched.orderBy(col("n").desc, col("__m").asc).limit(5)
           .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
 
       if (!org.apache.spark.GraftListenerBridge.waitListenerBusEmpty(spark.sparkContext))
@@ -317,7 +337,9 @@ object RunMediaAudit {
         val detail = hits.toSeq.sortBy(_._1).map { case (f, v) => s"$f=$v" }.mkString(" ")
         println(s"[media-audit] GUARD ACTIVE $m: $detail — oversized buckets " +
           s"star-collapsed at --max-bucket ${cfg.maxBucket.getOrElse(-1)}; pair set " +
-          "is bounded, not the full clique expansion")
+          "is bounded, not the full clique expansion (counters are per-band " +
+          "emissions BEFORE the cross-band distinct — compare trends, not the " +
+          "pairs= count)")
       }
       if (report.unauditedRows > 0) {
         val top = report.unauditedTop.map { case (m, n) => s"$m=$n" }.mkString(", ")

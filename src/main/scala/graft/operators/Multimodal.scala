@@ -245,13 +245,19 @@ object Multimodal {
     * OutOfMemoryError, which NonFatal does NOT catch, killing the
     * partition (ADVICE r12). [[JdkImageCodec]] therefore reads the
     * header-only dimensions first and rejects anything past this cap as
-    * undecodable. 2²⁶ px = 8192×8192 covers every real camera/crawl
-    * image; worst-case transient raster is 256 MB (color int raster) per
-    * decoding thread, bounded regardless of what the header claims.
+    * undecodable — a deliberate trade: an over-cap asset reports as the
+    * −1/null degradation row, indistinguishable from corruption in the
+    * audit counts, so corpora with legitimate ultra-high-resolution
+    * assets must RAISE the cap (`AutoCodec(maxPixels)` /
+    * `RunMediaAudit --max-pixels`) rather than lose them. The default,
+    * 2²⁷ ≈ 134 M px, clears every consumer sensor in production use
+    * (108 MP phone sensors, 100 MP medium format, most panoramas) while
+    * bounding the worst-case transient raster at 512 MB (color int
+    * raster) per decoding thread regardless of what the header claims.
     * Raw PGM needs no cap: its header must be followed by the actual w·h
     * pixel bytes, so there is no amplification to exploit.
     */
-  val DefaultMaxImagePixels: Long = 1L << 26
+  val DefaultMaxImagePixels: Long = 1L << 27
 
   /** Shared base for the JDK `javax.imageio`-backed still-image codecs —
     * the stock JDK ships PNG, JPEG, BMP and GIF readers, so these formats

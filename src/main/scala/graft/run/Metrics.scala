@@ -35,6 +35,27 @@ final class MetricsCollector(spark: SparkSession) extends AutoCloseable {
 
   def snapshot: Map[String, Map[String, Any]] = seen.toMap
 
+  /** Nonzero numeric fields of observations whose name starts with `prefix`
+    * and was NOT in `before` — the snapshot-diff attribution idiom shared
+    * by the guard-disclosure call sites (Verify / RunTrainPrep /
+    * RunMediaAudit grew three hand-rolled copies of it; keep the
+    * semantics in one place). Doubles round to Long (the guard's
+    * fractional counter, dropped_sub_buckets, is integral by
+    * construction — Σ 1/s over s rows each).
+    */
+  def newNonZeroByPrefix(
+      prefix: String, before: Set[String]): Map[String, Map[String, Long]] =
+    snapshot.toSeq
+      .filter { case (name, _) => name.startsWith(prefix) && !before(name) }
+      .map { case (name, fields) =>
+        name -> fields.collect {
+          case (f, v: Long) if v != 0L => f -> v
+          case (f, v: Double) if v != 0.0 => f -> math.round(v)
+        }
+      }
+      .filter(_._2.nonEmpty)
+      .toMap
+
   /** Poll until the named observation has been delivered (listener delivery
     * is async relative to the action).
     */

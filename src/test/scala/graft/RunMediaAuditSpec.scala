@@ -245,6 +245,14 @@ class RunMediaAuditSpec extends SparkSpecBase {
       Seq("--in", "a", "--out", "b", "--max-pixels", "0")))
     assert(RunMediaAudit.parse(Seq("--in", "a", "--out", "b",
       "--max-pixels", "1024")).maxPixels === 1024L)
+    // frame-sampling knobs (the videoFingerprint cost-ceiling contract)
+    intercept[IllegalArgumentException](RunMediaAudit.parse(
+      Seq("--in", "a", "--out", "b", "--frame-stride", "0")))
+    intercept[IllegalArgumentException](RunMediaAudit.parse(
+      Seq("--in", "a", "--out", "b", "--max-frames", "0")))
+    val fs = RunMediaAudit.parse(Seq("--in", "a", "--out", "b",
+      "--frame-stride", "5", "--max-frames", "100"))
+    assert(fs.frameStride === 5 && fs.maxFrames === 100)
   }
 
   test("--max-pixels caps the image decode: over-cap rasters count as " +
