@@ -683,6 +683,40 @@ class MultimodalSpec extends SparkSpecBase {
       comps(aPlain.filter(p => p._1 <= 12 && p._2 <= 12)))
   }
 
+  test("media decode audits run unchanged under streaming micro-batches — " +
+      "the audit tier is stream-safe (map-only, no state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // imageAudit is mapPartitions over a projection — a narrow, stateless
+    // op Structured Streaming runs per micro-batch with no watermark or
+    // state store; this pins that a crawl feed can be audited AS IT LANDS
+    // (decode health + fingerprints), with the batch operator's exact
+    // row semantics (undecodable → −1/null, never a failed batch)
+    def px(id: Long) = Array.tabulate[Byte](16 * 8)(i => ((id * (i + 1)) % 256).toByte)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte])]
+    val media = input.toDF.toDF("media_id", "content")
+    assert(media.isStreaming)
+    val q = Multimodal.imageAudit(media, Multimodal.AutoImageCodec)
+      .writeStream.format("memory").queryName("media_audit_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, Multimodal.PngCodec.encode(16, 8, px(1L))),
+        (2L, "garbage payload".getBytes("US-ASCII")))
+      q.processAllAvailable()
+      input.addData((3L, Multimodal.BmpCodec.encode(16, 8, px(3L))))
+      q.processAllAvailable()
+      val got = spark.table("media_audit_stream")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getLong(3), r.isNullAt(4)))).toMap
+      val sum1 = px(1L).map(b => (b & 0xff).toLong).sum
+      val sum3 = px(3L).map(b => (b & 0xff).toLong).sum
+      assert(got(1L) === ((16, sum1, false)))
+      assert(got(3L) === ((16, sum3, false))) // BMP sniffed mid-stream too
+      assert(got(2L) === ((-1, -1L, true))) // bad asset degrades, batch survives
+    } finally q.stop()
+  }
+
   test("survivorsFromPairs: transitive closure keeps min id per cluster, " +
       "unpaired rows survive as singletons (VERDICT r12 next #2)") {
     import org.apache.spark.sql.types._
