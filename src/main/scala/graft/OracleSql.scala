@@ -1439,6 +1439,23 @@ object OracleSql {
         |WHERE bit_count(xor(f1.afp, f2.afp)) <= 3
         |ORDER BY id1, id2""".stripMargin,
 
+    // audio resample round-trip: the engine decodes the q81 clip, picks
+    // nearest frames at 3 kHz (output frame j ← source ⌊8j/3⌋ of the
+    // 8 kHz original), re-encodes canonical RIFF, decodes again, and
+    // aggregates exact stats; the oracle recomputes the 60 picked samples
+    // ((id·(⌊8j/3⌋+3)) mod 256, non-negative so peak = max) in closed form
+    "q91_audio_resample" ->
+      """WITH j AS (
+        |  SELECT doc_id, UNNEST(generate_series(0, 59)) AS j FROM documents
+        |), v AS (
+        |  SELECT doc_id, (doc_id * ((8*j) // 3 + 3)) % 256 AS val FROM j
+        |)
+        |SELECT doc_id, 3000 AS sample_rate, 1 AS channels,
+        |  CAST(60 AS BIGINT) AS n_samples, CAST(20 AS BIGINT) AS duration_ms,
+        |  CAST(SUM(val) AS BIGINT) AS sum_samples,
+        |  CAST(MAX(val) AS INTEGER) AS peak
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // capacity-overflow packing: each doc splits into ⌈n/200⌉ sequences
     // (full 200-token chunks + remainder; 0-token docs keep one 0-token
     // sequence), then the SEQUENCES bin by the q60 cumulative-sum rule

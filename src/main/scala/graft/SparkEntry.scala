@@ -1270,6 +1270,18 @@ object SparkEntry {
         frames = 32, bands = 4, maxHamming = 3, maxBucketSize = Some(6))
       .orderBy("id1", "id2")
 
+  // ---- audio resample round-trip: the q81 fixture (160 mono samples at
+  // 8 kHz) nearest-frame resampled to 3 kHz (a REAL decode → sample-pick →
+  // re-encode → decode chain: 60 output frames, frame j reads source
+  // ⌊8j/3⌋), then q76-style exact stats. The oracle recomputes the picked
+  // samples ((id·(⌊8j/3⌋+3)) mod 256) in closed form — a rounding or
+  // frame-indexing bug anywhere in the resample breaks the hash ------------
+  private def q91AudioResample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Multimodal.audioStats(
+        graft.operators.Multimodal.resampleAudio(wavMedia(s, d), targetRate = 3000))
+      .withColumnRenamed("media_id", "doc_id")
+      .orderBy("doc_id")
+
   /** Shared q83/q84 fixture: one 4-frame PGM clip per document (the
     * concatenated-P5 container PgmCodec.frames parses for real).
     */
@@ -1472,7 +1484,8 @@ object SparkEntry {
     "q87_guarded_image_neardup" -> (q87GuardedImageNeardup _),
     "q88_gif_decode" -> (q88GifDecode _),
     "q89_video_strided" -> (q89VideoStrided _),
-    "q90_guarded_audio_neardup" -> (q90GuardedAudioNeardup _)
+    "q90_guarded_audio_neardup" -> (q90GuardedAudioNeardup _),
+    "q91_audio_resample" -> (q91AudioResample _)
   )
 
   /** Oracle-checked queries whose oracle SQL MIRRORS the LSH bucket

@@ -792,6 +792,48 @@ object Multimodal {
     }(enc)
   }
 
+  /** Row-preserving audio resample — the audio analogue of
+    * [[resizeImages]], the normalization step before fingerprinting or
+    * feature extraction when a crawl corpus mixes sample rates:
+    * nearest-FRAME pick at the target rate (the resize() index rule —
+    * output frame j reads source frame ⌊j·srcRate/targetRate⌋; real
+    * sample work, deterministic, no interpolation libs), channels kept
+    * interleaved frame-wise, re-encoded as canonical RIFF PCM16 (which
+    * then rides [[WavCodec]]'s fast decode path downstream). Output
+    * frame count is ⌊frames·target/src⌋ — a ≥1-frame clip at any rate
+    * pair stays decodable. Undecodable payloads pass through null
+    * ([[resizeImages]] rule). Map-only; blobs never shuffle.
+    */
+  def resampleAudio(media: DataFrame, targetRate: Int): DataFrame = {
+    require(targetRate > 0, s"targetRate must be positive; got $targetRate")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val target = targetRate
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val out: Array[Byte] = WavCodec.decode(r.getAs[Array[Byte]](1)) match {
+          case Some(a) =>
+            val ch = a.channels
+            val frames = a.samples.length / ch
+            val outFrames = (frames.toLong * target / a.sampleRate).toInt
+            val res = new Array[Short](outFrames * ch)
+            var j = 0
+            while (j < outFrames) {
+              val src = (j.toLong * a.sampleRate / target).toInt
+              var c = 0
+              while (c < ch) { res(j * ch + c) = a.samples(src * ch + c); c += 1 }
+              j += 1
+            }
+            WavCodec.encode(target, ch, res)
+          case None => null
+        }
+        Row(r.getLong(0), out)
+      }
+    }(enc)
+  }
+
   /** Audio content fingerprint — the audio analogue of [[imageAHash]]: the
     * decoded clip's samples split into `frames` contiguous windows, one bit
     * per window = "window mean |amplitude| above the clip mean" — an

@@ -518,6 +518,37 @@ class MultimodalSpec extends SparkSpecBase {
     assert(loose.getInt(1) === 20 && loose.getInt(2) === 10)
   }
 
+  test("corruption fuzz: no JDK codec ever throws on a mutated or truncated " +
+      "payload — an undecodable asset must not fail the partition") {
+    // the WavCodec 44-byte fuzz discipline (r12) applied to the image
+    // codecs: flip bytes and truncate REAL payloads of every container;
+    // decode must return Some or None, never propagate (OOM-class errors
+    // are separately fenced by the pixel cap — the bomb test above)
+    val px = Array.tabulate[Byte](20 * 10)(i => ((i * 7 + 3) % 256).toByte)
+    val payloads = Seq[(String, Array[Byte], Multimodal.ImageCodec)](
+      ("png", Multimodal.PngCodec.encode(20, 10, px), Multimodal.PngCodec),
+      ("bmp", Multimodal.BmpCodec.encode(20, 10, px), Multimodal.BmpCodec),
+      ("gif", Multimodal.GifCodec.encode(20, 10, px), Multimodal.GifCodec),
+      ("jpeg", Multimodal.JpegCodec.encode(20, 10, px), Multimodal.JpegCodec))
+    for ((name, valid, codec) <- payloads) {
+      for (pos <- valid.indices by 5; v <- Seq(0x00, 0xff, (valid(pos) + 1) & 0xff)) {
+        val mutated = valid.clone()
+        mutated(pos) = v.toByte
+        try {
+          codec.decodeImage(mutated) // Some or None both fine; throw is the bug
+          Multimodal.AutoImageCodec.decodeImage(mutated)
+        } catch {
+          case e: Throwable => fail(s"$name decode threw at byte $pos=$v: $e")
+        }
+      }
+      for (len <- 0 until valid.length by 7) {
+        val truncated = java.util.Arrays.copyOf(valid, len)
+        try codec.decodeImage(truncated)
+        catch { case e: Throwable => fail(s"$name decode threw at truncation $len: $e") }
+      }
+    }
+  }
+
   test("BMP and GIF round-trip gray rasters exactly; JPEG is lossy-but-close; " +
       "AutoImageCodec sniffs all five formats (VERDICT r12 next #3)") {
     import org.apache.spark.sql.types._
@@ -681,6 +712,43 @@ class MultimodalSpec extends SparkSpecBase {
     assert((2L to 12L).forall(k => aGuarded.contains((1L, k, 0))))
     assert(comps(aGuarded.filter(p => p._1 <= 12 && p._2 <= 12)) ===
       comps(aPlain.filter(p => p._1 <= 12 && p._2 <= 12)))
+  }
+
+  test("resampleAudio: nearest-frame pick, channels interleaved frame-wise, " +
+      "identity at equal rates, null passthrough") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    def df(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    def decode(r: Row) = Multimodal.WavCodec.decode(r.getAs[Array[Byte]](1)).get
+    val mono = Array.tabulate[Short](160)(i => (i * 3 % 256).toShort)
+    val wav = Multimodal.WavCodec.encode(8000, 1, mono)
+    // identity: same target rate reproduces the samples bit-for-bit
+    val same = decode(Multimodal.resampleAudio(df(Seq(Row(1L, wav))), 8000).head())
+    assert(same.sampleRate === 8000 && same.samples.toSeq === mono.toSeq)
+    // downsample 8000 -> 3000: 60 frames, frame j <- source floor(8j/3)
+    val down = decode(Multimodal.resampleAudio(df(Seq(Row(1L, wav))), 3000).head())
+    assert(down.sampleRate === 3000 && down.channels === 1)
+    assert(down.samples.toSeq === (0 until 60).map(j => mono(8 * j / 3)))
+    // upsample repeats frames (2x: each source frame twice)
+    val up = decode(Multimodal.resampleAudio(df(Seq(Row(1L, wav))), 16000).head())
+    assert(up.samples.toSeq === (0 until 320).map(j => mono(j / 2)))
+    // stereo: frames move together (channel samples stay interleaved)
+    val stereo = Multimodal.WavCodec.encode(8000, 2,
+      Array.tabulate[Short](320)(i => (if (i % 2 == 0) i else 1000 + i).toShort))
+    val st = decode(Multimodal.resampleAudio(df(Seq(Row(2L, stereo))), 4000).head())
+    assert(st.channels === 2 && st.samples.length === 160)
+    val src = Multimodal.WavCodec.decode(stereo).get.samples
+    assert(st.samples.toSeq === (0 until 80).flatMap(j =>
+      Seq(src(2 * (2 * j)), src(2 * (2 * j) + 1))))
+    // undecodable passes through null (resizeImages rule)
+    val bad = Multimodal.resampleAudio(
+      df(Seq(Row(3L, "junk".getBytes("US-ASCII")))), 4000).head()
+    assert(bad.isNullAt(1))
+    intercept[IllegalArgumentException](
+      Multimodal.resampleAudio(df(Seq.empty), 0))
   }
 
   test("media decode audits run unchanged under streaming micro-batches — " +
