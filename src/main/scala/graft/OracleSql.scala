@@ -93,16 +93,22 @@ object OracleSql {
     * the REMAINING corpus — ending in `clean(doc_id, clean_text)`.
     * Mirrors SparkEntry.trainPrep stage-for-stage; q75 packs `clean`.
     */
-  private val TrainPrepCtesSql: String =
+  private val CurationClosureSql: String =
     """edges AS (SELECT id1 AS a, id2 AS b FROM cpairs UNION SELECT id2, id1 FROM cpairs),
       |reach AS (
       |  SELECT a AS id, b AS r FROM edges
       |  UNION
       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
       |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
-      |dropped AS (SELECT id AS doc_id FROM comp WHERE comp <> id),
-      |csh AS (SELECT s1.doc_id, s1.s FROM sh s1
-      |  WHERE NOT EXISTS (SELECT 1 FROM dropped c WHERE c.doc_id = s1.doc_id)),
+      |dropped AS (SELECT id AS doc_id FROM comp WHERE comp <> id)""".stripMargin
+
+  /** Containment + substring tail of the prep mirror; `excl` names the CTE
+    * holding every doc id dropped BEFORE containment (curation closure
+    * alone for q73/q75; closure ∪ LM-gate drops for q94).
+    */
+  private def prepTailSql(excl: String): String =
+    """csh AS (SELECT s1.doc_id, s1.s FROM sh s1
+      |  WHERE NOT EXISTS (SELECT 1 FROM __EXCL__ c WHERE c.doc_id = s1.doc_id)),
       |ccap AS (SELECT greatest(CAST(ceil(0.2 * count(*)) AS BIGINT), 16) AS v FROM csh),
       |cex AS (SELECT doc_id, unnest(s) AS g FROM csh),
       |cdfreq AS (SELECT g, count(*) AS df FROM cex GROUP BY g),
@@ -156,6 +162,42 @@ object OracleSql {
       |      x -> coalesce(len(list_filter(sl.sp, spn -> x.i >= spn.s AND x.i < spn.e)), 0) = 0),
       |    x -> x.w), ' '), '') AS clean_text
       |FROM sw LEFT JOIN sspanlist sl ON sw.doc_id = sl.sdoc)""".stripMargin
+      .replace("__EXCL__", excl)
+
+  private val TrainPrepCtesSql: String =
+    CurationClosureSql + ",\n" + prepTailSql("dropped")
+
+  /** q94's LM-gate CTE block (between the curation closure and the
+    * containment tail): the q92 bigram-LM mirror retrained on the CURATED
+    * corpus (gated minus closure drops), ending in `lmexcl` = closure
+    * drops ∪ perplexity drops. Docs with no bigrams never enter `lmsc`,
+    * so they are kept — the engine's null-ppl rule. The threshold
+    * compares the ROUNDED perplexity in both engines.
+    */
+  private def lmGateSql(maxPpl: String): String =
+    """lmdocs AS (SELECT g.doc_id, g.text FROM gated g
+      |  WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = g.doc_id)),
+      |lmbase AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS l
+      |  FROM lmdocs),
+      |lmtok AS (SELECT unnest(l) AS w FROM lmbase),
+      |lmv AS (SELECT count(DISTINCT w) AS v FROM lmtok WHERE w <> ''),
+      |lmpos AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM lmbase),
+      |lmbi AS (SELECT doc_id, l[i] AS p, l[i + 1] AS w, count(*) AS cnt
+      |  FROM lmpos WHERE l[i] <> '' AND l[i + 1] <> '' GROUP BY 1, 2, 3),
+      |lmbc AS (SELECT p, w, sum(cnt) AS c FROM lmbi GROUP BY 1, 2),
+      |lmcx AS (SELECT p, sum(c) AS cc FROM lmbc GROUP BY 1),
+      |lmsc AS (SELECT lmbi.doc_id, sum(lmbi.cnt) AS nb,
+      |    sum(lmbi.cnt * CAST(round(ln((lmbc.c + 1.0) / (lmcx.cc + 1.0 * lmv.v)), 6)
+      |      AS DECIMAL(18,6))) AS slp
+      |  FROM lmbi, lmbc, lmcx, lmv
+      |  WHERE lmbi.p = lmbc.p AND lmbi.w = lmbc.w AND lmbc.p = lmcx.p
+      |  GROUP BY 1),
+      |lmdrop AS (SELECT doc_id FROM lmsc
+      |  WHERE round(exp(-CAST(slp AS DOUBLE) / nb), 6) > __LMMAXPPL__),
+      |lmexcl AS MATERIALIZED (
+      |  SELECT doc_id FROM dropped UNION SELECT doc_id FROM lmdrop)"""
+      .stripMargin.replace("__LMMAXPPL__", maxPpl)
 
   val all: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
@@ -570,6 +612,17 @@ object OracleSql {
     // stage-for-stage.
     "q73_train_prep" -> capped(
       "WITH RECURSIVE " + CurationPrefixSql + ",\n" + TrainPrepCtesSql +
+      "\nSELECT doc_id, clean_text FROM clean ORDER BY doc_id"),
+
+    // q73 with the CCNet-family perplexity gate armed (lmMaxPpl = 31):
+    // the q92 LM mirror retrained on the curated corpus slots between the
+    // curation closure and the containment tail, and the tail's exclusion
+    // set becomes closure ∪ LM drops. One stitched hash pins the stage
+    // INTERACTION: the LM trains on exactly the closure's survivors, and
+    // containment prices exactly the LM's survivors.
+    "q94_train_prep_lm" -> capped(
+      "WITH RECURSIVE " + CurationPrefixSql + ",\n" + CurationClosureSql +
+      ",\n" + lmGateSql("31.0") + ",\n" + prepTailSql("lmexcl") +
       "\nSELECT doc_id, clean_text FROM clean ORDER BY doc_id"),
 
     // prep -> pack: the clean corpus (q73's CTEs verbatim) re-tokenized
@@ -1490,6 +1543,66 @@ object OracleSql {
         |  CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
         |    / 2000.0) AS BIGINT) AS bin_id
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // corpus-trained add-1 bigram LM cross-entropy (CCNet-style quality
+    // filter): the oracle RETRAINS the identical model — bigram counts,
+    // context counts, unigram vocab size — and replays the smoothing
+    // arithmetic. Each position's ln P is a double of exact integer
+    // arguments rounded to 6 dp into DECIMAL(18,6); per-doc sums are then
+    // exact, so the final round-6 mean/perplexity cannot drift with
+    // partition-merge order in either engine.
+    "q92_lm_quality" ->
+      """WITH base AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS l
+        |  FROM documents),
+        |tok AS (SELECT unnest(l) AS w FROM base),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tok WHERE w <> ''),
+        |pos AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM base),
+        |bi AS (SELECT doc_id, l[i] AS p, l[i + 1] AS w, count(*) AS cnt
+        |  FROM pos WHERE l[i] <> '' AND l[i + 1] <> '' GROUP BY 1, 2, 3),
+        |bc AS (SELECT p, w, sum(cnt) AS c FROM bi GROUP BY 1, 2),
+        |cx AS (SELECT p, sum(c) AS cc FROM bc GROUP BY 1),
+        |sc AS (SELECT bi.doc_id, sum(bi.cnt) AS nb,
+        |    sum(bi.cnt * CAST(round(ln((bc.c + 1.0) / (cx.cc + 1.0 * v.v)), 6)
+        |      AS DECIMAL(18,6))) AS slp
+        |  FROM bi, bc, cx, v
+        |  WHERE bi.p = bc.p AND bi.w = bc.w AND bc.p = cx.p
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+        |  round(-CAST(sc.slp AS DOUBLE) / sc.nb, 6) AS cross_entropy,
+        |  round(exp(-CAST(sc.slp AS DOUBLE) / sc.nb), 6) AS ppl
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // DSIR importance-weighted selection: the oracle retrains BOTH hashed
+    // unigram distributions (target = src0 docs, raw = whole corpus;
+    // 1024 md5 buckets — the engine-portable hash family), rounds each
+    // bucket's log-likelihood ratio to DECIMAL(18,6), and replays the
+    // exact decimal ranking with the same (score DESC, doc_id) tiebreak —
+    // the top-100 boundary is deterministic in both engines.
+    "q93_importance_select" ->
+      """WITH tok AS (SELECT doc_id, source = 'src0' AS tgt,
+        |    unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS w
+        |  FROM documents),
+        |f AS (SELECT doc_id, tgt,
+        |    ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b, count(*) AS cnt
+        |  FROM tok WHERE w <> '' GROUP BY 1, 2, 3),
+        |raw AS (SELECT b, sum(cnt) AS cr FROM f GROUP BY 1),
+        |tg AS (SELECT b, sum(cnt) AS ct FROM f WHERE tgt GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(cr) FROM raw) AS nr,
+        |               (SELECT coalesce(sum(ct), 0) FROM tg) AS nt),
+        |model AS (SELECT raw.b,
+        |    CAST(round(ln((coalesce(tg.ct, 0) + 1.0) / (tot.nt + 1024.0)) -
+        |               ln((raw.cr + 1.0) / (tot.nr + 1024.0)), 6)
+        |      AS DECIMAL(18,6)) AS lr
+        |  FROM raw LEFT JOIN tg ON raw.b = tg.b, tot),
+        |sc AS (SELECT f.doc_id, sum(f.cnt * model.lr) AS score
+        |  FROM f JOIN model ON f.b = model.b GROUP BY 1),
+        |top AS (SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id,
+        |  round(CAST(score AS DOUBLE), 6) AS score
+        |FROM top WHERE rnk <= 100 ORDER BY rnk""".stripMargin
   )
 }

@@ -16,7 +16,7 @@ import graft.sink.ParquetSink
   *   [--id-col doc_id] [--text-col text] [--hash64]
   *   [--min-quality 0.3] [--bands 4] [--rows-per-band 4] [--jaccard 0.6]
   *   [--contain 0.8] [--substring-k 8] [--max-candidates 4096]
-  *   [--table clean_corpus]
+  *   [--lm-max-ppl X] [--table clean_corpus]
   *   [--pack-capacity N [--pack-shard lang] [--pack-shard-buckets 64]
   *     [--pack-split]]
   * }}}
@@ -58,6 +58,11 @@ object RunTrainPrep {
       contain: Double = 0.8,
       substringK: Int = 8,
       maxCandidates: Int = graft.operators.Dedup.DefaultMaxCandidatesPerDoc,
+      // --lm-max-ppl X arms the CCNet-family perplexity gate between
+      // curation and containment: a bigram LM trains on the curated
+      // corpus and docs with perplexity above X drop (stage `after_lm`
+      // in the report); docs too short to score (no bigrams) are kept
+      lmMaxPpl: Option[Double] = None,
       table: String = "clean_corpus",
       // --pack-capacity N additionally emits `<table>_packed` — the clean
       // corpus with (n_tokens, bin_id) per doc (q75's composition; bins
@@ -86,6 +91,7 @@ object RunTrainPrep {
       case "--contain" :: v :: t => loop(t, cfg.copy(contain = v.toDouble))
       case "--substring-k" :: v :: t => loop(t, cfg.copy(substringK = v.toInt))
       case "--max-candidates" :: v :: t => loop(t, cfg.copy(maxCandidates = v.toInt))
+      case "--lm-max-ppl" :: v :: t => loop(t, cfg.copy(lmMaxPpl = Some(v.toDouble)))
       case "--table" :: v :: t => loop(t, cfg.copy(table = v))
       case "--pack-capacity" :: v :: t => loop(t, cfg.copy(packCapacity = Some(v.toLong)))
       case "--pack-shard" :: v :: t => loop(t, cfg.copy(packShard = v))
@@ -105,6 +111,8 @@ object RunTrainPrep {
     require(cfg.maxCandidates > 0, s"--max-candidates must be positive; got ${cfg.maxCandidates}")
     cfg.packCapacity.foreach(c =>
       require(c > 0, s"--pack-capacity must be positive; got $c"))
+    cfg.lmMaxPpl.foreach(p =>
+      require(p > 0, s"--lm-max-ppl must be positive; got $p"))
     // dependent flag: --pack-split only takes effect inside the
     // --pack-capacity tail — alone it would be a silent no-op (no _packed
     // artifact, no warning) while the user believes the corpus was split
@@ -142,7 +150,7 @@ object RunTrainPrep {
         hash64 = cfg.hash64, minQuality = cfg.minQuality, bands = cfg.bands,
         rowsPerBand = cfg.rowsPerBand, jaccardThreshold = cfg.jaccard,
         containThreshold = cfg.contain, substringK = cfg.substringK,
-        maxCandidatesPerDoc = cfg.maxCandidates)
+        maxCandidatesPerDoc = cfg.maxCandidates, lmMaxPpl = cfg.lmMaxPpl)
       val sink = new ParquetSink(cfg.out)
       sink.overwrite(cfg.table, clean)
       // optional prep -> pack tail (q75's composition): re-tokenize the
@@ -196,7 +204,7 @@ object RunTrainPrep {
     } finally mc.close()
   }
 
-  private val StageOrder = Seq("input", "curated", "after_contain", "clean")
+  private val StageOrder = Seq("input", "curated", "after_lm", "after_contain", "clean")
 
   def main(args: Array[String]): Unit = {
     val cfg = parse(args.toSeq)

@@ -1282,6 +1282,35 @@ object SparkEntry {
       .withColumnRenamed("media_id", "doc_id")
       .orderBy("doc_id")
 
+  // ---- CCNet-family LM quality filter: corpus-trained add-1 bigram
+  // cross-entropy + perplexity per document (TextAnalysis.bigramLmScore).
+  // The oracle retrains the identical model in SQL; the decimal-sum
+  // discipline makes the doc scores exact, so the hash pins the model
+  // counts, the smoothing arithmetic, and the tokenizer all at once -------
+  private def q92LmQuality(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.bigramLmScore(T(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // ---- DSIR importance-weighted selection: target = the src0 slice of the
+  // corpus; hashed-unigram (1024-bucket) log-likelihood-ratio scores, top
+  // 100 docs kept. The oracle retrains both hashed distributions and
+  // replays the exact decimal ranking ------------------------------------
+  private def q93ImportanceSelect(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.importanceSelect(
+        T(s, d, "documents"), "doc_id", "text",
+        isTarget = col("source") === "src0", topN = 100)
+      .orderBy("rnk")
+
+  // ---- q73 with the perplexity gate armed (lmMaxPpl = 31, inside the
+  // corpus's 26-37 ppl spread so the stage REALLY drops docs at the gate
+  // SF): curation → LM filter → containment → substring removal, one
+  // stitched oracle through all four stages ------------------------------
+  private def q94TrainPrepLm(s: SparkSession, d: String): DataFrame =
+    graft.operators.TrainPrep
+      .pipeline(T(s, d, "documents"), "doc_id", "text",
+        hash64 = false, lmMaxPpl = Some(31.0))
+      .orderBy("doc_id")
+
   /** Shared q83/q84 fixture: one 4-frame PGM clip per document (the
     * concatenated-P5 container PgmCodec.frames parses for real).
     */
@@ -1485,7 +1514,10 @@ object SparkEntry {
     "q88_gif_decode" -> (q88GifDecode _),
     "q89_video_strided" -> (q89VideoStrided _),
     "q90_guarded_audio_neardup" -> (q90GuardedAudioNeardup _),
-    "q91_audio_resample" -> (q91AudioResample _)
+    "q91_audio_resample" -> (q91AudioResample _),
+    "q92_lm_quality" -> (q92LmQuality _),
+    "q93_importance_select" -> (q93ImportanceSelect _),
+    "q94_train_prep_lm" -> (q94TrainPrepLm _)
   )
 
   /** Oracle-checked queries whose oracle SQL MIRRORS the LSH bucket

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import Ckpt.CkptOps
+
 /** Deterministic sampling, splitting, and sequence packing for
   * training-data curation.
   *
@@ -210,5 +212,94 @@ object Sampling {
     seqs.withColumn("bin_id",
       floor((sum(col("seq_tokens")).over(w) - col("seq_tokens")).cast("double") /
         lit(capacity.toDouble)).cast("long"))
+  }
+
+  /** DSIR-style importance-weighted data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"): rank
+    * the raw corpus by how target-domain-like each document's hashed
+    * unigram features are, and keep the top `topN`. Per document
+    *
+    *   score(d) = Σ_b c_d(b) · ln( p_tgt(b) / p_raw(b) ),
+    *   p(b)     = (c(b) + k) / (N + k·B)
+    *
+    * where b ranges over `buckets` md5-hash feature buckets, c_d(b) is the
+    * doc's bucket occurrence count, and the two distributions are trained
+    * on the `isTarget` subset vs the whole corpus. Output: the selected
+    * rows as (rnk, id, score), rank 1 = most target-like; ties break on id.
+    *
+    * Why hashed buckets: the MODEL is a B-row table no matter how big the
+    * corpus is — that is DSIR's entire scale trick, and here it makes the
+    * scoring join a broadcast (the corpus never shuffles to be scored).
+    *
+    * Determinism discipline: each bucket's log-ratio is a double of exact
+    * integer-derived arguments (identical in any IEEE-754 engine), rounded
+    * to 6 dp into decimal(18,6); doc scores are then EXACT
+    * order-independent decimal sums of count·ratio terms, so the top-N
+    * boundary cannot flip on partition-merge order (the q44 recipe). The
+    * md5 bucket hash is the engine-portable [[hashUniform]] family, not
+    * xxhash64, so an oracle can reproduce it.
+    *
+    * Scale shape: one tokenize pass collapsed immediately to per-doc
+    * (bucket, cnt) rows (checkpointed — model counts and scoring both read
+    * the blocks; rows are bounded by docs × min(doc vocab, B), far thinner
+    * than token positions); both model distributions are aggregations of
+    * that frame; scoring is a broadcast join + map-side decimal sum; the
+    * selection is `orderBy(score).limit(topN)` — Spark's distributed
+    * TakeOrdered, never a global sort. The presentation rank is a window
+    * over the ALREADY-SELECTED topN rows only.
+    */
+  def importanceSelect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      topN: Int,
+      buckets: Int = 1024,
+      addK: Double = 1.0): DataFrame = {
+    require(topN > 0, s"topN must be positive; got $topN")
+    require(buckets > 0, s"buckets must be positive; got $buckets")
+    require(addK > 0, s"addK must be positive (add-k smoothing); got $addK")
+    val id = col(idCol)
+    val feats = docs
+      .select(id.as("__did"), coalesce(isTarget, lit(false)).as("__tgt"),
+        explode(org.apache.spark.sql.functions.split(
+          lower(trim(coalesce(col(textCol).cast("string"), lit("")))),
+          "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .withColumn("__b",
+        conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long") % buckets)
+      .groupBy(col("__did"), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .lazySerCkpt
+    val raw = feats.groupBy(col("__b")).agg(sum(col("__cnt")).as("__cr"))
+    val tgt = feats.filter(col("__tgt"))
+      .groupBy(col("__b")).agg(sum(col("__cnt")).as("__ct"))
+    val totals = raw.agg(sum(col("__cr")).as("__nr"))
+      .crossJoin(tgt.agg(coalesce(sum(col("__ct")), lit(0L)).as("__nt")))
+    // model rows = buckets present in the raw corpus (a superset of every
+    // doc's buckets by construction); absent-from-target buckets smooth
+    // from count 0
+    val model = raw
+      .join(tgt, Seq("__b"), "left")
+      .na.fill(0L, Seq("__ct"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__lr",
+        round(
+          log((col("__ct") + lit(addK)) / (col("__nt") + lit(addK * buckets))) -
+            log((col("__cr") + lit(addK)) / (col("__nr") + lit(addK * buckets))), 6)
+          .cast("decimal(18,6)"))
+      .select(col("__b"), col("__lr"))
+    val scores = feats
+      .join(broadcast(model), Seq("__b"))
+      .groupBy(col("__did"))
+      .agg(sum(col("__cnt") * col("__lr")).as("__score"))
+    val top = scores
+      .orderBy(col("__score").desc, col("__did").asc)
+      .limit(topN)
+    val w = Window.orderBy(col("__score").desc, col("__did").asc)
+    top
+      .withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("__did").as(idCol),
+        round(col("__score").cast("double"), 6).as("score"))
   }
 }

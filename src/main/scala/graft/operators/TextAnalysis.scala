@@ -313,4 +313,89 @@ object TextAnalysis {
       lit(0L),
       (acc, w) =>
         pmod(acc * 1000003L + xxhash64(w).bitwiseAND(lit(0xffffffffL)), lit(1L << 31)))
+
+  /** Corpus-trained bigram language-model quality score — the CCNet-family
+    * perplexity filter (Wenzek et al. 2020 filter heuristic; here the LM is
+    * trained on the corpus itself, so no external model ships): per document,
+    * the add-k-smoothed bigram cross-entropy
+    *
+    *   H(d) = -(1/N_d) Σ_i ln P(w_i | w_{i-1}),
+    *   P(w|p) = (c(p,w) + k) / (c_ctx(p) + k·V)
+    *
+    * with c(p,w) the corpus bigram count, c_ctx(p) = Σ_w c(p,w) the
+    * context count (probabilities sum to 1 over the vocab), V the corpus
+    * unigram vocabulary size, and perplexity exp(H). High-perplexity docs
+    * are the quality-filter DROP candidates. Docs with < 2 tokens have no
+    * bigrams: n_bigrams 0, null entropy — the caller decides their fate
+    * (a length gate usually got them first).
+    *
+    * Determinism discipline (the q44 decimal-sum recipe): each position's
+    * ln P is a double of EXACT integer arguments — identical in any
+    * IEEE-754 engine — rounded to 6 dp and carried as decimal(18,6), so
+    * the per-doc sum is order-independent EXACT arithmetic; only then is
+    * the mean taken in double. A naive double sum would make the hash
+    * depend on Spark's partition-merge order.
+    *
+    * Scale shape: ONE tokenize pass (the (id, token-array) frame is
+    * checkpointed; vocab count and bigram explode both read the blocks);
+    * bigram positions collapse to per-doc (p, w, cnt) rows BEFORE any
+    * join, so the model join probes distinct-bigrams-per-doc rows, not
+    * token positions; the model itself is two aggregations of that frame.
+    * Scoring joins shuffle on (p, w) and (p) — the honest 100 TB plan
+    * (the bigram table is corpus-sized; nothing here assumes it fits one
+    * node). Hot contexts (stopwords) are classic skew keys: the join
+    * probes are pre-aggregated per doc, which bounds any one key's rows
+    * by the doc count, and AQE skew-join covers the rest.
+    */
+  def bigramLmScore(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      addK: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    require(addK > 0, s"addK must be positive (add-k smoothing); got $addK")
+    val id = col(idCol)
+    val base = docs
+      .select(id.as("__did"),
+        split(lower(trim(coalesce(col(textCol).cast("string"), lit("")))), "\\s+")
+          .as("__t"))
+      .lazySerCkpt
+    // vocab over ALL token occurrences (split of "" yields one "" token —
+    // filtered here and from the bigram pairs below)
+    val vocab = base
+      .select(explode(col("__t")).as("__w"))
+      .filter(col("__w") =!= "")
+      .agg(count_distinct(col("__w")).as("__v"))
+    // adjacent pairs via one zip of the array against its own tail — no
+    // per-doc window, no positional self-join; collapsed to per-doc counts
+    // immediately (positions with the same (doc, p, w) are interchangeable
+    // for both the model and the score)
+    val bi = base
+      .select(col("__did"), explode(expr(
+        """zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),
+          |         slice(__t, 2, greatest(size(__t) - 1, 0)),
+          |         (a, b) -> struct(a AS p, b AS w))""".stripMargin)).as("__bg"))
+      .select(col("__did"), col("__bg.p").as("__p"), col("__bg.w").as("__w"))
+      .filter(col("__p") =!= "" && col("__w") =!= "")
+      .groupBy(col("__did"), col("__p"), col("__w"))
+      .agg(count(lit(1)).as("__cnt"))
+      .lazySerCkpt
+    val bigramCounts = bi.groupBy(col("__p"), col("__w")).agg(sum(col("__cnt")).as("__c"))
+    val contextCounts = bigramCounts.groupBy(col("__p")).agg(sum(col("__c")).as("__cc"))
+    val scored = bi
+      .join(bigramCounts, Seq("__p", "__w"))
+      .join(contextCounts, Seq("__p"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp",
+        round(log((col("__c") + lit(addK)) / (col("__cc") + lit(addK) * col("__v"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("__did"))
+      .agg(sum(col("__cnt")).as("__nb"), sum(col("__cnt") * col("__lp")).as("__slp"))
+    docs
+      .select(id)
+      .join(scored, id === col("__did"), "left")
+      .select(id,
+        coalesce(col("__nb"), lit(0L)).as("n_bigrams"),
+        round(-col("__slp").cast("double") / col("__nb"), 6).as("cross_entropy"),
+        round(exp(-col("__slp").cast("double") / col("__nb")), 6).as("ppl"))
+  }
 }

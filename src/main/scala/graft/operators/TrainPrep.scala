@@ -12,6 +12,12 @@ import Ckpt.CkptOps
   *
   *   1. [[Curation.pipeline]] (transitive) — exact dedup, quality/language
   *      gates, near-dup removal with min-id survivorship per component.
+  *   1b. (optional, `lmMaxPpl`) CCNet-family perplexity gate —
+  *      [[TextAnalysis.bigramLmScore]] trained on the curated corpus,
+  *      docs above the perplexity ceiling dropped. Runs after curation so
+  *      near-dup replica clusters cannot skew the model toward their own
+  *      phrasing, and before containment so the dropped docs never price
+  *      their shingles.
   *   2. Containment removal — [[Dedup.containmentPairs]] over the
   *      survivors, then drop the CONTAINED doc (id1) of every verified
   *      pair: the doc-inside-doc redundancy Jaccard-LSH structurally
@@ -127,7 +133,8 @@ object TrainPrep {
       jaccardThreshold: Double = 0.6,
       containThreshold: Double = 0.8,
       substringK: Int = 8,
-      maxCandidatesPerDoc: Int = Dedup.DefaultMaxCandidatesPerDoc): DataFrame = {
+      maxCandidatesPerDoc: Int = Dedup.DefaultMaxCandidatesPerDoc,
+      lmMaxPpl: Option[Double] = None): DataFrame = {
     val id = obsId.incrementAndGet()
     def staged(df: DataFrame, stage: String): DataFrame =
       df.observe(s"train_prep_${id}_$stage", count(lit(1)).as("docs"))
@@ -151,7 +158,24 @@ object TrainPrep {
         staged(docs.select(col(idCol), col(textCol)), "input")
           .join(survivors, Seq(idCol), "left_semi"), "curated")
       .eagerSerCkpt
-    val pairs = Dedup.containmentPairs(curated, idCol, textCol,
+    // optional CCNet-family perplexity gate (stage 1b): the bigram LM
+    // trains on the CURATED corpus — after exact/near-dup removal, so
+    // replica clusters can't skew the model toward their own phrasing —
+    // and docs above the perplexity ceiling drop before the containment
+    // stage prices their shingles. Docs with <2 tokens carry no LM
+    // evidence (null ppl) and are KEPT: the quality gate already judged
+    // them, and a perplexity filter has nothing to say about one token.
+    val lmKept = lmMaxPpl match {
+      case Some(maxPpl) =>
+        val kept = TextAnalysis
+          .bigramLmScore(curated, idCol, textCol)
+          .filter(col("ppl") <= maxPpl || col("ppl").isNull)
+          .select(idCol)
+        staged(curated.join(kept, Seq(idCol), "left_semi"), "after_lm")
+          .eagerSerCkpt
+      case None => curated
+    }
+    val pairs = Dedup.containmentPairs(lmKept, idCol, textCol,
         threshold = containThreshold, maxCandidatesPerDoc = maxCandidatesPerDoc)
       .eagerSerCkpt
     val rev = pairs.select(col("id1").as("__r1"), col("id2").as("__r2"))
@@ -160,7 +184,7 @@ object TrainPrep {
       .filter(col("__r1").isNull || col("id1") > col("id2"))
       .select(col("id1").as(idCol)).distinct()
     val afterContain =
-      staged(curated.join(contained, Seq(idCol), "left_anti"), "after_contain")
+      staged(lmKept.join(contained, Seq(idCol), "left_anti"), "after_contain")
     staged(
       Dedup.removeDuplicatedSpans(afterContain, idCol, textCol, k = substringK),
       "clean")

@@ -125,9 +125,61 @@ class RunTrainPrepSpec extends SparkSpecBase {
     bad("--max-candidates", "0")
     bad("--pack-shard-buckets", "0")
     bad("--pack-split") // without --pack-capacity it would be a silent no-op
+    bad("--lm-max-ppl", "0")
+    bad("--lm-max-ppl", "-2.5")
     // positive values still parse
     val ok = RunTrainPrep.parse(Seq("--in", "a", "--out", "b",
-      "--pack-capacity", "1024", "--max-candidates", "128"))
+      "--pack-capacity", "1024", "--max-candidates", "128",
+      "--lm-max-ppl", "40"))
     assert(ok.packCapacity === Some(1024L) && ok.maxCandidates === 128)
+    assert(ok.lmMaxPpl === Some(40.0))
+  }
+
+  test("--lm-max-ppl arms the perplexity gate: the out-of-distribution doc drops, after_lm reports") {
+    // Nine docs with conventional, bigram-overlapping English phrasing and
+    // one whose stopwords keep languageId=en but whose bigram transitions
+    // are out-of-distribution (high perplexity under the corpus-trained
+    // LM). No doc pair is a near-dup and the quality gate is disarmed, so
+    // CURATION KEEPS ALL TEN — only the LM gate separates the odd one out.
+    val normal = Seq(
+      1L -> "the cat sat on the mat and the dog sat on the rug",
+      2L -> "the dog ran over the hill and the cat ran into the barn",
+      3L -> "a bird sat on the fence and a cat sat under the tree",
+      4L -> "the horse ran over the field and the bird flew over the barn",
+      5L -> "a fox ran into the woods and the dog sat by the fire",
+      6L -> "the cow sat in the field and a horse sat by the gate",
+      7L -> "a mouse ran under the floor and the fox sat on the wall",
+      8L -> "the sheep ran over the bridge and a cow ran into the pen",
+      9L -> "a goat sat by the river and the mouse ran up the stairs")
+    val odd = 10L -> "plasma the of quantum a the lattice of to warp a the flux of"
+    val docs = (normal :+ odd).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lmppl").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+
+    // semantic precondition, asserted not assumed: under the corpus LM the
+    // odd doc's perplexity strictly exceeds every conventional doc's
+    val ppl = graft.operators.TextAnalysis
+      .bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val maxNormal = normal.map(d => ppl(d._1)).max
+    assert(ppl(10L) > maxNormal,
+      s"fixture broke: odd=${ppl(10L)} vs maxNormal=$maxNormal")
+    val cut = (maxNormal + ppl(10L)) / 2
+
+    val report = RunTrainPrep.execute(spark, RunTrainPrep.parse(Seq(
+      "--in", s"$tmp/in", "--out", s"$tmp/out",
+      "--min-quality", "0.0", "--lm-max-ppl", cut.toString)))
+    assert(report.stages("input") === 10L)
+    assert(report.stages("curated") === 10L) // curation alone keeps all ten
+    assert(report.stages("after_lm") === 9L) // the gate drops exactly the odd doc
+    val kept = spark.read.parquet(s"$tmp/out/clean_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === normal.map(_._1))
+
+    // default-off: without the flag the stage neither runs nor reports
+    val off = RunTrainPrep.execute(spark, RunTrainPrep.parse(Seq(
+      "--in", s"$tmp/in", "--out", s"$tmp/out_off", "--min-quality", "0.0")))
+    assert(!off.stages.contains("after_lm"))
+    assert(off.stages("clean") === 10L)
   }
 }

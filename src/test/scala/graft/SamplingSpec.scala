@@ -241,4 +241,84 @@ class SamplingSpec extends SparkSpecBase {
     assert(byShard("alpha") === directTotals(1L) + directTotals(2L))
     assert(byShard("beta") === directTotals(3L))
   }
+
+  /** Independent replica of importanceSelect's arithmetic: same md5 bucket
+    * hash, same add-k smoothing, same round-6 decimal log-ratios, exact
+    * decimal doc sums — computed driver-side with plain Scala collections.
+    */
+  private def dsirReference(
+      docs: Seq[(Long, String, Boolean)],
+      buckets: Int): Seq[(Long, BigDecimal)] = {
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % buckets
+    }
+    val toks = docs.flatMap { case (id, t, tgt) =>
+      Option(t).getOrElse("").toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        .map(w => (id, tgt, bucket(w)))
+    }
+    val raw = toks.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val tgt = toks.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nr = raw.values.sum
+    val nt = tgt.values.sum
+    val lr = raw.map { case (b, cr) =>
+      val ct = tgt.getOrElse(b, 0L)
+      b -> BigDecimal(
+        math.log((ct + 1.0) / (nt + 1.0 * buckets)) -
+          math.log((cr + 1.0) / (nr + 1.0 * buckets)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    toks.groupBy(t => (t._1, t._3)).toSeq
+      .map { case ((id, b), occ) => id -> lr(b) * occ.size }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+  }
+
+  test("importanceSelect: scores equal an independent DSIR replica; ranking favors target-like docs") {
+    val docs = Seq(
+      (1L, "x x x y", true),   // target domain: x-heavy
+      (2L, "x x y z", true),
+      (3L, "x x x x z", false), // raw doc that LOOKS like the target
+      (4L, "z z z y", false),   // raw-typical
+      (5L, "q q q q", false),   // tokens unseen in target
+      (6L, "", false))          // no tokens: never scored or selected
+    val df = docs.toDF("doc_id", "text", "tgt")
+    val out = Sampling.importanceSelect(
+        df, "doc_id", "text", isTarget = col("tgt"), topN = 10, buckets = 64)
+      .orderBy("rnk").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val ref = dsirReference(docs, buckets = 64).toMap
+    assert(out.length === 5) // doc 6 has no features
+    out.foreach { case (_, id, score) =>
+      assert(score === BigDecimal(ref(id).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"doc $id score mismatch")
+    }
+    // ranks descend by score with the doc-id tiebreak
+    val resorted = out.sortBy { case (_, id, s) => (-s, id) }.map(_._1)
+    assert(resorted.toSeq === out.map(_._1).toSeq)
+    // the x-heavy raw doc outranks the raw-typical and unseen-token docs
+    val rankOf = out.map(t => t._2 -> t._1).toMap
+    assert(rankOf(3L) < rankOf(4L))
+    assert(rankOf(3L) < rankOf(5L))
+    // and the topN cut is honored
+    val cut = Sampling.importanceSelect(
+        df, "doc_id", "text", isTarget = col("tgt"), topN = 2, buckets = 64)
+      .collect()
+    assert(cut.length === 2)
+    assert(cut.map(_.getInt(0)).sorted.toSeq === Seq(1, 2))
+  }
+
+  test("importanceSelect is invariant under input partitioning") {
+    val docs = Seq.tabulate(80)(i =>
+      (i.toLong, s"w${i % 11} w${i % 5} w${i % 3}", i % 4 == 0))
+      .toDF("doc_id", "text", "tgt")
+    val a = Sampling.importanceSelect(
+        docs, "doc_id", "text", col("tgt"), topN = 80, buckets = 32)
+      .orderBy("rnk").collect().toSeq
+    val b = Sampling.importanceSelect(
+        docs.repartition(17), "doc_id", "text", col("tgt"), topN = 80, buckets = 32)
+      .orderBy("rnk").collect().toSeq
+    assert(a === b) // exact decimal sums: the top-N boundary cannot drift
+  }
 }

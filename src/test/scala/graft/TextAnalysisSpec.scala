@@ -242,4 +242,52 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(2) === ((2L, 1, "other", 3.0)))
     assert(out(3) === ((2L, 2, "common", 1.0)))
   }
+
+  /** The operator's own arithmetic, replicated independently: round-6
+    * decimal per position, exact sum, double mean — the oracle discipline.
+    */
+  private def lp6(c: Long, cc: Long, v: Long): BigDecimal =
+    BigDecimal(math.log((c + 1.0) / (cc + 1.0 * v)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  test("bigramLmScore: hand-built corpus model, exact entropy, degenerate docs") {
+    val docs = Seq(
+      (1L, "a b a b"),  // bigrams (a,b)x2 (b,a)x1
+      (2L, "a a"),      // (a,a)x1
+      (3L, "c"),        // 1 token: no bigrams
+      (4L, ""),         // empty
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length === 5) // every doc comes back
+    // corpus model: c(a,b)=2 c(b,a)=1 c(a,a)=1; ctx a=3 b=1; V={a,b,c}=3
+    // doc 1: ln P(b|a)=ln(3/6) twice, ln P(a|b)=ln(2/4) once — all ln 0.5
+    val d1slp = lp6(2, 3, 3) * 2 + lp6(1, 1, 3)
+    val d1h = (-(d1slp.toDouble) / 3)
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getDouble(2) ===
+      BigDecimal(d1h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(0).getDouble(3) ===
+      BigDecimal(math.exp(d1h)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 2: one position, P(a|a) = (1+1)/(3+3) = 1/3
+    val d2h = -(lp6(1, 3, 3).toDouble) / 1
+    assert(out(1).getLong(1) === 1L)
+    assert(out(1).getDouble(2) ===
+      BigDecimal(d2h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // docs 3-5: no bigrams → count 0, null entropy/ppl
+    Seq(2, 3, 4).foreach { i =>
+      assert(out(i).getLong(1) === 0L)
+      assert(out(i).isNullAt(2) && out(i).isNullAt(3))
+    }
+  }
+
+  test("bigramLmScore is invariant under input partitioning") {
+    val docs = Seq.tabulate(60)(i => (i.toLong, s"tok${i % 7} tok${i % 3} tok${i % 5} end"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.bigramLmScore(docs.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b) // decimal-sum discipline: no partition-merge-order drift
+  }
 }
