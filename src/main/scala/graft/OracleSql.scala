@@ -620,9 +620,15 @@ object OracleSql {
     // set becomes closure ∪ LM drops. One stitched hash pins the stage
     // INTERACTION: the LM trains on exactly the closure's survivors, and
     // containment prices exactly the LM's survivors.
+    // csh is additionally MATERIALIZED here (a DuckDB-only optimization
+    // hint, zero semantics): the tail references csh ~8 times and DuckDB
+    // re-inlines a CTE per reference, so without it the minhash prefix +
+    // recursive closure + LM chain all re-evaluate per reference — the
+    // q90-mirror hazard (NOTES), measured unbounded at 10×.
     "q94_train_prep_lm" -> capped(
       "WITH RECURSIVE " + CurationPrefixSql + ",\n" + CurationClosureSql +
-      ",\n" + lmGateSql("31.0") + ",\n" + prepTailSql("lmexcl") +
+      ",\n" + lmGateSql("31.0") + ",\n" +
+      prepTailSql("lmexcl").replace("csh AS (", "csh AS MATERIALIZED (") +
       "\nSELECT doc_id, clean_text FROM clean ORDER BY doc_id"),
 
     // prep -> pack: the clean corpus (q73's CTEs verbatim) re-tokenized
@@ -1550,8 +1556,11 @@ object OracleSql {
     // context counts, unigram vocab size — and replays the smoothing
     // arithmetic. Each position's ln P is a double of exact integer
     // arguments rounded to 6 dp into DECIMAL(18,6); per-doc sums are then
-    // exact, so the final round-6 mean/perplexity cannot drift with
-    // partition-merge order in either engine.
+    // exact, and cross_entropy = exact-decimal → double → one IEEE
+    // division, shipped UNROUNDED (bit-identical across engines; rounding
+    // the quotient flipped half-boundary rows between the two engines'
+    // round implementations at 10×). ppl keeps round-6 to absorb libm
+    // exp() ulp differences.
     "q92_lm_quality" ->
       """WITH base AS (SELECT doc_id,
         |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS l
@@ -1570,7 +1579,7 @@ object OracleSql {
         |  WHERE bi.p = bc.p AND bi.w = bc.w AND bc.p = cx.p
         |  GROUP BY 1)
         |SELECT d.doc_id, CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
-        |  round(-CAST(sc.slp AS DOUBLE) / sc.nb, 6) AS cross_entropy,
+        |  -CAST(sc.slp AS DOUBLE) / sc.nb AS cross_entropy,
         |  round(exp(-CAST(sc.slp AS DOUBLE) / sc.nb), 6) AS ppl
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,

@@ -393,9 +393,17 @@ object TextAnalysis {
     docs
       .select(id)
       .join(scored, id === col("__did"), "left")
+      // cross_entropy ships UNROUNDED: exact-decimal sum → correctly-rounded
+      // double cast → ONE IEEE division — bit-identical in any IEEE-754
+      // engine, so rounding would only ADD a portability hazard (measured:
+      // rounding the quotient at 6 dp flipped 27/50k rows between Spark's
+      // BigDecimal HALF_UP and DuckDB's ×1e6+std::round at exact
+      // half-boundaries of the 7th digit). ppl stays rounded — exp() is
+      // libm-implementation-dependent at the last ulp, and round-6 absorbs
+      // that (boundary collision odds ~ulp/1e-6 ≈ 4e-9/row).
       .select(id,
         coalesce(col("__nb"), lit(0L)).as("n_bigrams"),
-        round(-col("__slp").cast("double") / col("__nb"), 6).as("cross_entropy"),
+        (-col("__slp").cast("double") / col("__nb")).as("cross_entropy"),
         round(exp(-col("__slp").cast("double") / col("__nb")), 6).as("ppl"))
   }
 }

@@ -263,17 +263,15 @@ class TextAnalysisSpec extends SparkSpecBase {
     // corpus model: c(a,b)=2 c(b,a)=1 c(a,a)=1; ctx a=3 b=1; V={a,b,c}=3
     // doc 1: ln P(b|a)=ln(3/6) twice, ln P(a|b)=ln(2/4) once — all ln 0.5
     val d1slp = lp6(2, 3, 3) * 2 + lp6(1, 1, 3)
-    val d1h = (-(d1slp.toDouble) / 3)
+    val d1h = (-(d1slp.toDouble) / 3) // unrounded quotient — the contract
     assert(out(0).getLong(1) === 3L)
-    assert(out(0).getDouble(2) ===
-      BigDecimal(d1h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(0).getDouble(2) === d1h)
     assert(out(0).getDouble(3) ===
       BigDecimal(math.exp(d1h)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     // doc 2: one position, P(a|a) = (1+1)/(3+3) = 1/3
     val d2h = -(lp6(1, 3, 3).toDouble) / 1
     assert(out(1).getLong(1) === 1L)
-    assert(out(1).getDouble(2) ===
-      BigDecimal(d2h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1).getDouble(2) === d2h)
     // docs 3-5: no bigrams → count 0, null entropy/ppl
     Seq(2, 3, 4).foreach { i =>
       assert(out(i).getLong(1) === 0L)
