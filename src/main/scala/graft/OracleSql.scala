@@ -199,6 +199,45 @@ object OracleSql {
       |  SELECT doc_id FROM dropped UNION SELECT doc_id FROM lmdrop)"""
       .stripMargin.replace("__LMMAXPPL__", maxPpl)
 
+  /** q95/q96 shared BPE mirror: word counts → char-symbol arrays → one
+    * (pair-count, argmax, recursive greedy-merge) stage per iteration.
+    * Every stage CTE that is read more than once is MATERIALIZED (the
+    * per-reference re-inlining hazard); the per-word merge is a recursive
+    * scan with position state — emit one symbol per step, or the merged
+    * pair and skip two — whose terminal rows sit at i = len + 1.
+    */
+  private def bpeStageSql(i: Int): String =
+    s"""pc$i AS MATERIALIZED (
+      |  SELECT syms[j] AS a, syms[j + 1] AS b, sum(cnt) AS c
+      |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS j FROM st$i)
+      |  GROUP BY 1, 2),
+      |top$i AS MATERIALIZED (
+      |  SELECT a, b, c FROM pc$i ORDER BY c DESC, a, b LIMIT 1),
+      |m$i AS (
+      |  SELECT w, cnt, syms, 1 AS i, CAST([] AS VARCHAR[]) AS out FROM st$i
+      |  UNION ALL
+      |  SELECT w, cnt, syms,
+      |    CASE WHEN i < len(syms) AND syms[i] = (SELECT a FROM top$i)
+      |              AND syms[i + 1] = (SELECT b FROM top$i)
+      |         THEN i + 2 ELSE i + 1 END,
+      |    CASE WHEN i < len(syms) AND syms[i] = (SELECT a FROM top$i)
+      |              AND syms[i + 1] = (SELECT b FROM top$i)
+      |         THEN list_append(out, syms[i] || syms[i + 1])
+      |         ELSE list_append(out, syms[i]) END
+      |  FROM m$i WHERE i <= len(syms)),
+      |st${i + 1} AS MATERIALIZED (
+      |  SELECT w, cnt, out AS syms FROM m$i WHERE i = len(syms) + 1)""".stripMargin
+
+  private def bpeCtes(k: Int): String =
+    """WITH RECURSIVE
+      |wc AS (SELECT w, count(*) AS cnt FROM (
+      |  SELECT unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS w
+      |  FROM documents) WHERE w <> '' GROUP BY 1),
+      |st0 AS MATERIALIZED (SELECT w, cnt,
+      |  list_transform(range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS syms
+      |  FROM wc),""".stripMargin + "\n" +
+      (0 until k).map(bpeStageSql).mkString(",\n")
+
   val all: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -620,6 +659,30 @@ object OracleSql {
     // set becomes closure ∪ LM drops. One stitched hash pins the stage
     // INTERACTION: the LM trains on exactly the closure's survivors, and
     // containment prices exactly the LM's survivors.
+    // Distributed BPE vocabulary learning: the merge table after five
+    // iterations. Each oracle stage replays pair counting (all adjacent
+    // positions, overlap included), the (count DESC, lhs, rhs) argmax,
+    // and the greedy non-overlapping left-to-right rewrite.
+    "q95_bpe_merges" ->
+      (bpeCtes(5) + "\nSELECT * FROM (" +
+        (0 until 5).map(i =>
+          s"SELECT CAST(${i + 1} AS INTEGER) AS merge_idx, a AS lhs, b AS rhs, " +
+            s"CAST(c AS BIGINT) AS pair_count FROM top$i").mkString(" UNION ALL ") +
+        ") ORDER BY merge_idx"),
+
+    // The learned vocabulary applied: per-doc token/subword counts = each
+    // doc's tokens joined to the FINAL symbol state (word -> merged
+    // symbols) of the q95 chain.
+    "q96_bpe_subwords" ->
+      (bpeCtes(5) + """,
+        |dtok AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS w
+        |  FROM documents)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(len(s.syms)) AS BIGINT) AS n_subwords
+        |FROM dtok t JOIN st5 s ON t.w = s.w
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+
     // csh is additionally MATERIALIZED here (a DuckDB-only optimization
     // hint, zero semantics): the tail references csh ~8 times and DuckDB
     // re-inlines a CTE per reference, so without it the minhash prefix +

@@ -1311,6 +1311,29 @@ object SparkEntry {
         hash64 = false, lmMaxPpl = Some(31.0))
       .orderBy("doc_id")
 
+  // ---- distributed BPE vocabulary learning (Sennrich et al. 2016): five
+  // merge iterations over the corpus's word-count table — one corpus
+  // shuffle, then per-iteration pair-count + distributed-argmax + map-only
+  // greedy rewrite. The oracle replays every iteration in SQL (recursive
+  // per-word merge CTEs), so the hash pins the pair arithmetic, the
+  // tie-break, AND the greedy non-overlap rewrite at every step ----------
+  private def q95BpeMerges(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bpe.learnMerges(T(s, d, "documents"), "text", numMerges = 5)
+      .orderBy("merge_idx")
+
+  // ---- the learned vocabulary APPLIED: per-doc token and subword counts
+  // after the q95 merges — the compression a tokenizer-sizing pass
+  // reports. The oracle reuses q95's final symbol state (word → merged
+  // symbols) joined onto each doc's tokens --------------------------------
+  private def q96BpeSubwords(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.operators.Bpe
+      .learnMerges(T(s, d, "documents"), "text", numMerges = 5)
+      .orderBy("merge_idx")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.subwordStats(T(s, d, "documents"), "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   /** Shared q83/q84 fixture: one 4-frame PGM clip per document (the
     * concatenated-P5 container PgmCodec.frames parses for real).
     */
@@ -1517,7 +1540,9 @@ object SparkEntry {
     "q91_audio_resample" -> (q91AudioResample _),
     "q92_lm_quality" -> (q92LmQuality _),
     "q93_importance_select" -> (q93ImportanceSelect _),
-    "q94_train_prep_lm" -> (q94TrainPrepLm _)
+    "q94_train_prep_lm" -> (q94TrainPrepLm _),
+    "q95_bpe_merges" -> (q95BpeMerges _),
+    "q96_bpe_subwords" -> (q96BpeSubwords _)
   )
 
   /** Oracle-checked queries whose oracle SQL MIRRORS the LSH bucket

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed byte-pair-encoding vocabulary learning (Sennrich et al.
+  * 2016 — the merge-table trainer behind BPE/GPT-2-style tokenizers),
+  * re-expressed for Spark's execution model.
+  *
+  * The classic algorithm is inherently iterative — count adjacent symbol
+  * pairs, merge the most frequent, repeat — and the distributed shape
+  * follows from one observation: after the FIRST aggregation the working
+  * set is the WORD-COUNT table (distinct words × counts), which is orders
+  * of magnitude smaller than the corpus (a 100 TB crawl has ~10⁸ distinct
+  * words). So:
+  *
+  *   - ONE corpus-scale shuffle (word counts), ever;
+  *   - each merge iteration runs on the vocab table: a map-side pair
+  *     explode, a (left, right) hash aggregate, and `orderBy(...).limit(1)`
+  *     — Spark's distributed TakeOrdered, never a global sort — to pick
+  *     the argmax pair (ties break lexicographically, pinned in both
+  *     engines);
+  *   - the merge rewrite is a map-only fold over each word's symbol array
+  *     (greedy non-overlapping left-to-right, the BPE contract);
+  *   - per-iteration `localCheckpoint` cuts the growing interpreted-HOF
+  *     lineage exactly as the connected-components loop does.
+  *
+  * The one driver-side collect is the argmax pair itself — one row per
+  * iteration, which is the output of the operator; everything else stays
+  * distributed.
+  *
+  * Greedy-merge equivalence note (spec-pinned against a positional
+  * reference): the fold emits each symbol unless the previously-emitted
+  * symbol equals `left` and the current equals `right`, in which case the
+  * previous symbol is REPLACED by the merged token. This is exactly the
+  * positional "scan left to right, skip two on match" rule because a
+  * just-merged token (`left` + `right`) can never itself equal `left`
+  * (it is strictly longer), so a replacement can never enable a spurious
+  * second merge at the same position.
+  */
+object Bpe {
+
+  /** Learn `numMerges` BPE merges from the corpus; returns the merge table
+    * (merge_idx, lhs, rhs, pair_count) in learning order. Stops early if
+    * the vocabulary runs out of adjacent pairs (every word fully merged
+    * or single-symbol); the output then has fewer than `numMerges` rows.
+    */
+  def learnMerges(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive; got $numMerges")
+    val spark = docs.sparkSession
+    val wc = docs
+      .select(explode(split(lower(trim(coalesce(col(textCol).cast("string"),
+        lit("")))), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+    var state = wc
+      .withColumn("__syms",
+        expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))"))
+      .select(col("__w"), col("__cnt"), col("__syms"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    var i = 1
+    while (i <= numMerges && !exhausted) {
+      val top = state
+        .select(col("__cnt"), explode(expr(
+          """zip_with(slice(__syms, 1, greatest(size(__syms) - 1, 0)),
+            |         slice(__syms, 2, greatest(size(__syms) - 1, 0)),
+            |         (a, b) -> struct(a AS a, b AS b))""".stripMargin)).as("__p"))
+        .groupBy(col("__p.a").as("__a"), col("__p.b").as("__b"))
+        .agg(sum(col("__cnt")).as("__c"))
+        .orderBy(col("__c").desc, col("__a").asc, col("__b").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i, a, b, c))
+        state = state
+          .withColumn("__syms", mergeFold(col("__syms"), a, b))
+          .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        i += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_idx", "lhs", "rhs", "pair_count")
+  }
+
+  /** Greedy non-overlapping left-to-right merge of the pair (a, b) in a
+    * symbol array, as a fold. `a`/`b` enter as BOUND literals (lit), never
+    * spliced into SQL text — corpus-derived tokens can contain anything.
+    * `try_element_at` (not `element_at`): ANSI mode throws on index -1 of
+    * an empty array, and the size guard is not a short-circuit in
+    * vectorized evaluation.
+    */
+  private[graft] def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      expr("CAST(array() AS ARRAY<STRING>)"),
+      (acc, s) =>
+        when(
+          size(acc) > 0 &&
+            try_element_at(acc, lit(-1)) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Retokenize: apply a learned merge table to the corpus — per doc, the
+    * whitespace tokens' symbol arrays folded through every merge in order
+    * (map-only; the merge table is a driver-held list, closed over as
+    * literals). Returns (idCol, n_tokens, n_subwords): the compression the
+    * vocabulary buys, the number a tokenizer-sizing pass reports.
+    */
+  def subwordStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(split(lower(trim(coalesce(
+        col(textCol).cast("string"), lit("")))), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .withColumn("__syms",
+        expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))"))
+    val merged = merges.foldLeft(toks) { case (df, (a, b)) =>
+      df.withColumn("__syms", mergeFold(col("__syms"), a, b))
+    }
+    merged
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(size(col("__syms"))).as("n_subwords"))
+  }
+}
