@@ -167,6 +167,26 @@ object OracleSql {
   private val TrainPrepCtesSql: String =
     CurationClosureSql + ",\n" + prepTailSql("dropped")
 
+  /** DuckDB `MATERIALIZED` hints on every stage CTE of the stitched prep
+    * mirrors (q73/q75/q94). DuckDB re-inlines a CTE body once PER
+    * REFERENCE, so in a monolith whose tail references `csh` ~8 times the
+    * minhash prefix + recursive closure re-evaluate multiplicatively —
+    * the r10 campaign had to declare the q73 monolith infeasible at 10×
+    * and fall back to compositional validation. With every stage pinned
+    * to one evaluation the same monolith runs at 10× in ~50 s and
+    * row-matches the engine (round-13 measurement). Names are anchored on
+    * the preceding newline so `sh` cannot rewrite `csh`; `fp` (the first
+    * CTE) anchors on the WITH RECURSIVE header. Hint-only: zero semantics.
+    */
+  private def materializedPrep(sql: String): String = {
+    val ctes = Seq("gated", "sh", "cpairs", "dropped", "csh", "cex",
+      "cdfreq", "canchors", "ckept", "cver", "cpok", "cdropped", "rdocs",
+      "sw", "swins", "smarked", "sspanlist")
+    val anchored = ctes.foldLeft(sql)((s, c) =>
+      s.replace("\n" + c + " AS (", "\n" + c + " AS MATERIALIZED ("))
+    anchored.replace("WITH RECURSIVE fp AS (", "WITH RECURSIVE fp AS MATERIALIZED (")
+  }
+
   /** q94's LM-gate CTE block (between the curation closure and the
     * containment tail): the q92 bigram-LM mirror retrained on the CURATED
     * corpus (gated minus closure drops), ending in `lmexcl` = closure
@@ -649,9 +669,9 @@ object OracleSql {
     // pairs keep min id), then q71's substring-clean CTEs (s-prefixed)
     // computed over the REMAINING corpus. Mirrors SparkEntry.trainPrep
     // stage-for-stage.
-    "q73_train_prep" -> capped(
+    "q73_train_prep" -> capped(materializedPrep(
       "WITH RECURSIVE " + CurationPrefixSql + ",\n" + TrainPrepCtesSql +
-      "\nSELECT doc_id, clean_text FROM clean ORDER BY doc_id"),
+      "\nSELECT doc_id, clean_text FROM clean ORDER BY doc_id")),
 
     // q73 with the CCNet-family perplexity gate armed (lmMaxPpl = 31):
     // the q92 LM mirror retrained on the curated corpus slots between the
@@ -683,16 +703,10 @@ object OracleSql {
         |FROM dtok t JOIN st5 s ON t.w = s.w
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
 
-    // csh is additionally MATERIALIZED here (a DuckDB-only optimization
-    // hint, zero semantics): the tail references csh ~8 times and DuckDB
-    // re-inlines a CTE per reference, so without it the minhash prefix +
-    // recursive closure + LM chain all re-evaluate per reference — the
-    // q90-mirror hazard (NOTES), measured unbounded at 10×.
-    "q94_train_prep_lm" -> capped(
+    "q94_train_prep_lm" -> capped(materializedPrep(
       "WITH RECURSIVE " + CurationPrefixSql + ",\n" + CurationClosureSql +
-      ",\n" + lmGateSql("31.0") + ",\n" +
-      prepTailSql("lmexcl").replace("csh AS (", "csh AS MATERIALIZED (") +
-      "\nSELECT doc_id, clean_text FROM clean ORDER BY doc_id"),
+      ",\n" + lmGateSql("31.0") + ",\n" + prepTailSql("lmexcl") +
+      "\nSELECT doc_id, clean_text FROM clean ORDER BY doc_id")),
 
     // prep -> pack: the clean corpus (q73's CTEs verbatim) re-tokenized
     // (whitespace token count of clean_text; empty docs = 0 tokens, both
@@ -702,8 +716,8 @@ object OracleSql {
     // training-data pipeline runs, composed over the prep output so
     // stage-interaction bugs (span removal shifting token counts under
     // the packer's bin arithmetic) surface in THIS hash compare.
-    "q75_prep_pack" -> capped(
-      "WITH RECURSIVE " + CurationPrefixSql + ",\n" + TrainPrepCtesSql + """,
+    "q75_prep_pack" -> capped(materializedPrep(
+      "WITH RECURSIVE " + CurationPrefixSql + ",\n" + TrainPrepCtesSql) + """,
         |packd AS (SELECT c.doc_id, d.lang,
         |    CASE WHEN c.clean_text = '' THEN 0
         |         ELSE len(regexp_split_to_array(c.clean_text, '\s+')) END AS n_tokens
