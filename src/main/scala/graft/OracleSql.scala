@@ -673,12 +673,6 @@ object OracleSql {
       "WITH RECURSIVE " + CurationPrefixSql + ",\n" + TrainPrepCtesSql +
       "\nSELECT doc_id, clean_text FROM clean ORDER BY doc_id")),
 
-    // q73 with the CCNet-family perplexity gate armed (lmMaxPpl = 31):
-    // the q92 LM mirror retrained on the curated corpus slots between the
-    // curation closure and the containment tail, and the tail's exclusion
-    // set becomes closure ∪ LM drops. One stitched hash pins the stage
-    // INTERACTION: the LM trains on exactly the closure's survivors, and
-    // containment prices exactly the LM's survivors.
     // Distributed BPE vocabulary learning: the merge table after five
     // iterations. Each oracle stage replays pair counting (all adjacent
     // positions, overlap included), the (count DESC, lhs, rhs) argmax,
@@ -703,6 +697,12 @@ object OracleSql {
         |FROM dtok t JOIN st5 s ON t.w = s.w
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
 
+    // q73 with the CCNet-family perplexity gate armed (lmMaxPpl = 31):
+    // the q92 LM mirror retrained on the curated corpus slots between the
+    // curation closure and the containment tail, and the tail's exclusion
+    // set becomes closure ∪ LM drops. One stitched hash pins the stage
+    // INTERACTION: the LM trains on exactly the closure's survivors, and
+    // containment prices exactly the LM's survivors.
     "q94_train_prep_lm" -> capped(materializedPrep(
       "WITH RECURSIVE " + CurationPrefixSql + ",\n" + CurationClosureSql +
       ",\n" + lmGateSql("31.0") + ",\n" + prepTailSql("lmexcl") +

@@ -52,15 +52,25 @@ object Bpe {
       numMerges: Int): DataFrame = {
     require(numMerges > 0, s"numMerges must be positive; got $numMerges")
     val spark = docs.sparkSession
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
     val wc = docs
-      .select(explode(split(lower(trim(coalesce(col(textCol).cast("string"),
-        lit("")))), "\\s+")).as("__w"))
+      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("__w"))
       .filter(col("__w") =!= "")
       .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+    // loop state is (cnt, syms) ONLY: the word string is dead weight once
+    // the symbol array exists, and it would otherwise ride every
+    // checkpointed iteration copy. (This is also why subwordStats
+    // re-derives word -> syms at application time instead of reusing this
+    // loop's final state: the re-derivation is a vocab-scale fold —
+    // negligible next to the corpus-scale join it feeds — while carrying
+    // the words here would double every iteration's checkpoint bytes.)
     var state = wc
       .withColumn("__syms",
         expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))"))
-      .select(col("__w"), col("__cnt"), col("__syms"))
+      .select(col("__cnt"), col("__syms"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
@@ -80,12 +90,19 @@ object Bpe {
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((i, a, b, c))
-        state = state
+        val next = state
           .withColumn("__syms", mergeFold(col("__syms"), a, b))
           .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        // `next` is materialized (eager): free the superseded snapshot so
+        // only ONE vocab copy stays resident regardless of numMerges (the
+        // connectedComponents discipline — without this, thousands of
+        // merges pin thousands of vocab-table copies)
+        ckptRdd(state).foreach(_.unpersist(blocking = false))
+        state = next
         i += 1
       }
     }
+    ckptRdd(state).foreach(_.unpersist(blocking = false))
     import spark.implicits._
     merges.toSeq.toDF("merge_idx", "lhs", "rhs", "pair_count")
   }
@@ -127,8 +144,7 @@ object Bpe {
       textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val toks = docs
-      .select(col(idCol), explode(split(lower(trim(coalesce(
-        col(textCol).cast("string"), lit("")))), "\\s+")).as("__w"))
+      .select(col(idCol), explode(TextAnalysis.wsTokens(col(textCol))).as("__w"))
       .filter(col("__w") =!= "")
     val vocab = toks.select(col("__w")).distinct()
       .withColumn("__syms",

@@ -262,9 +262,7 @@ object Sampling {
     val id = col(idCol)
     val feats = docs
       .select(id.as("__did"), coalesce(isTarget, lit(false)).as("__tgt"),
-        explode(org.apache.spark.sql.functions.split(
-          lower(trim(coalesce(col(textCol).cast("string"), lit("")))),
-          "\\s+")).as("__w"))
+        explode(TextAnalysis.wsTokens(col(textCol))).as("__w"))
       .filter(col("__w") =!= "")
       .withColumn("__b",
         conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long") % buckets)

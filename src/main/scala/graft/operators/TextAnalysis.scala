@@ -10,6 +10,15 @@ import Ckpt._
   */
 object TextAnalysis {
 
+  /** The canonical whitespace tokenizer the LM/selection/BPE operators and
+    * their DuckDB mirrors share — every oracle pins
+    * `string_split_regex(lower(trim(coalesce(text, ''))), '\s+')` against
+    * exactly this column. ONE definition so an edit cannot silently
+    * desynchronize a subset of the engine/oracle pairs.
+    */
+  private[graft] def wsTokens(text: Column): Column =
+    split(lower(trim(coalesce(text.cast("string"), lit("")))), "\\s+")
+
   /** Whitespace token count (empty/null-safe). */
   def tokenCount(text: Column): Column =
     when(text.isNull || trim(text) === "", 0).otherwise(size(split(trim(text), "\\s+")))
@@ -355,9 +364,7 @@ object TextAnalysis {
     require(addK > 0, s"addK must be positive (add-k smoothing); got $addK")
     val id = col(idCol)
     val base = docs
-      .select(id.as("__did"),
-        split(lower(trim(coalesce(col(textCol).cast("string"), lit("")))), "\\s+")
-          .as("__t"))
+      .select(id.as("__did"), wsTokens(col(textCol)).as("__t"))
       .lazySerCkpt
     // vocab over ALL token occurrences (split of "" yields one "" token —
     // filtered here and from the bigram pairs below)

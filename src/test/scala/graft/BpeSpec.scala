@@ -23,7 +23,9 @@ class BpeSpec extends SparkSpecBase {
     // 2: (lo,w) same words after merge 1       -> 5
     // 3: (e,w)  in new/newer/newest            -> 3
     // 4: (n,ew) same words after merge 3       -> 3
-    // 5: (e,r)  lower + newer (ties (e,s)/(s,t)/(w,e) at 2 break on lhs/rhs)
+    // 5: (e,r)  lower + newer — ties at 2 after merges 1-4 are
+    //    (e,r)/(e,s)/(low,e)/(new,e)/(s,t); (e,r) wins the (lhs, rhs)
+    //    lexicographic break
     assert(out.toSeq === Seq(
       (1, "l", "o", 5L),
       (2, "lo", "w", 5L),
