@@ -252,6 +252,47 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("applying a FROZEN BPE merge table is stream-safe: per-token subword counts match batch") {
+    // Bpe.learnMerges is corpus-global (iterative argmax over corpus pair
+    // counts) and stays batch; APPLYING a learned table is a stateless
+    // fold per token — the tokenizer-deployment shape: train offline,
+    // retokenize the live feed. Same Column expressions, no code changes.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Bpe, TextAnalysis}
+    val merges = Seq(("l", "o"), ("lo", "w")) // frozen, learned offline
+    def subwords(df: org.apache.spark.sql.DataFrame) = {
+      val toks = df
+        .select(col("doc_id"), explode(TextAnalysis.wsTokens(col("text"))).as("__w"))
+        .filter(col("__w") =!= "")
+        .withColumn("__syms",
+          expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))"))
+      merges.foldLeft(toks) { case (d, (a, b)) =>
+          d.withColumn("__syms", Bpe.mergeFold(col("__syms"), a, b))
+        }
+        .select(col("doc_id"), col("__w").as("w"), size(col("__syms")).as("ns"))
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = subwords(input.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    val batchRows = Seq((1L, "low lower"), (2L, "slow low"), (3L, "flow"))
+    try {
+      input.addData(batchRows(0), batchRows(1))
+      q.processAllAvailable()
+      input.addData(batchRows(2))
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_stream")
+        .orderBy("doc_id", "w").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      val batch = subwords(batchRows.toDF("doc_id", "text"))
+        .orderBy("doc_id", "w").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      assert(streamed === batch) // micro-batching invisible to the fold
+      assert(batch.contains((1L, "low", 1))) // "low" fully merged
+      assert(batch.contains((2L, "slow", 2))) // s + low
+    } finally q.stop()
+  }
+
   test("TrainPrep.streamLite per micro-batch equals the batch gates + exact dedup") {
     // The round-11 streaming matrix's spec: the prep pipeline's
     // STREAM-SAFE prefix (gates + keyed exact dedup) produces the same
