@@ -16,7 +16,8 @@ import graft.sink.ParquetSink
   *   [--id-col doc_id] [--text-col text] [--hash64]
   *   [--min-quality 0.3] [--bands 4] [--rows-per-band 4] [--jaccard 0.6]
   *   [--contain 0.8] [--substring-k 8] [--max-candidates 4096]
-  *   [--lm-max-ppl X] [--table clean_corpus]
+  *   [--lm-max-ppl X] [--select-target-col C --select-top-n N
+  *     [--select-buckets 1024]] [--table clean_corpus]
   *   [--pack-capacity N [--pack-shard lang] [--pack-shard-buckets 64]
   *     [--pack-split]]
   * }}}
@@ -63,6 +64,15 @@ object RunTrainPrep {
       // corpus and docs with perplexity above X drop (stage `after_lm`
       // in the report); docs too short to score (no bigrams) are kept
       lmMaxPpl: Option[Double] = None,
+      // --select-target-col C --select-top-n N arm the DSIR
+      // importance-selection PRE-stage (Sampling.importanceSelect): the
+      // input corpus is ranked by how target-domain-like its hashed
+      // unigrams are (target = rows where boolean column C is true) and
+      // only the top N enter the pipeline — the DSIR deployment shape:
+      // select from the raw crawl, then clean what you selected
+      selectTargetCol: Option[String] = None,
+      selectTopN: Option[Int] = None,
+      selectBuckets: Int = 1024,
       table: String = "clean_corpus",
       // --pack-capacity N additionally emits `<table>_packed` — the clean
       // corpus with (n_tokens, bin_id) per doc (q75's composition; bins
@@ -92,6 +102,9 @@ object RunTrainPrep {
       case "--substring-k" :: v :: t => loop(t, cfg.copy(substringK = v.toInt))
       case "--max-candidates" :: v :: t => loop(t, cfg.copy(maxCandidates = v.toInt))
       case "--lm-max-ppl" :: v :: t => loop(t, cfg.copy(lmMaxPpl = Some(v.toDouble)))
+      case "--select-target-col" :: v :: t => loop(t, cfg.copy(selectTargetCol = Some(v)))
+      case "--select-top-n" :: v :: t => loop(t, cfg.copy(selectTopN = Some(v.toInt)))
+      case "--select-buckets" :: v :: t => loop(t, cfg.copy(selectBuckets = v.toInt))
       case "--table" :: v :: t => loop(t, cfg.copy(table = v))
       case "--pack-capacity" :: v :: t => loop(t, cfg.copy(packCapacity = Some(v.toLong)))
       case "--pack-shard" :: v :: t => loop(t, cfg.copy(packShard = v))
@@ -113,6 +126,15 @@ object RunTrainPrep {
       require(c > 0, s"--pack-capacity must be positive; got $c"))
     cfg.lmMaxPpl.foreach(p =>
       require(p > 0, s"--lm-max-ppl must be positive; got $p"))
+    // dependent pair: selection needs both the target definition and the
+    // budget — one without the other would silently select nothing or
+    // everything while the user believes DSIR ran
+    require(cfg.selectTargetCol.isDefined == cfg.selectTopN.isDefined,
+      "--select-target-col and --select-top-n must be given together")
+    cfg.selectTopN.foreach(n =>
+      require(n > 0, s"--select-top-n must be positive; got $n"))
+    require(cfg.selectBuckets > 0,
+      s"--select-buckets must be positive; got ${cfg.selectBuckets}")
     // dependent flag: --pack-split only takes effect inside the
     // --pack-capacity tail — alone it would be a silent no-op (no _packed
     // artifact, no warning) while the user believes the corpus was split
@@ -139,10 +161,27 @@ object RunTrainPrep {
     * a shared session (the RunEtl.execute pattern).
     */
   def execute(spark: SparkSession, cfg: Config): Report = {
-    val docs = spark.read.parquet(cfg.in)
-    require(docs.columns.contains(cfg.idCol) && docs.columns.contains(cfg.textCol),
+    val raw = spark.read.parquet(cfg.in)
+    require(raw.columns.contains(cfg.idCol) && raw.columns.contains(cfg.textCol),
       s"input must carry columns ${cfg.idCol} and ${cfg.textCol} " +
-        s"(found: ${docs.columns.mkString(", ")})")
+        s"(found: ${raw.columns.mkString(", ")})")
+    cfg.selectTargetCol.foreach(c => require(raw.columns.contains(c),
+      s"--select-target-col $c not in input (found: ${raw.columns.mkString(", ")})"))
+    // DSIR pre-stage: rank by hashed-unigram target-likeness, keep top N;
+    // the kept id set semi-joins the raw frame so every input column rides
+    // through to the pipeline. The selection itself is topN rows — the
+    // count is the report's `selected` stage, exact and cheap.
+    val docs = (cfg.selectTargetCol, cfg.selectTopN) match {
+      case (Some(tgt), Some(n)) =>
+        import org.apache.spark.sql.functions.col
+        val picked = graft.operators.Sampling
+          .importanceSelect(raw, cfg.idCol, cfg.textCol,
+            isTarget = col(tgt).cast("boolean"), topN = n,
+            buckets = cfg.selectBuckets)
+          .select(cfg.idCol)
+        raw.join(picked, Seq(cfg.idCol), "left_semi")
+      case _ => raw
+    }
     val mc = new MetricsCollector(spark)
     try {
       val before = mc.snapshot.keySet
@@ -211,6 +250,15 @@ object RunTrainPrep {
     val spark = Engine.session(appName = "graft-train-prep")
     try {
       val report = execute(spark, cfg)
+      // disclosure, not a count job: when selection is armed, `input` in
+      // the stage line is the SELECTED subset, not the raw corpus
+      (cfg.selectTargetCol, cfg.selectTopN) match {
+        case (Some(c), Some(n)) => println(
+          s"[train-prep] dsir selection ACTIVE: top $n docs by $c-likeness " +
+            s"(${cfg.selectBuckets} hash buckets) entered the pipeline — " +
+            "the input stage below counts the selection, not the raw corpus")
+        case _ =>
+      }
       val line = StageOrder.flatMap(s => report.stages.get(s).map(n => s"$s=$n")).mkString(" ")
       println(s"[train-prep] $line")
       val dropped = report.guard.getOrElse("dropped_postings", 0L)

@@ -182,4 +182,47 @@ class RunTrainPrepSpec extends SparkSpecBase {
     assert(!off.stages.contains("after_lm"))
     assert(off.stages("clean") === 10L)
   }
+
+  test("--select-target-col/--select-top-n arm the DSIR pre-stage; only the selection enters the pipeline") {
+    import org.apache.spark.sql.functions.col
+    // target docs are cat-themed; raw corpus mixes cat- and machine-themed.
+    // The machine doc should rank LAST for target-likeness and fall outside
+    // the top-3 budget; all text is plain English so curation keeps
+    // whatever the selection admits.
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat purred", true),
+      (2L, "a cat ran up the tree and the cat slept", true),
+      (3L, "the cat chased a mouse around the old barn", false),
+      (4L, "a kitten and a cat played near the fence", false),
+      (5L, "the compiler emits bytecode and the linker maps sections", false))
+      .toDF("doc_id", "text", "is_cat")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+
+    // expected selection, computed through the operator directly
+    val expect = graft.operators.Sampling
+      .importanceSelect(docs, "doc_id", "text", col("is_cat"), topN = 3,
+        buckets = 64)
+      .collect().map(_.getLong(1)).sorted.toSeq
+
+    val report = RunTrainPrep.execute(spark, RunTrainPrep.parse(Seq(
+      "--in", s"$tmp/in", "--out", s"$tmp/out",
+      "--min-quality", "0.0",
+      "--select-target-col", "is_cat", "--select-top-n", "3",
+      "--select-buckets", "64")))
+    assert(report.stages("input") === 3L) // the selection, not the corpus
+    val kept = spark.read.parquet(s"$tmp/out/clean_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === expect)
+    assert(!expect.contains(5L)) // the off-domain doc fell outside the budget
+
+    // dependent flags fail loudly at parse, not after the run
+    intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
+      "--in", "a", "--out", "b", "--select-top-n", "3")))
+    intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
+      "--in", "a", "--out", "b", "--select-target-col", "is_cat")))
+    intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
+      "--in", "a", "--out", "b",
+      "--select-target-col", "is_cat", "--select-top-n", "0")))
+  }
 }
