@@ -165,8 +165,17 @@ object RunTrainPrep {
     require(raw.columns.contains(cfg.idCol) && raw.columns.contains(cfg.textCol),
       s"input must carry columns ${cfg.idCol} and ${cfg.textCol} " +
         s"(found: ${raw.columns.mkString(", ")})")
-    cfg.selectTargetCol.foreach(c => require(raw.columns.contains(c),
-      s"--select-target-col $c not in input (found: ${raw.columns.mkString(", ")})"))
+    cfg.selectTargetCol.foreach { c =>
+      require(raw.columns.contains(c),
+        s"--select-target-col $c not in input (found: ${raw.columns.mkString(", ")})")
+      // type-check up front (the RunMediaAudit modality-col precedent,
+      // ADVICE r12): under ANSI a string column would throw CAST_INVALID
+      // mid-run, after the expensive scan, instead of reporting here
+      val dt = raw.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.BooleanType,
+        s"--select-target-col $c must be BOOLEAN; got ${dt.simpleString} " +
+          "(derive one upstream, e.g. source = 'src0')")
+    }
     // DSIR pre-stage: rank by hashed-unigram target-likeness, keep top N;
     // the kept id set semi-joins the raw frame so every input column rides
     // through to the pipeline. The selection itself is topN rows — the
@@ -176,8 +185,7 @@ object RunTrainPrep {
         import org.apache.spark.sql.functions.col
         val picked = graft.operators.Sampling
           .importanceSelect(raw, cfg.idCol, cfg.textCol,
-            isTarget = col(tgt).cast("boolean"), topN = n,
-            buckets = cfg.selectBuckets)
+            isTarget = col(tgt), topN = n, buckets = cfg.selectBuckets)
           .select(cfg.idCol)
         raw.join(picked, Seq(cfg.idCol), "left_semi")
       case _ => raw

@@ -224,5 +224,12 @@ class RunTrainPrepSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
       "--in", "a", "--out", "b",
       "--select-target-col", "is_cat", "--select-top-n", "0")))
+    // a non-boolean target column reports before the run, not as an ANSI
+    // cast error after the expensive scan (the modality-col precedent)
+    val badType = intercept[IllegalArgumentException](
+      RunTrainPrep.execute(spark, RunTrainPrep.parse(Seq(
+        "--in", s"$tmp/in", "--out", s"$tmp/out_bad",
+        "--select-target-col", "text", "--select-top-n", "3"))))
+    assert(badType.getMessage.contains("must be BOOLEAN"))
   }
 }
