@@ -309,6 +309,23 @@ class SamplingSpec extends SparkSpecBase {
     assert(cut.map(_.getInt(0)).sorted.toSeq === Seq(1, 2))
   }
 
+  test("importanceSelect's plan: broadcast model join, distributed TakeOrdered, no global sort") {
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, s"w${i % 13} w${i % 7} w${i % 3}", i % 5 == 0))
+      .toDF("doc_id", "text", "tgt")
+    val out = Sampling.importanceSelect(
+      docs, "doc_id", "text", col("tgt"), topN = 10, buckets = 128)
+    val plan = out.queryExecution.executedPlan.toString
+    // the B-row model reaches the corpus-sized feature frame as a
+    // broadcast — the corpus never shuffles to be scored
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast model join in:\n$plan")
+    // selection is Spark's distributed top-K, not a global sort: the only
+    // single-partition work is the presentation rank over the 10 kept rows
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+  }
+
   test("importanceSelect is invariant under input partitioning") {
     val docs = Seq.tabulate(80)(i =>
       (i.toLong, s"w${i % 11} w${i % 5} w${i % 3}", i % 4 == 0))
