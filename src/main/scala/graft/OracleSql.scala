@@ -192,20 +192,24 @@ object OracleSql {
     * corpus (gated minus closure drops), ending in `lmexcl` = closure
     * drops ∪ perplexity drops. Docs with no bigrams never enter `lmsc`,
     * so they are kept — the engine's null-ppl rule. The threshold
-    * compares the ROUNDED perplexity in both engines.
+    * compares the ROUNDED perplexity in both engines. Multi-reference
+    * CTEs are MATERIALIZED inline (ADVICE r13: `lmbase` feeds lmtok AND
+    * lmpos, `lmbi`/`lmbc` each feed two consumers — DuckDB re-inlines a
+    * plain CTE per reference, so the corpus-scale tokenize would run
+    * twice; the same hazard materializedPrep pins for the stage CTEs).
     */
   private def lmGateSql(maxPpl: String): String =
     """lmdocs AS (SELECT g.doc_id, g.text FROM gated g
       |  WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = g.doc_id)),
-      |lmbase AS (SELECT doc_id,
+      |lmbase AS MATERIALIZED (SELECT doc_id,
       |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS l
       |  FROM lmdocs),
       |lmtok AS (SELECT unnest(l) AS w FROM lmbase),
       |lmv AS (SELECT count(DISTINCT w) AS v FROM lmtok WHERE w <> ''),
       |lmpos AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM lmbase),
-      |lmbi AS (SELECT doc_id, l[i] AS p, l[i + 1] AS w, count(*) AS cnt
+      |lmbi AS MATERIALIZED (SELECT doc_id, l[i] AS p, l[i + 1] AS w, count(*) AS cnt
       |  FROM lmpos WHERE l[i] <> '' AND l[i + 1] <> '' GROUP BY 1, 2, 3),
-      |lmbc AS (SELECT p, w, sum(cnt) AS c FROM lmbi GROUP BY 1, 2),
+      |lmbc AS MATERIALIZED (SELECT p, w, sum(cnt) AS c FROM lmbi GROUP BY 1, 2),
       |lmcx AS (SELECT p, sum(c) AS cc FROM lmbc GROUP BY 1),
       |lmsc AS (SELECT lmbi.doc_id, sum(lmbi.cnt) AS nb,
       |    sum(lmbi.cnt * CAST(round(ln((lmbc.c + 1.0) / (lmcx.cc + 1.0 * lmv.v)), 6)

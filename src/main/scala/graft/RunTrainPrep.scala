@@ -178,8 +178,9 @@ object RunTrainPrep {
     }
     // DSIR pre-stage: rank by hashed-unigram target-likeness, keep top N;
     // the kept id set semi-joins the raw frame so every input column rides
-    // through to the pipeline. The selection itself is topN rows — the
-    // count is the report's `selected` stage, exact and cheap.
+    // through to the pipeline. No separate `selected` report stage exists:
+    // the pipeline's `input` stage counts the selection (main() prints a
+    // disclosure line saying exactly that when selection is armed).
     val docs = (cfg.selectTargetCol, cfg.selectTopN) match {
       case (Some(tgt), Some(n)) =>
         import org.apache.spark.sql.functions.col

@@ -42,4 +42,19 @@ private[graft] object Ckpt {
     def eagerSerCkpt: DataFrame =
       df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
   }
+
+  /** The RDD a `localCheckpoint` persisted — so an iterative operator can
+    * free a superseded snapshot's blocks eagerly instead of waiting for
+    * GC + ContextCleaner (at 100x each snapshot is tens of millions of
+    * rows; 5-8 retained generations is exactly the block-manager pressure
+    * that sent the round-8 spill path into missing-shuffle-file
+    * territory). Shared by every checkpoint-loop operator (connected
+    * components, BPE merge learning) so a change in the checkpoint plan
+    * shape — the `LogicalRDD` match silently no-ops and leaks blocks if
+    * it ever stops holding — is fixed in ONE place (ADVICE r13).
+    */
+  private[graft] def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 }

@@ -1088,15 +1088,7 @@ object Dedup {
     * the call site).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // the RDD a localCheckpoint persisted, so superseded rounds can free
-    // their blocks eagerly — at 100x each label snapshot is tens of
-    // millions of rows, and waiting for GC+ContextCleaner to reclaim 5-8
-    // generations of them is exactly the block-manager pressure that sent
-    // the spill path into missing-shuffle-file / sorter-crash territory
-    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.logical.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }
+    import Ckpt.ckptRdd
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct().eagerSerCkpt
