@@ -252,6 +252,31 @@ object OracleSql {
       |st${i + 1} AS MATERIALIZED (
       |  SELECT w, cnt, out AS syms FROM m$i WHERE i = len(syms) + 1)""".stripMargin
 
+  /** q98/q99 shared encode mirror (appended after [[bpeCtes]]): the q97
+    * vocabulary rank over the final symbol state, each word's ordered
+    * token-id array, the per-doc token positions, and the flattened
+    * per-doc id sequences (`dids`). Multi-consumer CTEs MATERIALIZED (the
+    * per-reference re-inlining hazard).
+    */
+  private val BpeEncodeCtesSql: String =
+    """voc AS MATERIALIZED (SELECT subword,
+      |    CAST(row_number() OVER (ORDER BY subword) AS BIGINT) AS token_id
+      |  FROM (SELECT DISTINCT unnest(syms) AS subword FROM st5)),
+      |wids AS MATERIALIZED (
+      |  SELECT w, list(token_id ORDER BY j) AS ids FROM (
+      |    SELECT u.w, u.j, v.token_id
+      |    FROM (SELECT w, syms, unnest(range(1, len(syms) + 1)) AS j FROM st5) u
+      |    JOIN voc v ON u.syms[u.j] = v.subword)
+      |  GROUP BY w),
+      |dbase AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS l
+      |  FROM documents),
+      |dtok AS (SELECT doc_id, j AS i, l[j] AS w
+      |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS j FROM dbase)
+      |  WHERE l[j] <> ''),
+      |dids AS MATERIALIZED (SELECT d.doc_id, flatten(list(w2.ids ORDER BY d.i)) AS ids
+      |  FROM dtok d JOIN wids w2 ON d.w = w2.w GROUP BY d.doc_id)""".stripMargin
+
   private def bpeCtes(k: Int): String =
     """WITH RECURSIVE
       |wc AS (SELECT w, count(*) AS cnt FROM (
@@ -700,6 +725,52 @@ object OracleSql {
         |  CAST(sum(len(s.syms)) AS BIGINT) AS n_subwords
         |FROM dtok t JOIN st5 s ON t.w = s.w
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+
+    // The BPE vocabulary under the q95 merges: distinct subwords of the
+    // final symbol state, token ids by lexicographic rank.
+    "q97_bpe_vocab" ->
+      (bpeCtes(5) + """,
+        |voc AS (SELECT DISTINCT unnest(syms) AS subword FROM st5)
+        |SELECT CAST(row_number() OVER (ORDER BY subword) AS BIGINT) AS token_id,
+        |  subword
+        |FROM voc ORDER BY token_id""".stripMargin),
+
+    // BPE encode: per-doc token-id sequences under the q95 merges and the
+    // q97 id assignment, pinned per doc via md5 of the space-joined
+    // decimal ids (plus the count). Docs with no tokens keep an empty
+    // sequence (md5 of the empty string).
+    "q98_bpe_encode" ->
+      (bpeCtes(5) + ",\n" + BpeEncodeCtesSql + """
+        |SELECT b.doc_id,
+        |  CAST(coalesce(len(i.ids), 0) AS BIGINT) AS n_ids,
+        |  md5(array_to_string(coalesce(i.ids, CAST([] AS BIGINT[])), ' ')) AS ids_md5
+        |FROM (SELECT doc_id FROM documents) b LEFT JOIN dids i USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    // BPE encode → pack-split composition: the q98 sequences' lengths fed
+    // through the q78 capacity-split packer, lang-sharded — the packer
+    // binning REAL tokenizer counts, so a BPE/packing stage-interaction
+    // bug (dropped subword shifting the cumulative sums) breaks this hash.
+    "q99_bpe_pack" ->
+      (bpeCtes(5) + ",\n" + BpeEncodeCtesSql + """,
+        |dcnt AS (SELECT d.doc_id, d.lang,
+        |    CAST(coalesce(len(i.ids), 0) AS BIGINT) AS n_ids
+        |  FROM documents d LEFT JOIN dids i ON d.doc_id = i.doc_id),
+        |pseqs AS (SELECT doc_id, lang, n_ids,
+        |    GREATEST(CAST(CEIL(n_ids / 256.0) AS BIGINT), 1) AS nseq,
+        |    UNNEST(generate_series(0,
+        |      GREATEST(CAST(CEIL(n_ids / 256.0) AS BIGINT), 1) - 1)) AS seq_idx
+        |  FROM dcnt),
+        |pst AS (SELECT doc_id, lang, n_ids, seq_idx,
+        |    CAST(CASE WHEN seq_idx < nseq - 1 THEN 256
+        |      ELSE n_ids - (nseq - 1) * 256 END AS BIGINT) AS seq_tokens
+        |  FROM pseqs)
+        |SELECT doc_id, lang, n_ids, seq_idx, seq_tokens,
+        |  CAST(FLOOR((SUM(seq_tokens) OVER (PARTITION BY lang
+        |    ORDER BY doc_id, seq_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - seq_tokens)
+        |    / 256.0) AS BIGINT) AS bin_id
+        |FROM pst ORDER BY doc_id, seq_idx""".stripMargin),
 
     // q73 with the CCNet-family perplexity gate armed (lmMaxPpl = 31):
     // the q92 LM mirror retrained on the curated corpus slots between the

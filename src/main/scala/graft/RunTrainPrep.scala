@@ -19,7 +19,7 @@ import graft.sink.ParquetSink
   *   [--lm-max-ppl X] [--select-target-col C --select-top-n N
   *     [--select-buckets 1024]] [--table clean_corpus]
   *   [--pack-capacity N [--pack-shard lang] [--pack-shard-buckets 64]
-  *     [--pack-split]]
+  *     [--pack-split]] [--bpe-merges N]
   * }}}
   *
   * Reads the corpus parquet, runs [[TrainPrep.pipeline]] (curation →
@@ -84,7 +84,14 @@ object RunTrainPrep {
       // --pack-split switches the tail to Sampling.packSplit: docs longer
       // than the capacity split into <=capacity sequences (seq_idx,
       // seq_tokens) so every packed piece fits a trainer's context window
-      packSplit: Boolean = false)
+      packSplit: Boolean = false,
+      // --bpe-merges N arms the tokenizer tail (VERDICT r13 next #2):
+      // learn N BPE merges on the CLEAN corpus, write the merge table
+      // (`<table>_bpe_merges`) and the per-doc token-id sequences
+      // (`<table>_encoded`), and make the pack stage bin on the REAL
+      // tokenizer counts (n_ids) instead of whitespace tokens — learn →
+      // encode → pack in one invocation
+      bpeMerges: Option[Int] = None)
 
   def parse(args: Seq[String]): Config = {
     def loop(rest: List[String], cfg: Config): Config = rest match {
@@ -110,6 +117,7 @@ object RunTrainPrep {
       case "--pack-shard" :: v :: t => loop(t, cfg.copy(packShard = v))
       case "--pack-shard-buckets" :: v :: t => loop(t, cfg.copy(packShardBuckets = v.toInt))
       case "--pack-split" :: t => loop(t, cfg.copy(packSplit = true))
+      case "--bpe-merges" :: v :: t => loop(t, cfg.copy(bpeMerges = Some(v.toInt)))
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
     }
     val cfg = loop(args.toList, Config())
@@ -142,6 +150,8 @@ object RunTrainPrep {
       "--pack-split requires --pack-capacity")
     require(cfg.packShardBuckets > 0,
       s"--pack-shard-buckets must be positive; got ${cfg.packShardBuckets}")
+    cfg.bpeMerges.foreach(n =>
+      require(n > 0, s"--bpe-merges must be positive; got $n"))
     cfg
   }
 
@@ -201,12 +211,34 @@ object RunTrainPrep {
         maxCandidatesPerDoc = cfg.maxCandidates, lmMaxPpl = cfg.lmMaxPpl)
       val sink = new ParquetSink(cfg.out)
       sink.overwrite(cfg.table, clean)
+      // optional BPE tokenizer tail (VERDICT r13 next #2): learn the
+      // vocabulary on the WRITTEN clean corpus (read back — the prep ran
+      // once), emit the merge table and the per-doc token-id sequences,
+      // and hand the real tokenizer counts to the pack stage below. The
+      // merge table is driver-resident by construction (one row per
+      // learned merge), so collecting it for the encode pass is free.
+      val bpeEncoded = cfg.bpeMerges.map { n =>
+        import org.apache.spark.sql.functions.col
+        val cleanBack = spark.read.parquet(s"${cfg.out}/${cfg.table}")
+        val mergesDf = graft.operators.Bpe.learnMerges(cleanBack, "clean_text", n)
+        sink.overwrite(s"${cfg.table}_bpe_merges", mergesDf)
+        val merges = mergesDf.orderBy("merge_idx").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        sink.overwrite(s"${cfg.table}_encoded",
+          graft.operators.Bpe.encode(cleanBack, cfg.idCol, "clean_text", merges))
+        // read the artifact back for the pack join — the encode ran once
+        spark.read.parquet(s"${cfg.out}/${cfg.table}_encoded")
+          .select(col(cfg.idCol), col("n_ids"))
+      }
       // optional prep -> pack tail (q75's composition): re-tokenize the
       // written corpus (read back, not recomputed — the prep ran once) and
       // emit token bins. Shard by cfg.packShard when the INPUT carries it;
       // otherwise hash the id into packShardBuckets shards — the scale rule
       // from q75's scaladoc (a low-cardinality shard serializes each
-      // shard's cumulative sum through one window partition).
+      // shard's cumulative sum through one window partition). With
+      // --bpe-merges armed, n_tokens is the ENCODED sequence length (what
+      // a fixed-context trainer actually consumes); otherwise the
+      // whitespace token count.
       cfg.packCapacity.foreach { cap =>
         import org.apache.spark.sql.functions._
         val cleanBack = spark.read.parquet(s"${cfg.out}/${cfg.table}")
@@ -216,9 +248,14 @@ object RunTrainPrep {
               docs.select(col(cfg.idCol), col(cfg.packShard)), Seq(cfg.idCol))
           else cleanBack.withColumn(cfg.packShard,
             pmod(xxhash64(col(cfg.idCol)), lit(cfg.packShardBuckets)))
-        val toks = sharded.withColumn("n_tokens",
-          when(col("clean_text") === "", lit(0L))
-            .otherwise(size(split(col("clean_text"), "\\s+")).cast("long")))
+        val toks = bpeEncoded match {
+          case Some(counts) =>
+            sharded.join(counts.withColumnRenamed("n_ids", "n_tokens"), Seq(cfg.idCol))
+          case None =>
+            sharded.withColumn("n_tokens",
+              when(col("clean_text") === "", lit(0L))
+                .otherwise(size(split(col("clean_text"), "\\s+")).cast("long")))
+        }
         val packed =
           if (cfg.packSplit)
             graft.operators.Sampling.packSplit(

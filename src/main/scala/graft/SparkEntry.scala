@@ -1334,6 +1334,59 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---- the BPE VOCABULARY under the q95 merges: every distinct subword
+  // the merged corpus produces, token ids by lexicographic rank — the id
+  // assignment q98's sequences (and any downstream trainer artifact)
+  // depend on. The oracle replays the rank over the q95 chain's final
+  // symbol state ----------------------------------------------------------
+  private def q97BpeVocab(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.operators.Bpe
+      .learnMerges(T(s, d, "documents"), "text", numMerges = 5)
+      .orderBy("merge_idx")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.vocabulary(T(s, d, "documents"), "text", merges)
+      .orderBy("token_id")
+  }
+
+  // ---- BPE ENCODE (VERDICT r13 next #2): per-doc token-id SEQUENCES
+  // under the learned vocabulary — the artifact a packing stage consumes,
+  // where q96 only counts. The full sequence is pinned per doc through an
+  // md5 of the space-joined ids (bounded output rows; both engines hash
+  // the identical decimal rendering), plus the count — a wrong id, a
+  // wrong order, or a dropped subword anywhere breaks the doc's hash -----
+  private def q98BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.operators.Bpe
+      .learnMerges(T(s, d, "documents"), "text", numMerges = 5)
+      .orderBy("merge_idx")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.encode(T(s, d, "documents"), "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_ids"),
+        md5(concat_ws(" ", expr("transform(token_ids, x -> CAST(x AS STRING))")))
+          .as("ids_md5"))
+      .orderBy("doc_id")
+  }
+
+  // ---- BPE encode → pack-split: the q98 sequence lengths fed through
+  // q78's capacity-split packer (lang-sharded, 256 ids/bin) — the last
+  // two stages of a tokenizer-real prep composed, so a BPE/packing
+  // interaction bug (a dropped subword shifting every later cumulative
+  // sum in its shard) breaks this hash. The RunTrainPrep --bpe-merges
+  // tail runs exactly this composition on the cleaned corpus ------------
+  private def q99BpePack(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val merges = graft.operators.Bpe
+      .learnMerges(docs, "text", numMerges = 5)
+      .orderBy("merge_idx")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val counts = graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select("doc_id", "lang", "n_ids")
+    graft.operators.Sampling
+      .packSplit(counts, col("lang"), col("doc_id"), col("n_ids"), capacity = 256L)
+      .select("doc_id", "lang", "n_ids", "seq_idx", "seq_tokens", "bin_id")
+      .orderBy("doc_id", "seq_idx")
+  }
+
   /** Shared q83/q84 fixture: one 4-frame PGM clip per document (the
     * concatenated-P5 container PgmCodec.frames parses for real).
     */
@@ -1542,7 +1595,10 @@ object SparkEntry {
     "q93_importance_select" -> (q93ImportanceSelect _),
     "q94_train_prep_lm" -> (q94TrainPrepLm _),
     "q95_bpe_merges" -> (q95BpeMerges _),
-    "q96_bpe_subwords" -> (q96BpeSubwords _)
+    "q96_bpe_subwords" -> (q96BpeSubwords _),
+    "q97_bpe_vocab" -> (q97BpeVocab _),
+    "q98_bpe_encode" -> (q98BpeEncode _),
+    "q99_bpe_pack" -> (q99BpePack _)
   )
 
   /** Oracle-checked queries whose oracle SQL MIRRORS the LSH bucket

@@ -73,6 +73,65 @@ class RunTrainPrepSpec extends SparkSpecBase {
     assert(splitTotals === packed.map(t => t._1 -> t._2).toMap) // conservation
   }
 
+  test("--bpe-merges: learn → encode → pack in one invocation, binning on tokenizer counts") {
+    // unique English-ish docs (no dedup interplay — this pins the BPE
+    // tail, not the prep); enough shared character structure that five
+    // merges really compress
+    val docs = Seq(
+      1L -> "the lower tower shows lower power the flower",
+      2L -> "newest newer news renew the new",
+      3L -> "single",
+      4L -> "the lowest slower mower and the newest"
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-trainprep-bpe").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    val cfg = RunTrainPrep.parse(Seq(
+      "--in", s"$tmp/in", "--out", s"$tmp/out",
+      "--min-quality", "0.0", "--bpe-merges", "5",
+      "--pack-capacity", "8", "--pack-split"))
+    RunTrainPrep.execute(spark, cfg)
+
+    val clean = spark.read.parquet(s"$tmp/out/clean_corpus")
+    val mergesDf = spark.read.parquet(s"$tmp/out/clean_corpus_bpe_merges")
+    val merges = mergesDf.orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty && merges.size <= 5)
+    // the written merge table IS learnMerges on the written clean corpus
+    val direct = graft.operators.Bpe.learnMerges(clean, "clean_text", 5)
+      .orderBy("merge_idx").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges === direct)
+
+    // encoded sequences: one row per clean doc; token CONSERVATION — each
+    // doc's sequence length equals subwordStats' subword count under the
+    // same merges (a dropped or duplicated subword anywhere breaks this)
+    val encoded = spark.read.parquet(s"$tmp/out/clean_corpus_encoded")
+    assert(encoded.count() === clean.count())
+    val nIds = encoded.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_ids")).toMap
+    val nSub = graft.operators.Bpe
+      .subwordStats(clean, "doc_id", "clean_text", merges)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_subwords")).toMap
+    nSub.foreach { case (id, ns) => assert(nIds(id) === ns, s"doc $id") }
+    // ids decode through the vocabulary: every id in range, sequences
+    // non-empty exactly when the doc has tokens
+    val vocabSize = graft.operators.Bpe.vocabulary(clean, "clean_text", merges).count()
+    encoded.collect().foreach { r =>
+      val ids = r.getSeq[Long](r.fieldIndex("token_ids"))
+      assert(ids.size === r.getAs[Long]("n_ids"))
+      assert(ids.forall(id => id >= 1 && id <= vocabSize))
+    }
+
+    // the packed artifact bins on the ENCODED counts: per-doc seq_tokens
+    // totals equal n_ids (not the whitespace count), and no piece exceeds
+    // the capacity
+    val packed = spark.read.parquet(s"$tmp/out/clean_corpus_packed")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_tokens")))
+    assert(packed.forall(_._2 <= 8L))
+    val packTotals = packed.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(packTotals === nIds.filter { case (id, _) => packTotals.contains(id) })
+    assert(packTotals.keySet === nIds.keySet)
+  }
+
   test("the containment candidate-budget guard surfaces in the run report when active") {
     // Guard-active fixture: 12 docs sharing one 5-token phrase ("covers
     // shared replica phrase plus") embedded in otherwise-unique English
