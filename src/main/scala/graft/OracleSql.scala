@@ -1742,7 +1742,20 @@ object OracleSql {
     // bucket's log-likelihood ratio to DECIMAL(18,6), and replays the
     // exact decimal ranking with the same (score DESC, doc_id) tiebreak —
     // the top-100 boundary is deterministic in both engines.
-    "q93_importance_select" ->
+    "q93_importance_select" -> ImportanceSelectSql,
+
+    // The cutoff-path twin of q93 (VERDICT r13 next #3): the engine runs
+    // the fully distributed boundary-location + filter + distributed-rank
+    // selection instead of TakeOrdered; the SEMANTICS are identical by
+    // construction, so the oracle is q93's SQL verbatim — one hash pins
+    // the two paths to the same total order on real corpus scores.
+    "q100_select_cutoff" -> ImportanceSelectSql
+  )
+
+  /** q93/q100 shared DSIR selection mirror (both engine paths realize the
+    * same (score DESC, doc_id) total order; see q100's comment).
+    */
+  private lazy val ImportanceSelectSql: String =
       """WITH tok AS (SELECT doc_id, source = 'src0' AS tgt,
         |    unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS w
         |  FROM documents),
@@ -1765,5 +1778,4 @@ object OracleSql {
         |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id,
         |  round(CAST(score AS DOUBLE), 6) AS score
         |FROM top WHERE rnk <= 100 ORDER BY rnk""".stripMargin
-  )
 }

@@ -16,8 +16,8 @@ import graft.sink.ParquetSink
   *   [--id-col doc_id] [--text-col text] [--hash64]
   *   [--min-quality 0.3] [--bands 4] [--rows-per-band 4] [--jaccard 0.6]
   *   [--contain 0.8] [--substring-k 8] [--max-candidates 4096]
-  *   [--lm-max-ppl X] [--select-target-col C --select-top-n N
-  *     [--select-buckets 1024]] [--table clean_corpus]
+  *   [--lm-max-ppl X] [--select-target-col C (--select-top-n N |
+  *     --select-frac F) [--select-buckets 1024]] [--table clean_corpus]
   *   [--pack-capacity N [--pack-shard lang] [--pack-shard-buckets 64]
   *     [--pack-split]] [--bpe-merges N]
   * }}}
@@ -72,6 +72,12 @@ object RunTrainPrep {
       // select from the raw crawl, then clean what you selected
       selectTargetCol: Option[String] = None,
       selectTopN: Option[Int] = None,
+      // --select-frac F selects ⌈F · corpus⌉ docs instead of a fixed N —
+      // the "training budget as a fraction" deployment shape; at
+      // production corpus sizes the derived N exceeds
+      // Sampling.SelectTakeOrderedMaxN and the selection runs the fully
+      // distributed cutoff path automatically
+      selectFrac: Option[Double] = None,
       selectBuckets: Int = 1024,
       table: String = "clean_corpus",
       // --pack-capacity N additionally emits `<table>_packed` — the clean
@@ -111,6 +117,7 @@ object RunTrainPrep {
       case "--lm-max-ppl" :: v :: t => loop(t, cfg.copy(lmMaxPpl = Some(v.toDouble)))
       case "--select-target-col" :: v :: t => loop(t, cfg.copy(selectTargetCol = Some(v)))
       case "--select-top-n" :: v :: t => loop(t, cfg.copy(selectTopN = Some(v.toInt)))
+      case "--select-frac" :: v :: t => loop(t, cfg.copy(selectFrac = Some(v.toDouble)))
       case "--select-buckets" :: v :: t => loop(t, cfg.copy(selectBuckets = v.toInt))
       case "--table" :: v :: t => loop(t, cfg.copy(table = v))
       case "--pack-capacity" :: v :: t => loop(t, cfg.copy(packCapacity = Some(v.toLong)))
@@ -136,11 +143,19 @@ object RunTrainPrep {
       require(p > 0, s"--lm-max-ppl must be positive; got $p"))
     // dependent pair: selection needs both the target definition and the
     // budget — one without the other would silently select nothing or
-    // everything while the user believes DSIR ran
-    require(cfg.selectTargetCol.isDefined == cfg.selectTopN.isDefined,
-      "--select-target-col and --select-top-n must be given together")
+    // everything while the user believes DSIR ran. The budget is EITHER a
+    // fixed N or a corpus fraction, never both (two budgets would make
+    // the effective selection size ambiguous).
+    require(!(cfg.selectTopN.isDefined && cfg.selectFrac.isDefined),
+      "--select-top-n and --select-frac are mutually exclusive")
+    require(cfg.selectTargetCol.isDefined ==
+        (cfg.selectTopN.isDefined || cfg.selectFrac.isDefined),
+      "--select-target-col and a budget (--select-top-n or --select-frac) " +
+        "must be given together")
     cfg.selectTopN.foreach(n =>
       require(n > 0, s"--select-top-n must be positive; got $n"))
+    cfg.selectFrac.foreach(f =>
+      require(f > 0 && f <= 1, s"--select-frac must be in (0, 1]; got $f"))
     require(cfg.selectBuckets > 0,
       s"--select-buckets must be positive; got ${cfg.selectBuckets}")
     // dependent flag: --pack-split only takes effect inside the
@@ -191,7 +206,20 @@ object RunTrainPrep {
     // through to the pipeline. No separate `selected` report stage exists:
     // the pipeline's `input` stage counts the selection (main() prints a
     // disclosure line saying exactly that when selection is armed).
-    val docs = (cfg.selectTargetCol, cfg.selectTopN) match {
+    // resolve the selection budget: fixed N, or ⌈frac · corpus⌉ (one
+    // parquet count — footer metadata, not a scan). A fraction-derived N
+    // past Sampling.SelectTakeOrderedMaxN automatically runs the
+    // distributed cutoff path inside importanceSelect.
+    val selectN: Option[Int] = (cfg.selectTopN, cfg.selectFrac) match {
+      case (Some(n), _) => Some(n)
+      case (None, Some(f)) =>
+        val n = math.ceil(f * raw.count()).toLong
+        require(n <= Int.MaxValue,
+          s"--select-frac $f of this corpus derives topN=$n > Int.MaxValue")
+        Some(math.max(n.toInt, 1))
+      case _ => None
+    }
+    val docs = (cfg.selectTargetCol, selectN) match {
       case (Some(tgt), Some(n)) =>
         import org.apache.spark.sql.functions.col
         val picked = graft.operators.Sampling
@@ -298,12 +326,13 @@ object RunTrainPrep {
       val report = execute(spark, cfg)
       // disclosure, not a count job: when selection is armed, `input` in
       // the stage line is the SELECTED subset, not the raw corpus
-      (cfg.selectTargetCol, cfg.selectTopN) match {
-        case (Some(c), Some(n)) => println(
-          s"[train-prep] dsir selection ACTIVE: top $n docs by $c-likeness " +
+      cfg.selectTargetCol.foreach { c =>
+        val budget = cfg.selectTopN.map(n => s"top $n docs")
+          .getOrElse(s"top ${cfg.selectFrac.get} of the corpus")
+        println(
+          s"[train-prep] dsir selection ACTIVE: $budget by $c-likeness " +
             s"(${cfg.selectBuckets} hash buckets) entered the pipeline — " +
             "the input stage below counts the selection, not the raw corpus")
-        case _ =>
       }
       val line = StageOrder.flatMap(s => report.stages.get(s).map(n => s"$s=$n")).mkString(" ")
       println(s"[train-prep] $line")

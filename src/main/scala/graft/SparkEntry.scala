@@ -1301,6 +1301,20 @@ object SparkEntry {
         isTarget = col("source") === "src0", topN = 100)
       .orderBy("rnk")
 
+  // ---- DSIR selection through the DISTRIBUTED cutoff path (VERDICT r13
+  // next #3): q93's scores, but the selection locates the rank-topN
+  // boundary with range-bucketed counting, filters against it map-side,
+  // and assigns ranks with a range-partitioned distributed row number —
+  // the plan that survives training-budget-sized topN (hundreds of
+  // millions), where TakeOrdered's single merge task cannot. Forced here
+  // via takeOrderedMaxN = 0 at topN = 100 so the oracle (q93's SQL
+  // verbatim) pins both paths to the same total order ---------------------
+  private def q100SelectCutoff(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.importanceSelect(
+        T(s, d, "documents"), "doc_id", "text",
+        isTarget = col("source") === "src0", topN = 100, takeOrderedMaxN = 0)
+      .orderBy("rnk")
+
   // ---- q73 with the perplexity gate armed (lmMaxPpl = 31, inside the
   // corpus's 26-37 ppl spread so the stage REALLY drops docs at the gate
   // SF): curation → LM filter → containment → substring removal, one
@@ -1598,7 +1612,8 @@ object SparkEntry {
     "q96_bpe_subwords" -> (q96BpeSubwords _),
     "q97_bpe_vocab" -> (q97BpeVocab _),
     "q98_bpe_encode" -> (q98BpeEncode _),
-    "q99_bpe_pack" -> (q99BpePack _)
+    "q99_bpe_pack" -> (q99BpePack _),
+    "q100_select_cutoff" -> (q100SelectCutoff _)
   )
 
   /** Oracle-checked queries whose oracle SQL MIRRORS the LSH bucket

@@ -248,6 +248,20 @@ object Sampling {
     * TakeOrdered, never a global sort. The presentation rank is a window
     * over the ALREADY-SELECTED topN rows only.
     */
+  /** Above this `topN`, [[importanceSelect]] switches from Spark's
+    * TakeOrdered (per-partition top-N + ONE merge task holding
+    * partitions×topN rows — the right plan for presentation-sized N, a
+    * driver-shaped bottleneck for training-budget-sized N) to the fully
+    * distributed cutoff path (VERDICT r13 next #3): locate the rank-topN
+    * boundary (score, id) with the range-bucketed rank machinery
+    * ([[graft.operators.Sketches.exactQuantilesByRank]]'s recipe), select
+    * by comparison against the boundary, and assign presentation ranks
+    * with a range-partitioned distributed row number. Identical output by
+    * construction (both paths realize the same total order; SamplingSpec
+    * pins the equality, tied boundary included).
+    */
+  val SelectTakeOrderedMaxN: Int = 1 << 20
+
   def importanceSelect(
       docs: DataFrame,
       idCol: String,
@@ -255,7 +269,8 @@ object Sampling {
       isTarget: Column,
       topN: Int,
       buckets: Int = 1024,
-      addK: Double = 1.0): DataFrame = {
+      addK: Double = 1.0,
+      takeOrderedMaxN: Int = SelectTakeOrderedMaxN): DataFrame = {
     require(topN > 0, s"topN must be positive; got $topN")
     require(buckets > 0, s"buckets must be positive; got $buckets")
     require(addK > 0, s"addK must be positive (add-k smoothing); got $addK")
@@ -291,13 +306,114 @@ object Sampling {
       .join(broadcast(model), Seq("__b"))
       .groupBy(col("__did"))
       .agg(sum(col("__cnt") * col("__lr")).as("__score"))
-    val top = scores
+    val ranked =
+      if (topN <= takeOrderedMaxN) {
+        // TakeOrdered path: distributed per-partition top-N, one merge; the
+        // presentation-rank window runs over the ALREADY-SELECTED topN rows
+        val top = scores
+          .orderBy(col("__score").desc, col("__did").asc)
+          .limit(topN)
+        val w = Window.orderBy(col("__score").desc, col("__did").asc)
+        top.withColumn("rnk", row_number().over(w))
+      } else cutoffSelect(scores, topN)
+    ranked.select(col("rnk"), col("__did").as(idCol),
+      round(col("__score").cast("double"), 6).as("score"))
+  }
+
+  /** The distributed large-topN selection: no operator ever holds more
+    * than a partition of the selection on one task.
+    *
+    *   1. BOUNDARY LOCATION — range-bucket the scores (descending; bucket
+    *      edges only STEER, exactness comes from counting), accumulate
+    *      bucket counts on the bucket-sized tiny table, locate the bucket
+    *      containing global rank `topN`, and rank only INSIDE that bucket
+    *      (semi-join pruned) to pull the single boundary row (score*,
+    *      id*). One driver collect of one row — the cutoff VALUE, not
+    *      data.
+    *   2. SELECTION — `score > score* OR (score = score* AND id ≤ id*)`:
+    *      a map-side filter keeping exactly the topN rows of the total
+    *      order, deterministic ties included (the exact-decimal scores
+    *      make the comparison engine-portable).
+    *   3. RANKS — range-repartition the selection on the same total
+    *      order, sort within partitions, and offset each partition's
+    *      local row numbers by the collected per-partition counts (a
+    *      partitions-sized table). No global window, no single merge.
+    *
+    * Skew note: massive score ties land in one bucket and rank through
+    * one window partition in step 1 — inherent to exact rank location
+    * (the [[Sketches.exactQuantilesByRank]] caveat); real DSIR scores are
+    * near-unique decimals, and only the boundary bucket pays.
+    */
+  private def cutoffSelect(scores: DataFrame, topN: Int): DataFrame = {
+    import graft.operators.Ckpt.CkptOps
+    val buckets = 1024
+    val sc = scores.lazySerCkpt
+    val stats = sc.agg(
+      min(col("__score").cast("double")).as("__lo"),
+      max(col("__score").cast("double")).as("__hi"),
+      count(lit(1)).as("__n"))
+    val withB = sc
+      .crossJoin(broadcast(stats))
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(
+            floor((col("__hi") - col("__score").cast("double")) /
+              (col("__hi") - col("__lo")) * buckets).cast("int"),
+            lit(buckets - 1))))
+    val counts = withB.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val wTiny = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val located = counts
+      .withColumn("__start", coalesce(sum(col("__c")).over(wTiny), lit(0L)))
+      .filter(col("__start") < topN && lit(topN) <= col("__start") + col("__c"))
+      .select(col("__b"), col("__start"))
+    val wLocal = Window.partitionBy(col("__b"))
       .orderBy(col("__score").desc, col("__did").asc)
-      .limit(topN)
-    val w = Window.orderBy(col("__score").desc, col("__did").asc)
-    top
-      .withColumn("rnk", row_number().over(w))
-      .select(col("rnk"), col("__did").as(idCol),
-        round(col("__score").cast("double"), 6).as("score"))
+    val boundary = withB
+      .join(broadcast(located), Seq("__b"))
+      .withColumn("__rn", row_number().over(wLocal))
+      .filter(col("__rn") === lit(topN) - col("__start"))
+      .select(col("__score"), col("__did"))
+      .collect()
+    val selected = boundary.headOption match {
+      case None => sc // topN ≥ corpus: keep everything
+      case Some(row) =>
+        val (bs, bid) = (row.getDecimal(0), row.get(1))
+        sc.filter(col("__score") > lit(bs) ||
+          (col("__score") === lit(bs) && col("__did") <= lit(bid)))
+    }
+    distributedRank(selected)
+  }
+
+  /** Distributed presentation ranks over (score desc, id asc): range
+    * repartition on the total order, sort within partitions, then local
+    * row numbers + per-partition offsets (partition counts are the only
+    * thing collected). `monotonically_increasing_id` after the
+    * within-partition sort is (partitionId « 33) + row position, so the
+    * offset join reconstructs the exact global rank; range partitions are
+    * order-aligned, making the composition the total-order row number.
+    */
+  private def distributedRank(selected: DataFrame): DataFrame = {
+    import graft.operators.Ckpt.CkptOps
+    val parts = selected.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = selected
+      .repartitionByRange(parts, col("__score").desc, col("__did").asc)
+      .sortWithinPartitions(col("__score").desc, col("__did").asc)
+      .withColumn("__mono", monotonically_increasing_id())
+      .lazySerCkpt
+    val offsets = sorted
+      .groupBy(shiftright(col("__mono"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__pc"))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offMap = offsets
+      .withColumn("__off", coalesce(sum(col("__pc")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    sorted
+      .withColumn("__pid", shiftright(col("__mono"), 33))
+      .join(broadcast(offMap), Seq("__pid"))
+      .withColumn("rnk",
+        (col("__off") + (col("__mono").bitwiseAND(lit((1L << 33) - 1))) + 1).cast("int"))
+      .select(col("rnk"), col("__did"), col("__score"))
   }
 }

@@ -275,6 +275,18 @@ class RunTrainPrepSpec extends SparkSpecBase {
     assert(kept === expect)
     assert(!expect.contains(5L)) // the off-domain doc fell outside the budget
 
+    // --select-frac: the fraction-of-corpus budget — 0.6 of 5 docs derives
+    // the same topN = 3 and must reproduce the fixed-N selection exactly
+    val reportFrac = RunTrainPrep.execute(spark, RunTrainPrep.parse(Seq(
+      "--in", s"$tmp/in", "--out", s"$tmp/out_frac",
+      "--min-quality", "0.0",
+      "--select-target-col", "is_cat", "--select-frac", "0.6",
+      "--select-buckets", "64")))
+    assert(reportFrac.stages("input") === 3L)
+    val keptFrac = spark.read.parquet(s"$tmp/out_frac/clean_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptFrac === expect)
+
     // dependent flags fail loudly at parse, not after the run
     intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
       "--in", "a", "--out", "b", "--select-top-n", "3")))
@@ -283,6 +295,15 @@ class RunTrainPrepSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
       "--in", "a", "--out", "b",
       "--select-target-col", "is_cat", "--select-top-n", "0")))
+    // frac-specific: out-of-range, lone, and double-budget forms all fail
+    intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
+      "--in", "a", "--out", "b",
+      "--select-target-col", "is_cat", "--select-frac", "1.5")))
+    intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
+      "--in", "a", "--out", "b", "--select-frac", "0.5")))
+    intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
+      "--in", "a", "--out", "b", "--select-target-col", "is_cat",
+      "--select-top-n", "3", "--select-frac", "0.5")))
     // a non-boolean target column reports before the run, not as an ANSI
     // cast error after the expensive scan (the modality-col precedent)
     val badType = intercept[IllegalArgumentException](

@@ -338,4 +338,56 @@ class SamplingSpec extends SparkSpecBase {
       .orderBy("rnk").collect().toSeq
     assert(a === b) // exact decimal sums: the top-N boundary cannot drift
   }
+
+  test("cutoff path ≡ TakeOrdered path, tied boundaries and all-kept included (VERDICT r13 #3)") {
+    // 200 docs over 13 score classes; duplicate TEXTS → identical exact
+    // decimal scores, so most topN values cut THROUGH a tie group and the
+    // boundary row's (score*, id*) tiebreak is what keeps the paths equal
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, s"w${i % 13} w${i % 13} v${i % 4}", i % 5 == 0))
+      .toDF("doc_id", "text", "tgt")
+    for (n <- Seq(1, 7, 50, 100, 199, 200, 500)) {
+      val take = Sampling.importanceSelect(
+          docs, "doc_id", "text", col("tgt"), topN = n, buckets = 64)
+        .orderBy("rnk").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      val cut = Sampling.importanceSelect(
+          docs, "doc_id", "text", col("tgt"), topN = n, buckets = 64,
+          takeOrderedMaxN = 0)
+        .orderBy("rnk").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(cut === take, s"paths diverge at topN=$n")
+    }
+    // and the forced path stays partitioning-invariant (range shuffle +
+    // offset ranks reconstruct the same total order from any input layout)
+    val a = Sampling.importanceSelect(
+        docs, "doc_id", "text", col("tgt"), topN = 60, buckets = 64,
+        takeOrderedMaxN = 0)
+      .orderBy("rnk").collect().toSeq
+    val b = Sampling.importanceSelect(
+        docs.repartition(17), "doc_id", "text", col("tgt"), topN = 60, buckets = 64,
+        takeOrderedMaxN = 0)
+      .orderBy("rnk").collect().toSeq
+    assert(a === b)
+  }
+
+  test("cutoff path plan: no TakeOrdered, no global sort of the selection") {
+    val docs = Seq.tabulate(300)(i =>
+      (i.toLong, s"w${i % 13} w${i % 7} w${i % 3}", i % 5 == 0))
+      .toDF("doc_id", "text", "tgt")
+    val out = Sampling.importanceSelect(
+      docs, "doc_id", "text", col("tgt"), topN = 50, buckets = 128,
+      takeOrderedMaxN = 0)
+    val plan = out.queryExecution.executedPlan.toString
+    // the selection is filter + range-partitioned rank — the single-merge
+    // TakeOrderedAndProject must NOT appear anywhere in the cutoff plan
+    assert(!plan.contains("TakeOrderedAndProject"),
+      s"cutoff path must not TakeOrdered:\n$plan")
+    // ranks are offsets + within-partition positions off the checkpointed
+    // range-sorted frame (the exchange itself sits behind the checkpoint
+    // cut — the visible plan reads its blocks): the mono-id arithmetic
+    // and the broadcast offset join are the distributed-rank signature
+    assert(plan.contains("shiftright(__mono") && plan.contains("BroadcastHashJoin"),
+      s"expected the offset-rank machinery in:\n$plan")
+  }
 }
