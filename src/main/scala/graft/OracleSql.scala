@@ -1744,6 +1744,42 @@ object OracleSql {
     // the top-100 boundary is deterministic in both engines.
     "q93_importance_select" -> ImportanceSelectSql,
 
+    // Fixed-reference-model LM scoring: the bigram model trains on the
+    // src0 slice only, the whole corpus scores against it through LEFT
+    // joins (out-of-model bigram → count 0, context → 0: an OOV position
+    // prices at ln(k/(k·V)) = −ln V), V = the SLICE's unigram vocabulary.
+    // Same decimal-sum/unrounded-quotient discipline as q92.
+    "q101_lm_ref" ->
+      """WITH rbase AS (SELECT
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS l
+        |  FROM documents WHERE source = 'src0'),
+        |rtok AS (SELECT unnest(l) AS w FROM rbase),
+        |v AS (SELECT count(DISTINCT w) AS v FROM rtok WHERE w <> ''),
+        |rpos AS (SELECT l, unnest(range(1, len(l))) AS i FROM rbase),
+        |bc AS MATERIALIZED (SELECT l[i] AS p, l[i + 1] AS w, count(*) AS c
+        |  FROM rpos WHERE l[i] <> '' AND l[i + 1] <> '' GROUP BY 1, 2),
+        |cx AS MATERIALIZED (SELECT p, sum(c) AS cc FROM bc GROUP BY 1),
+        |base AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS l
+        |  FROM documents),
+        |pos AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM base),
+        |bi AS (SELECT doc_id, l[i] AS p, l[i + 1] AS w, count(*) AS cnt
+        |  FROM pos WHERE l[i] <> '' AND l[i + 1] <> '' GROUP BY 1, 2, 3),
+        |sc AS (SELECT bi.doc_id, sum(bi.cnt) AS nb,
+        |    sum(bi.cnt * CAST(round(ln(
+        |      (coalesce(bc.c, 0) + 1.0) /
+        |      (coalesce(cx.cc, 0) + 1.0 * (SELECT v FROM v))), 6)
+        |      AS DECIMAL(18,6))) AS slp
+        |  FROM bi
+        |  LEFT JOIN bc ON bi.p = bc.p AND bi.w = bc.w
+        |  LEFT JOIN cx ON bi.p = cx.p
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+        |  -CAST(sc.slp AS DOUBLE) / sc.nb AS cross_entropy,
+        |  round(exp(-CAST(sc.slp AS DOUBLE) / sc.nb), 6) AS ppl
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // The cutoff-path twin of q93 (VERDICT r13 next #3): the engine runs
     // the fully distributed boundary-location + filter + distributed-rank
     // selection instead of TakeOrdered; the SEMANTICS are identical by

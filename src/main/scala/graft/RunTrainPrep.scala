@@ -16,7 +16,8 @@ import graft.sink.ParquetSink
   *   [--id-col doc_id] [--text-col text] [--hash64]
   *   [--min-quality 0.3] [--bands 4] [--rows-per-band 4] [--jaccard 0.6]
   *   [--contain 0.8] [--substring-k 8] [--max-candidates 4096]
-  *   [--lm-max-ppl X] [--select-target-col C (--select-top-n N |
+  *   [--lm-max-ppl X [--lm-ref <path> [--lm-ref-broadcast]]]
+  *   [--select-target-col C (--select-top-n N |
   *     --select-frac F) [--select-buckets 1024]] [--table clean_corpus]
   *   [--pack-capacity N [--pack-shard lang] [--pack-shard-buckets 64]
   *     [--pack-split]] [--bpe-merges N]
@@ -64,6 +65,14 @@ object RunTrainPrep {
       // corpus and docs with perplexity above X drop (stage `after_lm`
       // in the report); docs too short to score (no bigrams) are kept
       lmMaxPpl: Option[Double] = None,
+      // --lm-ref <path> points the gate at a FIXED reference model: the
+      // bigram LM trains once on the trusted corpus at <path> (parquet
+      // with the same --text-col) instead of on the corpus being
+      // filtered — the CCNet deployment shape. --lm-ref-broadcast marks
+      // the reference model bounded enough to broadcast into the scoring
+      // joins (right for a trusted slice, wrong for a crawl-sized model)
+      lmRef: Option[String] = None,
+      lmRefBroadcast: Boolean = false,
       // --select-target-col C --select-top-n N arm the DSIR
       // importance-selection PRE-stage (Sampling.importanceSelect): the
       // input corpus is ranked by how target-domain-like its hashed
@@ -115,6 +124,8 @@ object RunTrainPrep {
       case "--substring-k" :: v :: t => loop(t, cfg.copy(substringK = v.toInt))
       case "--max-candidates" :: v :: t => loop(t, cfg.copy(maxCandidates = v.toInt))
       case "--lm-max-ppl" :: v :: t => loop(t, cfg.copy(lmMaxPpl = Some(v.toDouble)))
+      case "--lm-ref" :: v :: t => loop(t, cfg.copy(lmRef = Some(v)))
+      case "--lm-ref-broadcast" :: t => loop(t, cfg.copy(lmRefBroadcast = true))
       case "--select-target-col" :: v :: t => loop(t, cfg.copy(selectTargetCol = Some(v)))
       case "--select-top-n" :: v :: t => loop(t, cfg.copy(selectTopN = Some(v.toInt)))
       case "--select-frac" :: v :: t => loop(t, cfg.copy(selectFrac = Some(v.toDouble)))
@@ -141,6 +152,12 @@ object RunTrainPrep {
       require(c > 0, s"--pack-capacity must be positive; got $c"))
     cfg.lmMaxPpl.foreach(p =>
       require(p > 0, s"--lm-max-ppl must be positive; got $p"))
+    // dependent flags: a reference model without an armed gate (and a
+    // broadcast hint without a reference) would be silent no-ops
+    require(cfg.lmRef.isEmpty || cfg.lmMaxPpl.isDefined,
+      "--lm-ref requires --lm-max-ppl (the reference model feeds the gate)")
+    require(!cfg.lmRefBroadcast || cfg.lmRef.isDefined,
+      "--lm-ref-broadcast requires --lm-ref")
     // dependent pair: selection needs both the target definition and the
     // budget — one without the other would silently select nothing or
     // everything while the user believes DSIR ran. The budget is EITHER a
@@ -232,11 +249,21 @@ object RunTrainPrep {
     val mc = new MetricsCollector(spark)
     try {
       val before = mc.snapshot.keySet
+      // fixed-reference LM: train once on the trusted corpus before the
+      // pipeline builds (one read + two aggregations of the slice)
+      val lmModel = cfg.lmRef.map { path =>
+        val ref = spark.read.parquet(path)
+        require(ref.columns.contains(cfg.textCol),
+          s"--lm-ref corpus must carry column ${cfg.textCol} " +
+            s"(found: ${ref.columns.mkString(", ")})")
+        graft.operators.TextAnalysis.trainBigramLm(ref, cfg.textCol)
+      }
       val clean = TrainPrep.pipeline(docs, cfg.idCol, cfg.textCol,
         hash64 = cfg.hash64, minQuality = cfg.minQuality, bands = cfg.bands,
         rowsPerBand = cfg.rowsPerBand, jaccardThreshold = cfg.jaccard,
         containThreshold = cfg.contain, substringK = cfg.substringK,
-        maxCandidatesPerDoc = cfg.maxCandidates, lmMaxPpl = cfg.lmMaxPpl)
+        maxCandidatesPerDoc = cfg.maxCandidates, lmMaxPpl = cfg.lmMaxPpl,
+        lmModel = lmModel, lmBroadcastModel = cfg.lmRefBroadcast)
       val sink = new ParquetSink(cfg.out)
       sink.overwrite(cfg.table, clean)
       // optional BPE tokenizer tail (VERDICT r13 next #2): learn the

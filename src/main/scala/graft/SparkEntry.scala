@@ -1325,6 +1325,22 @@ object SparkEntry {
         hash64 = false, lmMaxPpl = Some(31.0))
       .orderBy("doc_id")
 
+  // ---- fixed-reference-model LM scoring (VERDICT r13 next #4 — the
+  // CCNet deployment shape): the bigram LM trains ONCE on the trusted
+  // slice (source = src0) and prices the WHOLE corpus against it;
+  // out-of-model bigrams smooth from count 0 (an OOV position costs
+  // −ln V). The model is slice-sized, so the scoring joins broadcast.
+  // The oracle retrains the slice model in SQL and replays the left-join
+  // smoothing with the q92 decimal discipline ----------------------------
+  private def q101LmRef(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val model = graft.operators.TextAnalysis
+      .trainBigramLm(docs.filter(col("source") === "src0"), "text")
+    graft.operators.TextAnalysis
+      .bigramLmScoreWith(docs, "doc_id", "text", model, broadcastModel = true)
+      .orderBy("doc_id")
+  }
+
   // ---- distributed BPE vocabulary learning (Sennrich et al. 2016): five
   // merge iterations over the corpus's word-count table — one corpus
   // shuffle, then per-iteration pair-count + distributed-argmax + map-only
@@ -1613,7 +1629,8 @@ object SparkEntry {
     "q97_bpe_vocab" -> (q97BpeVocab _),
     "q98_bpe_encode" -> (q98BpeEncode _),
     "q99_bpe_pack" -> (q99BpePack _),
-    "q100_select_cutoff" -> (q100SelectCutoff _)
+    "q100_select_cutoff" -> (q100SelectCutoff _),
+    "q101_lm_ref" -> (q101LmRef _)
   )
 
   /** Oracle-checked queries whose oracle SQL MIRRORS the LSH bucket

@@ -413,4 +413,111 @@ object TextAnalysis {
         (-col("__slp").cast("double") / col("__nb")).as("cross_entropy"),
         round(exp(-col("__slp").cast("double") / col("__nb")), 6).as("ppl"))
   }
+
+  /** A trained bigram LM as data: the corpus bigram counts, the derived
+    * context counts, and the unigram vocabulary size — everything
+    * [[bigramLmScoreWith]] needs to price an UNRELATED corpus. Each frame
+    * is an ordinary DataFrame, so a model persists as two parquet tables
+    * plus one number and reloads anywhere.
+    */
+  final case class BigramLm(
+      bigrams: org.apache.spark.sql.DataFrame, // (p, w, c)
+      contexts: org.apache.spark.sql.DataFrame, // (p, cc)
+      vocabSize: Long)
+
+  /** Train a bigram LM on a TRUSTED corpus (the CCNet deployment shape —
+    * VERDICT r13 next #4: production perplexity gates score the crawl
+    * against an LM trained once on a high-quality reference like
+    * Wikipedia, not on the corpus being filtered). Same tokenizer, same
+    * count derivation as [[bigramLmScore]]'s self-trained model; the
+    * vocabulary size is the reference corpus's distinct unigram count
+    * (the smoothing denominator is a property of the MODEL, not of
+    * whatever corpus it later scores).
+    */
+  def trainBigramLm(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String): BigramLm = {
+    val base = docs
+      .select(wsTokens(col(textCol)).as("__t"))
+      .lazySerCkpt
+    val vocabSize = base
+      .select(explode(col("__t")).as("__w"))
+      .filter(col("__w") =!= "")
+      .agg(count_distinct(col("__w")))
+      .collect()(0).getLong(0)
+    val bigrams = base
+      .select(explode(expr(
+        """zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),
+          |         slice(__t, 2, greatest(size(__t) - 1, 0)),
+          |         (a, b) -> struct(a AS p, b AS w))""".stripMargin)).as("__bg"))
+      .select(col("__bg.p").as("p"), col("__bg.w").as("w"))
+      .filter(col("p") =!= "" && col("w") =!= "")
+      .groupBy(col("p"), col("w")).agg(count(lit(1)).as("c"))
+    val contexts = bigrams.groupBy(col("p")).agg(sum(col("c")).as("cc"))
+    BigramLm(bigrams, contexts, vocabSize)
+  }
+
+  /** Score a corpus against a FIXED reference model (see [[trainBigramLm]])
+    * — [[bigramLmScore]]'s schema and decimal discipline, with the model
+    * supplied instead of retrained: out-of-model bigrams smooth from
+    * count 0 (left joins + coalesce), so an OOV position prices at
+    * ln(k / k·V) = −ln V, the add-k contract.
+    *
+    * Scale shape: the scored corpus collapses to per-doc (p, w, cnt)
+    * before any join, exactly as the self-trained path. The model joins
+    * are (p, w)- and (p)-keyed; with `broadcastModel` they become
+    * broadcasts — RIGHT when the reference model is bounded (a trusted
+    * slice's bigram table), WRONG for a crawl-sized model, so the flag
+    * defaults off and the caller who knows the model's size decides.
+    */
+  def bigramLmScoreWith(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      model: BigramLm,
+      addK: Double = 1.0,
+      broadcastModel: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(addK > 0, s"addK must be positive (add-k smoothing); got $addK")
+    require(model.vocabSize > 0,
+      s"model vocabulary must be non-empty; got ${model.vocabSize}")
+    val id = col(idCol)
+    val hint = (df: org.apache.spark.sql.DataFrame) =>
+      if (broadcastModel) broadcast(df) else df
+    val bi = docs
+      .select(id.as("__did"), wsTokens(col(textCol)).as("__t"))
+      .select(col("__did"), explode(expr(
+        """zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),
+          |         slice(__t, 2, greatest(size(__t) - 1, 0)),
+          |         (a, b) -> struct(a AS p, b AS w))""".stripMargin)).as("__bg"))
+      .select(col("__did"), col("__bg.p").as("__p"), col("__bg.w").as("__w"))
+      .filter(col("__p") =!= "" && col("__w") =!= "")
+      .groupBy(col("__did"), col("__p"), col("__w"))
+      .agg(count(lit(1)).as("__cnt"))
+    // rename the model's columns before joining: contexts DERIVES from
+    // bigrams, so their `p` attributes share expression ids — joining the
+    // raw frames would make the second condition ambiguous/trivial
+    val mb = model.bigrams
+      .select(col("p").as("__mp"), col("w").as("__mw"), col("c").as("__mc"))
+    val mc = model.contexts
+      .select(col("p").as("__cp"), col("cc").as("__mcc"))
+    val scored = bi
+      .join(hint(mb), col("__p") === col("__mp") && col("__w") === col("__mw"), "left")
+      .join(hint(mc), col("__p") === col("__cp"), "left")
+      .withColumn("__lp",
+        round(log(
+          (coalesce(col("__mc"), lit(0L)) + lit(addK)) /
+            (coalesce(col("__mcc"), lit(0L)) + lit(addK) * lit(model.vocabSize))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("__did"))
+      .agg(sum(col("__cnt")).as("__nb"), sum(col("__cnt") * col("__lp")).as("__slp"))
+    docs
+      .select(id)
+      .join(scored, id === col("__did"), "left")
+      // same portability rule as bigramLmScore: cross_entropy UNROUNDED,
+      // ppl round-6 (absorbs libm exp ulps)
+      .select(id,
+        coalesce(col("__nb"), lit(0L)).as("n_bigrams"),
+        (-col("__slp").cast("double") / col("__nb")).as("cross_entropy"),
+        round(exp(-col("__slp").cast("double") / col("__nb")), 6).as("ppl"))
+  }
 }

@@ -134,7 +134,15 @@ object TrainPrep {
       containThreshold: Double = 0.8,
       substringK: Int = 8,
       maxCandidatesPerDoc: Int = Dedup.DefaultMaxCandidatesPerDoc,
-      lmMaxPpl: Option[Double] = None): DataFrame = {
+      lmMaxPpl: Option[Double] = None,
+      // fixed-reference LM (the CCNet deployment shape): when supplied,
+      // stage 1b scores the curated corpus against THIS model instead of
+      // retraining on the corpus being filtered — the production gate
+      // prices the crawl against a trusted slice's language, so a crawl
+      // full of boilerplate cannot teach the model that boilerplate is
+      // normal. Ignored unless lmMaxPpl arms the gate.
+      lmModel: Option[TextAnalysis.BigramLm] = None,
+      lmBroadcastModel: Boolean = false): DataFrame = {
     val id = obsId.incrementAndGet()
     def staged(df: DataFrame, stage: String): DataFrame =
       df.observe(s"train_prep_${id}_$stage", count(lit(1)).as("docs"))
@@ -167,8 +175,12 @@ object TrainPrep {
     // them, and a perplexity filter has nothing to say about one token.
     val lmKept = lmMaxPpl match {
       case Some(maxPpl) =>
-        val kept = TextAnalysis
-          .bigramLmScore(curated, idCol, textCol)
+        val scoredDf = lmModel match {
+          case Some(m) => TextAnalysis.bigramLmScoreWith(
+            curated, idCol, textCol, m, broadcastModel = lmBroadcastModel)
+          case None => TextAnalysis.bigramLmScore(curated, idCol, textCol)
+        }
+        val kept = scoredDf
           .filter(col("ppl") <= maxPpl || col("ppl").isNull)
           .select(idCol)
         staged(curated.join(kept, Seq(idCol), "left_semi"), "after_lm")

@@ -242,6 +242,55 @@ class RunTrainPrepSpec extends SparkSpecBase {
     assert(off.stages("clean") === 10L)
   }
 
+  test("--lm-ref scores the gate against a FIXED trusted model (VERDICT r13 #4)") {
+    // trusted reference: conventional English phrasing. Corpus: two docs
+    // phrased like the reference, two phrased like each other but NOT
+    // like the reference (under a corpus-trained LM the pair would look
+    // normal — they are each other's evidence; under the FIXED reference
+    // model both price high). The fixed-model gate must drop what the
+    // self-trained gate cannot.
+    val ref = Seq(
+      101L -> "the cat sat on the mat and the dog sat on the rug",
+      102L -> "the dog ran over the hill and the cat ran into the barn",
+      103L -> "a bird sat on the fence and a cat sat under the tree")
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      1L -> "the cat ran over the mat and the dog sat under the tree",
+      2L -> "a dog sat on the hill and the bird ran into the rug",
+      3L -> "lattice the of flux quantum warp the of plasma drift the of",
+      4L -> "drift the of warp plasma flux the of lattice quantum the of")
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lmref").toString
+    corpus.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    ref.coalesce(1).write.mode("overwrite").parquet(s"$tmp/ref")
+
+    // semantic precondition, asserted not assumed: under the REFERENCE
+    // model the odd pair prices above the conventional docs
+    val model = graft.operators.TextAnalysis.trainBigramLm(ref, "text")
+    val ppl = graft.operators.TextAnalysis
+      .bigramLmScoreWith(corpus, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val cut = (Seq(1L, 2L).map(ppl).max + Seq(3L, 4L).map(ppl).min) / 2
+    assert(Seq(3L, 4L).map(ppl).min > Seq(1L, 2L).map(ppl).max,
+      s"fixture broke: $ppl")
+
+    val report = RunTrainPrep.execute(spark, RunTrainPrep.parse(Seq(
+      "--in", s"$tmp/in", "--out", s"$tmp/out",
+      "--min-quality", "0.0", "--lm-max-ppl", cut.toString,
+      "--lm-ref", s"$tmp/ref", "--lm-ref-broadcast")))
+    assert(report.stages("after_lm") === 2L)
+    val kept = spark.read.parquet(s"$tmp/out/clean_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 2L))
+
+    // dependent flags fail at parse: a reference without an armed gate
+    // (and a broadcast hint without a reference) are silent no-ops
+    intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
+      "--in", "a", "--out", "b", "--lm-ref", "p")))
+    intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
+      "--in", "a", "--out", "b", "--lm-max-ppl", "30", "--lm-ref-broadcast")))
+  }
+
   test("--select-target-col/--select-top-n arm the DSIR pre-stage; only the selection enters the pipeline") {
     import org.apache.spark.sql.functions.col
     // target docs are cat-themed; raw corpus mixes cat- and machine-themed.

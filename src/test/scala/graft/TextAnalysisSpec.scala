@@ -288,4 +288,54 @@ class TextAnalysisSpec extends SparkSpecBase {
       .orderBy("doc_id").collect().toSeq
     assert(a === b) // decimal-sum discipline: no partition-merge-order drift
   }
+
+  test("fixed-reference model: OOV smoothing, and self-trained ≡ corpus-trained (VERDICT r13 #4)") {
+    // reference slice: only a/b language; scored corpus adds an OOV doc
+    val ref = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+    val model = TextAnalysis.trainBigramLm(ref, "text")
+    assert(model.vocabSize === 2L) // {a, b}
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "x y"),   // fully OOV: each position prices at ln(1/(1·2 + ... )) — see below
+      (3L, "a q"),   // in-model context `a` (cc=3), unseen continuation q
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .bigramLmScoreWith(docs, "doc_id", "text", model, broadcastModel = true)
+      .orderBy("doc_id").collect()
+    // doc 1 scores exactly as in-model: c(a,b)=2 ctx(a)=3, c(b,a)=1 ctx(b)=1, V=2
+    val d1slp = lp6(2, 3, 2) * 2 + lp6(1, 1, 2)
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getDouble(2) === -(d1slp.toDouble) / 3)
+    // doc 2: bigram (x,y) has c=0 AND cc=0 → ln(1/(0+2)) = −ln V exactly
+    assert(out(1).getLong(1) === 1L)
+    assert(out(1).getDouble(2) === -(lp6(0, 0, 2).toDouble))
+    // doc 3: context `a` seen (cc=3), continuation unseen (c=0)
+    assert(out(2).getDouble(2) === -(lp6(0, 3, 2).toDouble))
+    // doc 4: no bigrams → null, same contract as the self-trained path
+    assert(out(3).getLong(1) === 0L && out(3).isNullAt(2))
+
+    // scoring a corpus against a model trained on ITSELF reproduces the
+    // self-trained operator exactly (left joins degrade to inner: every
+    // corpus bigram is in its own model by construction)
+    val corpus = Seq.tabulate(40)(i => (i.toLong, s"w${i % 5} w${i % 3} w${i % 7} end"))
+      .toDF("doc_id", "text")
+    val selfScored = TextAnalysis
+      .bigramLmScoreWith(corpus, "doc_id", "text",
+        TextAnalysis.trainBigramLm(corpus, "text"))
+      .orderBy("doc_id").collect().toSeq
+    val direct = TextAnalysis.bigramLmScore(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(selfScored === direct)
+  }
+
+  test("bigramLmScoreWith broadcast hint reaches the plan when requested") {
+    val ref = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b x")).toDF("doc_id", "text")
+    val model = TextAnalysis.trainBigramLm(ref, "text")
+    val plan = TextAnalysis
+      .bigramLmScoreWith(docs, "doc_id", "text", model, broadcastModel = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast model joins in:\n$plan")
+  }
 }
