@@ -167,6 +167,41 @@ object OracleSql {
   private val TrainPrepCtesSql: String =
     CurationClosureSql + ",\n" + prepTailSql("dropped")
 
+  /** q69/q102 shared tail (appended directly after [[CurationPrefixSql]]):
+    * the recursive curation closure, then the c-prefixed containment
+    * stages over the survivors, ending in the verified
+    * (id1, id2, containment) pair set.
+    */
+  private val ContainCuratedTailSql: String = """,
+    |edges AS (SELECT id1 AS a, id2 AS b FROM cpairs UNION SELECT id2, id1 FROM cpairs),
+    |reach AS (
+    |  SELECT a AS id, b AS r FROM edges
+    |  UNION
+    |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+    |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+    |dropped AS (SELECT id AS doc_id FROM comp WHERE comp <> id),
+    |csh AS (SELECT s1.doc_id, s1.s FROM sh s1
+    |  WHERE NOT EXISTS (SELECT 1 FROM dropped c WHERE c.doc_id = s1.doc_id)),
+    |ccap AS (SELECT greatest(CAST(ceil(0.2 * count(*)) AS BIGINT), 16) AS v FROM csh),
+    |cex AS (SELECT doc_id, unnest(s) AS g FROM csh),
+    |cdfreq AS (SELECT g, count(*) AS df FROM cex GROUP BY g),
+    |cranked AS (SELECT e.doc_id, e.g, d.df,
+    |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.g) AS rn
+    |  FROM cex e JOIN cdfreq d ON e.g = d.g WHERE d.df <= (SELECT v FROM ccap)),
+    |canchors AS (SELECT doc_id, g FROM cranked WHERE rn <= 10),
+    |cpostings AS (SELECT e.g, e.doc_id,
+    |    row_number() OVER (PARTITION BY e.g ORDER BY e.doc_id) AS prn
+    |  FROM cex e WHERE e.g IN (SELECT g FROM canchors)),
+    |ckept AS (SELECT g, doc_id FROM cpostings WHERE prn <= __POSTCAP__),
+    |ccand AS (SELECT a.doc_id AS ida, k.doc_id AS idb
+    |  FROM canchors a JOIN ckept k ON a.g = k.g WHERE a.doc_id <> k.doc_id
+    |  GROUP BY a.doc_id, k.doc_id HAVING count(*) >= 4),
+    |cver AS (SELECT c.ida, c.idb,
+    |    round(CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / CAST(greatest(len(s1.s), 1) AS DOUBLE), 6) AS containment
+    |  FROM ccand c JOIN csh s1 ON s1.doc_id = c.ida JOIN csh s2 ON s2.doc_id = c.idb)
+    |SELECT ida AS id1, idb AS id2, containment FROM cver
+    |WHERE containment >= 0.8 ORDER BY id1, id2""".stripMargin
+
   /** DuckDB `MATERIALIZED` hints on every stage CTE of the stitched prep
     * mirrors (q73/q75/q94). DuckDB re-inlines a CTE body once PER
     * REFERENCE, so in a monolith whose tail references `csh` ~8 times the
@@ -662,35 +697,18 @@ object OracleSql {
     // (c-prefixed CTEs; same corpus-relative cap computed over SURVIVORS,
     // same anchor top-k, same m-of-k rule, same division).
     "q69_containment_curated" -> capped(
-      "WITH RECURSIVE " + CurationPrefixSql + """,
-        |edges AS (SELECT id1 AS a, id2 AS b FROM cpairs UNION SELECT id2, id1 FROM cpairs),
-        |reach AS (
-        |  SELECT a AS id, b AS r FROM edges
-        |  UNION
-        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
-        |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
-        |dropped AS (SELECT id AS doc_id FROM comp WHERE comp <> id),
-        |csh AS (SELECT s1.doc_id, s1.s FROM sh s1
-        |  WHERE NOT EXISTS (SELECT 1 FROM dropped c WHERE c.doc_id = s1.doc_id)),
-        |ccap AS (SELECT greatest(CAST(ceil(0.2 * count(*)) AS BIGINT), 16) AS v FROM csh),
-        |cex AS (SELECT doc_id, unnest(s) AS g FROM csh),
-        |cdfreq AS (SELECT g, count(*) AS df FROM cex GROUP BY g),
-        |cranked AS (SELECT e.doc_id, e.g, d.df,
-        |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.g) AS rn
-        |  FROM cex e JOIN cdfreq d ON e.g = d.g WHERE d.df <= (SELECT v FROM ccap)),
-        |canchors AS (SELECT doc_id, g FROM cranked WHERE rn <= 10),
-        |cpostings AS (SELECT e.g, e.doc_id,
-        |    row_number() OVER (PARTITION BY e.g ORDER BY e.doc_id) AS prn
-        |  FROM cex e WHERE e.g IN (SELECT g FROM canchors)),
-        |ckept AS (SELECT g, doc_id FROM cpostings WHERE prn <= __POSTCAP__),
-        |ccand AS (SELECT a.doc_id AS ida, k.doc_id AS idb
-        |  FROM canchors a JOIN ckept k ON a.g = k.g WHERE a.doc_id <> k.doc_id
-        |  GROUP BY a.doc_id, k.doc_id HAVING count(*) >= 4),
-        |cver AS (SELECT c.ida, c.idb,
-        |    round(CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) / CAST(greatest(len(s1.s), 1) AS DOUBLE), 6) AS containment
-        |  FROM ccand c JOIN csh s1 ON s1.doc_id = c.ida JOIN csh s2 ON s2.doc_id = c.idb)
-        |SELECT ida AS id1, idb AS id2, containment FROM cver
-        |WHERE containment >= 0.8 ORDER BY id1, id2""".stripMargin),
+      "WITH RECURSIVE " + CurationPrefixSql + ContainCuratedTailSql),
+
+    // q69's production-order stack over documents ∪ the PLANTED
+    // near-superset pair (PlantedFixture — both engines union the same
+    // literals; see the q102 entry point for the construction): the one
+    // oracle-checked production-order run where containment FIRES. Same
+    // CTEs as q69 with the base corpus swapped to `pdocs`.
+    "q102_containment_planted" -> capped(
+      "WITH RECURSIVE pdocs AS (SELECT doc_id, text FROM documents UNION ALL " +
+        graft.PlantedFixture.unionSql + "),\n" +
+        CurationPrefixSql.replace("FROM documents", "FROM pdocs") +
+        ContainCuratedTailSql),
 
     // The full training-data prep pipeline (q73) — q69's stitched
     // curation→containment stages (identical CTEs through cver), then the

@@ -874,6 +874,33 @@ object SparkEntry {
       .orderBy("id1", "id2")
   }
 
+  // ---- production-order containment with a PLANTED near-superset pair
+  // (VERDICT r13 next #5): q69's curate-then-contain stack over
+  // `documents` plus two deterministic literal docs ([[PlantedFixture]] —
+  // the test corpus is read-only, so the doc-inside-doc structure the
+  // synthetic corpus lacks is unioned on in-query, identically in both
+  // engines). The planted pair survives curation (J ≈ 0.48 < 0.6) and
+  // verifies at containment 1.0, so this is the first oracle-checked
+  // production-order run where the containment stage actually FIRES —
+  // q69/q72's empty results stay legitimate (that corpus has no such
+  // structure), and this query proves the composed stack drops a doc
+  // when the structure exists ---------------------------------------------
+  private def q102ContainmentPlanted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (PlantedFixture.ContainedId, PlantedFixture.ContainedText),
+      (PlantedFixture.SupersetId, PlantedFixture.SupersetText))
+      .toDF("doc_id", "text")
+    val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    val survivors = graft.operators.Curation
+      .pipeline(docs, "doc_id", "text", transitive = true)
+      .select("doc_id")
+    Dedup.containmentPairs(
+        docs.join(survivors, Seq("doc_id"), "left_semi"), "doc_id", "text")
+      .orderBy("id1", "id2")
+  }
+
   // ---- the FULL training-data preparation pipeline, composed end-to-end:
   // curation (exact dedup + gates + transitive near-dup) → containment
   // removal → substring-level span removal → one clean corpus
@@ -1630,7 +1657,8 @@ object SparkEntry {
     "q98_bpe_encode" -> (q98BpeEncode _),
     "q99_bpe_pack" -> (q99BpePack _),
     "q100_select_cutoff" -> (q100SelectCutoff _),
-    "q101_lm_ref" -> (q101LmRef _)
+    "q101_lm_ref" -> (q101LmRef _),
+    "q102_containment_planted" -> (q102ContainmentPlanted _)
   )
 
   /** Oracle-checked queries whose oracle SQL MIRRORS the LSH bucket
