@@ -22,6 +22,7 @@ import graft.sink.ParquetSink
   *   [--image-max-hamming 6] [--audio-max-hamming 3]
   *   [--max-bucket N] [--dedup] [--max-pixels N]
   *   [--frame-stride N] [--max-frames N] [--table media]
+  *   [--text-survivors <parquet> [--text-id-col doc_id]]
   * }}}
   *
   * Per modality value of the `modality` column — each a SINGLE decode
@@ -47,6 +48,18 @@ import graft.sink.ParquetSink
   * `--dedup` closes each modality's pair graph into components and
   * writes the min-id survivor set (`<table>_<modality>_survivors`) —
   * the actionable removal complement, not just pair evidence.
+  * `--text-survivors <parquet>` is the mixed-modality production tail
+  * (VERDICT r12 next #6, elevated from spec to CLI in r14): given the
+  * TEXT-side clean corpus ([[RunTrainPrep]]'s output table, id column
+  * `--text-id-col` carrying the SHARED doc id), write
+  * `<table>_clean_docs` — the text survivors minus every doc whose media
+  * asset was removed by this run's media dedup, i.e. the corpus a
+  * multimodal trainer actually consumes (text-clean AND visually/
+  * acoustically unique), in ONE invocation instead of the two-CLI recipe
+  * plus a hand-rolled join. Removal evidence is computed from the PAIR
+  * graph (paired ids minus survivors — duplicate-count-sized), never a
+  * corpus-sized anti-join of the audit tables; docs with no media, or
+  * media never paired, ride through untouched. Requires `--dedup`.
   * Rows whose modality matches no branch are counted (one metadata-only
   * aggregation — the blob column never loads) and disclosed as a
   * bounded UNAUDITED summary (totals + top-5 values): an audit that
@@ -84,7 +97,9 @@ object RunMediaAudit {
       maxPixels: Long = Multimodal.DefaultMaxImagePixels,
       frameStride: Int = 1,
       maxFrames: Int = Int.MaxValue,
-      table: String = "media")
+      table: String = "media",
+      textSurvivors: Option[String] = None,
+      textIdCol: String = "doc_id")
 
   def parse(args: Seq[String]): Config = {
     def loop(rest: List[String], cfg: Config): Config = rest match {
@@ -105,6 +120,8 @@ object RunMediaAudit {
       case "--frame-stride" :: v :: t => loop(t, cfg.copy(frameStride = v.toInt))
       case "--max-frames" :: v :: t => loop(t, cfg.copy(maxFrames = v.toInt))
       case "--table" :: v :: t => loop(t, cfg.copy(table = v))
+      case "--text-survivors" :: v :: t => loop(t, cfg.copy(textSurvivors = Some(v)))
+      case "--text-id-col" :: v :: t => loop(t, cfg.copy(textIdCol = v))
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
     }
     val cfg = loop(args.toList, Config())
@@ -141,6 +158,9 @@ object RunMediaAudit {
       "--max-bucket guards the pair joins; it requires --pairs")
     require(!cfg.dedup || cfg.pairs,
       "--dedup closes the pair graph into survivors; it requires --pairs")
+    require(cfg.textSurvivors.isEmpty || cfg.dedup,
+      "--text-survivors joins the clean corpus against media-dedup removals; " +
+        "it requires --dedup")
     cfg
   }
 
@@ -162,7 +182,8 @@ object RunMediaAudit {
       unauditedRows: Long,
       unauditedModalities: Long,
       unauditedTop: Seq[(String, Long)],
-      guard: Map[String, Map[String, Long]])
+      guard: Map[String, Map[String, Long]],
+      cleanDocs: Long = -1L)
 
   private val obsId = new java.util.concurrent.atomic.AtomicInteger()
 
@@ -275,6 +296,32 @@ object RunMediaAudit {
         survivorsOf("video")
       }
 
+      // mixed-modality clean-corpus tail (VERDICT r12 next #6): the doc set
+      // a multimodal trainer keeps = text survivors ∖ media-removed. The
+      // removed set per modality is (ids in the pair graph) ∖ survivors —
+      // pair-graph-sized, so the only corpus-scale work is the final thin
+      // anti-join on the shared doc id. Docs with no media asset (or whose
+      // assets never paired) pass through: dedup removes only rows with
+      // positive duplicate evidence, exactly survivorsFromPairs' rule.
+      cfg.textSurvivors.foreach { path =>
+        val text = spark.read.parquet(path)
+        require(text.columns.contains(cfg.textIdCol),
+          s"--text-survivors table must carry column ${cfg.textIdCol} " +
+            s"(found: ${text.columns.mkString(", ")})")
+        val removed = Seq("image", "audio", "video").map { m =>
+          val pairs = spark.read.parquet(s"${cfg.out}/${cfg.table}_${m}_pairs")
+          val paired = pairs.select(col("id1").as("media_id"))
+            .unionByName(pairs.select(col("id2").as("media_id"))).distinct()
+          paired.join(
+            spark.read.parquet(s"${cfg.out}/${cfg.table}_${m}_survivors"),
+            Seq("media_id"), "left_anti")
+        }.reduce(_ unionByName _)
+        sink.overwrite(s"${cfg.table}_clean_docs",
+          text.join(removed.withColumnRenamed("media_id", cfg.textIdCol),
+              Seq(cfg.textIdCol), "left_anti")
+            .observe(s"media_audit_${id}_clean_docs", count(lit(1)).as("rows")))
+      }
+
       // modality disclosure: rows whose modality matches NO branch were
       // never audited — an audit that silently skips them would report
       // healthy while ignoring half the corpus. Metadata-only (the blob
@@ -317,7 +364,9 @@ object RunMediaAudit {
           if (cfg.pairs) field(s"pairs_$m", "rows") else -1L,
           if (cfg.dedup) field(s"survivors_$m", "rows") else -1L)
       }.toMap
-      AuditReport(audits, unauditedRows, unauditedModalities, unauditedTop, guard)
+      AuditReport(audits, unauditedRows, unauditedModalities, unauditedTop, guard,
+        cleanDocs =
+          if (cfg.textSurvivors.isDefined) field("clean_docs", "rows") else -1L)
     } finally mc.close()
   }
 
@@ -341,6 +390,9 @@ object RunMediaAudit {
           "emissions BEFORE the cross-band distinct — compare trends, not the " +
           "pairs= count)")
       }
+      if (report.cleanDocs >= 0)
+        println(s"[media-audit] clean docs kept=${report.cleanDocs} " +
+          "(text survivors minus media-dedup removals, on the shared doc id)")
       if (report.unauditedRows > 0) {
         val top = report.unauditedTop.map { case (m, n) => s"$m=$n" }.mkString(", ")
         println(s"[media-audit] WARNING ${report.unauditedRows} rows across " +

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.operators.Multimodal
@@ -253,6 +254,76 @@ class RunMediaAuditSpec extends SparkSpecBase {
     val fs = RunMediaAudit.parse(Seq("--in", "a", "--out", "b",
       "--frame-stride", "5", "--max-frames", "100"))
     assert(fs.frameStride === 5 && fs.maxFrames === 100)
+    // the clean-docs tail consumes the dedup survivor tables: it must fail
+    // at parse without --dedup, not after the audits are written
+    intercept[IllegalArgumentException](RunMediaAudit.parse(
+      Seq("--in", "a", "--out", "b", "--pairs", "--text-survivors", "t")))
+    val ts = RunMediaAudit.parse(Seq("--in", "a", "--out", "b", "--pairs",
+      "--dedup", "--text-survivors", "t", "--text-id-col", "k"))
+    assert(ts.textSurvivors === Some("t") && ts.textIdCol === "k")
+  }
+
+  test("--text-survivors: the one-invocation mixed-modality clean corpus " +
+      "equals the two-CLI recipe's hand join (VERDICT r13 next #6)") {
+    // same fixture shape as the composition spec above: text dup (1,2),
+    // image dup (3,4), quality-gate failure (6) — plus doc 7, which has NO
+    // media row at all and must ride through the media tail untouched
+    def img(cls: Long) = Multimodal.PgmCodec.encode(16, 8, 255,
+      Array.tabulate[Byte](128)(i => ((cls * (i + 1)) % 256).toByte))
+    val tA = "the quick brown fox jumps over the lazy dog and runs to the green hills"
+    val textRows = Seq(
+      Row(1L, tA),
+      Row(2L, tA),
+      Row(3L, "completely different prose about the spark engine and the shuffles it avoids"),
+      Row(4L, "a third unique document that talks about the training data pipeline"),
+      Row(5L, "yet another unique body of text with the usual english marker words and more"),
+      Row(6L, "!!! ??? !!!"),
+      Row(7L, "a text only document with no media asset attached to its doc id at all"))
+    val mediaRows = Seq(
+      Row(1L, "image", img(10L)), Row(2L, "image", img(20L)),
+      Row(3L, "image", img(30L)), Row(4L, "image", img(30L)),
+      Row(5L, "image", img(50L)), Row(6L, "image", img(60L)))
+    val textSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    val mediaSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val text = spark.createDataFrame(spark.sparkContext.parallelize(textRows, 2), textSchema)
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(mediaRows, 2), mediaSchema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mixed-cli").toString
+    media.write.mode("overwrite").parquet(s"$tmp/media")
+
+    // invocation 1: the text CLI writes the clean corpus
+    graft.operators.TrainPrep.pipeline(text, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/text_clean")
+    val textIds = spark.read.parquet(s"$tmp/text_clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(textIds === Set(1L, 3L, 4L, 5L, 7L))
+
+    // invocation 2: media audit + dedup + the clean-docs tail, in ONE run
+    val report = RunMediaAudit.execute(spark, RunMediaAudit.parse(Seq(
+      "--in", s"$tmp/media", "--out", s"$tmp/out", "--id-col", "doc_id",
+      "--pairs", "--dedup", "--text-survivors", s"$tmp/text_clean")))
+    assert(report.cleanDocs === 4L)
+    val clean = spark.read.parquet(s"$tmp/out/media_clean_docs")
+    // doc 4's image is a dup of doc 3's (min id survives); doc 7 has no
+    // media and survives; the schema is the text table's, rows intact
+    assert(clean.columns.toSet === spark.read.parquet(s"$tmp/text_clean").columns.toSet)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L, 5L, 7L))
+
+    // identity vs the two-invocation recipe: hand-join the survivor tables
+    // exactly as the r12 composition spec did
+    val mediaSurvivors = spark.read.parquet(s"$tmp/out/media_image_survivors")
+      .withColumnRenamed("media_id", "doc_id")
+    val pairedIds = spark.read.parquet(s"$tmp/out/media_image_pairs")
+    val removedManual = pairedIds.select(col("id1").as("doc_id"))
+      .unionByName(pairedIds.select(col("id2").as("doc_id"))).distinct()
+      .join(mediaSurvivors, Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    val keptManual = textIds -- removedManual
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet === keptManual)
   }
 
   test("--max-pixels caps the image decode: over-cap rasters count as " +
