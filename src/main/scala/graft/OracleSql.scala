@@ -710,6 +710,45 @@ object OracleSql {
         CurationPrefixSql.replace("FROM documents", "FROM pdocs") +
         ContainCuratedTailSql),
 
+    // SemDeDup (q103): deterministic Forgy centroids (the 4 lowest
+    // vec_ids' embeddings, re-keyed 0..3), argmax-cosine assignment
+    // (round-6 + centroid-id tie-break — the q25 ordering discipline),
+    // intra-cell pairs above the cosine bar, recursive transitive closure,
+    // then the PAPER's survivor rule: per component keep the member with
+    // the lowest cosine to its own centroid (6-dp, then min id) — the
+    // least prototypical copy, not min id.
+    "q103_sem_dedup" ->
+      s"""WITH RECURSIVE c AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         |         embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |scored AS (
+         |  SELECT v.vec_id AS id, v.embedding AS vec, c.centroid_id,
+         |         round(${cosSql("v.embedding", "c.cvec")}, 6) AS cosc
+         |  FROM embeddings v CROSS JOIN c),
+         |asg AS (
+         |  SELECT id, vec, centroid_id, cosc FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id
+         |      ORDER BY cosc DESC, centroid_id ASC) AS rn FROM scored)
+         |  WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.id AS id1, b.id AS id2
+         |  FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id AND a.id < b.id
+         |  WHERE ${cosSql("a.vec", "b.vec")} > 0.35),
+         |edges AS (SELECT id1 AS a, id2 AS e2 FROM pairs UNION SELECT id2, id1 FROM pairs),
+         |reach AS (
+         |  SELECT a AS id, e2 AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.e2 FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT asg.id, asg.cosc, coalesce(comp.comp, asg.id) AS comp
+         |  FROM asg LEFT JOIN comp ON asg.id = comp.id)
+         |SELECT id AS vec_id FROM (
+         |  SELECT id, row_number() OVER (PARTITION BY comp
+         |    ORDER BY cosc ASC, id ASC) AS rn FROM lab)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
     // The full training-data prep pipeline (q73) — q69's stitched
     // curation→containment stages (identical CTEs through cver), then the
     // one-shot containment drop rule (drop the contained id1; symmetric
@@ -1747,6 +1786,39 @@ object OracleSql {
         |      AS DECIMAL(18,6))) AS slp
         |  FROM bi, bc, cx, v
         |  WHERE bi.p = bc.p AND bi.w = bc.w AND bc.p = cx.p
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
+        |  -CAST(sc.slp AS DOUBLE) / sc.nb AS cross_entropy,
+        |  round(exp(-CAST(sc.slp AS DOUBLE) / sc.nb), 6) AS ppl
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Interpolated Kneser-Ney bigram perplexity (q104): same corpus counts
+    // as q92, plus the continuation statistics (n1p = distinct
+    // continuations of p, n1w = distinct left contexts of w, n1all =
+    // distinct bigrams). The KN probability is spelled in the SAME fixed
+    // operation order as the engine — ((c − D) + D·n1p·n1w/n1all)/cc —
+    // so every per-position double is IEEE-identical before round-6.
+    // bi/bc are MATERIALIZED (multiple consumers — the ADVICE r13
+    // re-inlining hazard: without the hint DuckDB re-runs the corpus
+    // tokenize once per reference).
+    "q104_lm_kn" ->
+      """WITH base AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS l
+        |  FROM documents),
+        |pos AS (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM base),
+        |bi AS MATERIALIZED (SELECT doc_id, l[i] AS p, l[i + 1] AS w, count(*) AS cnt
+        |  FROM pos WHERE l[i] <> '' AND l[i + 1] <> '' GROUP BY 1, 2, 3),
+        |bc AS MATERIALIZED (SELECT p, w, sum(cnt) AS c FROM bi GROUP BY 1, 2),
+        |cx AS (SELECT p, sum(c) AS cc, count(*) AS n1p FROM bc GROUP BY 1),
+        |cw AS (SELECT w, count(*) AS n1w FROM bc GROUP BY 1),
+        |na AS (SELECT count(*) AS n1all FROM bc),
+        |sc AS (SELECT bi.doc_id, sum(bi.cnt) AS nb,
+        |    sum(bi.cnt * CAST(round(ln(
+        |      ((bc.c - 0.75) + 0.75 * cx.n1p * cw.n1w / na.n1all) / cx.cc), 6)
+        |      AS DECIMAL(18,6))) AS slp
+        |  FROM bi, bc, cx, cw, na
+        |  WHERE bi.p = bc.p AND bi.w = bc.w AND bc.p = cx.p AND bc.w = cw.w
         |  GROUP BY 1)
         |SELECT d.doc_id, CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_bigrams,
         |  -CAST(sc.slp AS DOUBLE) / sc.nb AS cross_entropy,

@@ -16,7 +16,7 @@ import graft.sink.ParquetSink
   *   [--id-col doc_id] [--text-col text] [--hash64]
   *   [--min-quality 0.3] [--bands 4] [--rows-per-band 4] [--jaccard 0.6]
   *   [--contain 0.8] [--substring-k 8] [--max-candidates 4096]
-  *   [--lm-max-ppl X [--lm-ref <path> [--lm-ref-broadcast]]]
+  *   [--lm-max-ppl X [--lm-kn | --lm-ref <path> [--lm-ref-broadcast]]]
   *   [--select-target-col C (--select-top-n N |
   *     --select-frac F) [--select-buckets 1024]] [--table clean_corpus]
   *   [--pack-capacity N [--pack-shard lang] [--pack-shard-buckets 64]
@@ -73,6 +73,11 @@ object RunTrainPrep {
       // joins (right for a trusted slice, wrong for a crawl-sized model)
       lmRef: Option[String] = None,
       lmRefBroadcast: Boolean = false,
+      // --lm-kn switches the SELF-TRAINED gate's smoothing from add-1 to
+      // interpolated Kneser-Ney (the KenLM/CCNet family at the bigram
+      // order). Mutually exclusive with --lm-ref: the model-as-data
+      // shape carries no continuation counts
+      lmKn: Boolean = false,
       // --select-target-col C --select-top-n N arm the DSIR
       // importance-selection PRE-stage (Sampling.importanceSelect): the
       // input corpus is ranked by how target-domain-like its hashed
@@ -126,6 +131,7 @@ object RunTrainPrep {
       case "--lm-max-ppl" :: v :: t => loop(t, cfg.copy(lmMaxPpl = Some(v.toDouble)))
       case "--lm-ref" :: v :: t => loop(t, cfg.copy(lmRef = Some(v)))
       case "--lm-ref-broadcast" :: t => loop(t, cfg.copy(lmRefBroadcast = true))
+      case "--lm-kn" :: t => loop(t, cfg.copy(lmKn = true))
       case "--select-target-col" :: v :: t => loop(t, cfg.copy(selectTargetCol = Some(v)))
       case "--select-top-n" :: v :: t => loop(t, cfg.copy(selectTopN = Some(v.toInt)))
       case "--select-frac" :: v :: t => loop(t, cfg.copy(selectFrac = Some(v.toDouble)))
@@ -158,6 +164,11 @@ object RunTrainPrep {
       "--lm-ref requires --lm-max-ppl (the reference model feeds the gate)")
     require(!cfg.lmRefBroadcast || cfg.lmRef.isDefined,
       "--lm-ref-broadcast requires --lm-ref")
+    require(!cfg.lmKn || cfg.lmMaxPpl.isDefined,
+      "--lm-kn picks the gate's smoothing; it requires --lm-max-ppl")
+    require(!(cfg.lmKn && cfg.lmRef.isDefined),
+      "--lm-kn applies to the self-trained gate; a fixed reference model " +
+        "carries no continuation counts")
     // dependent pair: selection needs both the target definition and the
     // budget — one without the other would silently select nothing or
     // everything while the user believes DSIR ran. The budget is EITHER a
@@ -263,7 +274,8 @@ object RunTrainPrep {
         rowsPerBand = cfg.rowsPerBand, jaccardThreshold = cfg.jaccard,
         containThreshold = cfg.contain, substringK = cfg.substringK,
         maxCandidatesPerDoc = cfg.maxCandidates, lmMaxPpl = cfg.lmMaxPpl,
-        lmModel = lmModel, lmBroadcastModel = cfg.lmRefBroadcast)
+        lmModel = lmModel, lmBroadcastModel = cfg.lmRefBroadcast,
+        lmKn = cfg.lmKn)
       val sink = new ParquetSink(cfg.out)
       sink.overwrite(cfg.table, clean)
       // optional BPE tokenizer tail (VERDICT r13 next #2): learn the

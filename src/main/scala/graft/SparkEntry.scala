@@ -1368,6 +1368,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ---- SemDeDup (Abbas et al. 2023) — semantic dedup by CLUSTERING: the
+  // learned-cell candidate geometry + the paper's keep-furthest-from-
+  // centroid survivor rule, vs q68's sign-bucket + min-id. The centroid
+  // seam is pinned deterministic (Forgy: the 4 lowest vec_ids' own
+  // embeddings) so the oracle replays assignment, intra-cell pairs,
+  // closure, AND the keep rule; production swaps in KMeans centroids
+  // (semDedupAuto, spec-pinned) without touching the checked semantics --
+  private def q103SemDedup(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings")
+    // k = 8, threshold = 0.35: measured on this corpus — intra-cell cosine
+    // p99 is ~.31, so .2 (q68's sign-bucket bar) connects ~5% of ALL
+    // intra-cell pairs and transitive closure chains 500 vectors into 4
+    // survivors; .35 drops a meaningful ~18% without collapse. 8 cells
+    // keeps every cell under the 4096 bucket guard through the 10x rung
+    // (plain-join semantics = what the oracle mirrors).
+    Dedup.semDedup(e, "vec_id", "embedding",
+        Dedup.firstKCentroids(e, "vec_id", "embedding", 8), threshold = 0.35)
+      .orderBy("vec_id")
+  }
+
+  // ---- interpolated Kneser-Ney bigram perplexity — the smoothing family
+  // the CCNet stack deploys (KenLM = modified KN), at the bigram order,
+  // beside q92's add-1 classroom form. Same decimal discipline; the KN
+  // probability is one fixed-operation-order IEEE expression mirrored
+  // literally in the oracle ----------------------------------------------
+  private def q104LmKn(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis
+      .bigramLmScoreKn(T(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   // ---- distributed BPE vocabulary learning (Sennrich et al. 2016): five
   // merge iterations over the corpus's word-count table — one corpus
   // shuffle, then per-iteration pair-count + distributed-argmax + map-only
@@ -1658,7 +1688,9 @@ object SparkEntry {
     "q99_bpe_pack" -> (q99BpePack _),
     "q100_select_cutoff" -> (q100SelectCutoff _),
     "q101_lm_ref" -> (q101LmRef _),
-    "q102_containment_planted" -> (q102ContainmentPlanted _)
+    "q102_containment_planted" -> (q102ContainmentPlanted _),
+    "q103_sem_dedup" -> (q103SemDedup _),
+    "q104_lm_kn" -> (q104LmKn _)
   )
 
   /** Oracle-checked queries whose oracle SQL MIRRORS the LSH bucket

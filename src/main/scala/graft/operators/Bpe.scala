@@ -301,8 +301,15 @@ object Bpe {
   def vocabulary(
       docs: DataFrame,
       textCol: String,
-      merges: Seq[(String, String)]): DataFrame =
-    vocabulary0(mergedWords(docs, textCol, merges))
+      merges: Seq[(String, String)]): DataFrame = {
+    // lazy checkpoint (the encode() discipline): vocabulary0 feeds the
+    // merged frame into an explode + distinct + ranking window, and the
+    // interpreted merge-fold chain must MATERIALIZE once rather than
+    // re-evaluate inside whatever plan shape the consumer builds
+    // (measured at 10x: 71 s -> vocab-scale seconds with the checkpoint)
+    import Ckpt.CkptOps
+    vocabulary0(mergedWords(docs, textCol, merges).lazySerCkpt)
+  }
 
   /** Encode the corpus: per doc, the BPE token-id SEQUENCE (in token
     * order, each word's subwords in left-to-right order) under a learned

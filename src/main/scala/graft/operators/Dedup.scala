@@ -1234,4 +1234,160 @@ object Dedup {
       .filter(col("cos") > threshold)
       .select("id1", "id2")
   }
+
+  // --------------------------------------------------------------------
+  // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+  // clustering — the third embedding-dedup geometry beside the sign-prefix
+  // bucket (embeddingNearDup) and the banded-LSH recall variant
+  // (embeddingLshBandPairs). Candidates come from LEARNED cells instead of
+  // hash buckets, and the survivor rule is the paper's: within a duplicate
+  // cluster keep the member FURTHEST from its centroid (the least
+  // prototypical copy preserves the most diversity), not min id.
+  // --------------------------------------------------------------------
+
+  /** Nearest-centroid assignment, the shared first stage of the SemDeDup
+    * family: every vector gets (centroid_id, cosc) for its argmax-cosine
+    * centroid. `centroids` must carry (centroid_id, cvec) and is K rows by
+    * construction — the join broadcasts, the argmax is map-side, and the
+    * wide embedding column never shuffles. cosc is rounded to 6 dp so the
+    * argmax (and the keep rule built on it) orders identically in Spark
+    * and the DuckDB oracle — the q25 cosine-ordering discipline; ties
+    * break to the lower centroid_id.
+    */
+  private[graft] def semAssign(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    import graft.functions.Vectors
+    Relational.topOnePerGroupN(
+        embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+          .crossJoin(broadcast(centroids))
+          .withColumn("cosc", round(Vectors.cosine(col("vec"), col("cvec")), 6))
+          .drop("cvec"),
+        Seq("id"), Seq(col("cosc").desc, col("centroid_id").asc), 1)
+      .select("id", "vec", "centroid_id", "cosc")
+  }
+
+  /** Deterministic Forgy centroids: the embeddings of the `k` lowest ids,
+    * re-keyed 0..k-1 in id order — the oracle-checkable centroid seam
+    * (one `ORDER BY vec_id LIMIT k` replays it in SQL; no RNG, no
+    * iteration). Production corpora use [[semDedupAuto]]'s KMeans instead;
+    * this exists so the CLUSTERED dedup semantics (assignment, intra-cell
+    * pairs, keep rule) are pinned by a hash-exact oracle independent of
+    * how centroids are learned.
+    */
+  def firstKCentroids(
+      embeddings: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol).asc)
+    embeddings.orderBy(col(idCol).asc).limit(k)
+      .select((row_number().over(w) - 1).as("centroid_id"), col(vecCol).as("cvec"))
+  }
+
+  /** Semantic duplicate evidence: pairs within the same centroid cell with
+    * cosine above `threshold`. The intra-cell self-join rides
+    * [[guardedBandPairs]] with bucket = centroid_id (band 0): cells the
+    * corpus keeps under `maxCellSize` pair quadratically — the paper's
+    * cost, O(cell²), bounded by choosing K ≈ √n cells — while degenerate
+    * cells (replica-heavy corpora) star-collapse on the exact-vector
+    * fingerprint and sub-split on sign bits exactly like the hash-bucket
+    * tiers, with the same `lsh_bucket_guard_*` disclosure counters. Every
+    * candidate still passes the cosine gate, so the guard changes WORK,
+    * not correctness, on any pair it emits.
+    */
+  def semDedupPairs(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double,
+      maxCellSize: Int = DefaultMaxBucketSize): DataFrame =
+    semPairsFromAssign(
+      semAssign(embeddings, idCol, vecCol, centroids), threshold, maxCellSize)
+
+  private def semPairsFromAssign(
+      asg: DataFrame, threshold: Double, maxCellSize: Int): DataFrame = {
+    import graft.functions.Vectors
+    val vecs = asg.select(col("id"), col("vec"))
+    val banded = asg.select(
+      col("id"),
+      xxhash64(col("vec")).as("fp"),
+      lit(0).as("band"),
+      col("centroid_id").as("bucket"),
+      // wrapped: short vectors (< GuardSubBits dims) degrade the
+      // sub-split, never throw (the embeddingNearDupPairs rule)
+      Vectors.signBucketWrapped(col("vec"), GuardSubBits, 0).as("sub"))
+    guardedBandPairs(banded, maxCellSize)
+      .join(vecs.toDF("id1", "vec1"), Seq("id1"))
+      .join(vecs.toDF("id2", "vec2"), Seq("id2"))
+      .withColumn("cos", Vectors.cosine(col("vec1"), col("vec2")))
+      .filter(col("cos") > threshold)
+      .select("id1", "id2")
+  }
+
+  /** SemDeDup survivors: close the [[semDedupPairs]] graph transitively
+    * and keep, per duplicate cluster, the member with the LOWEST cosine to
+    * its own centroid (the paper's keep-furthest rule; 6-dp-rounded cosine
+    * then min id — deterministic and oracle-portable). Unpaired vectors
+    * survive as singletons. Returns the surviving ids as `idCol`.
+    *
+    * The assignment is computed once (lazily checkpointed) and feeds both
+    * the pair bucketing and the keep rule — at 100 TB the expensive parts
+    * are one broadcast argmax over the corpus and the intra-cell pair
+    * join; components run over the pair graph only, and the final
+    * survivor pick is one struct-min aggregation per cluster.
+    */
+  def semDedup(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double,
+      maxCellSize: Int = DefaultMaxBucketSize): DataFrame = {
+    import Ckpt.CkptOps
+    val asg = semAssign(embeddings, idCol, vecCol, centroids).lazySerCkpt
+    val comps = connectedComponents(semPairsFromAssign(asg, threshold, maxCellSize))
+    asg.join(comps, Seq("id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("id")))
+      .groupBy(col("comp"))
+      .agg(min(struct(col("cosc"), col("id"))).as("__m"))
+      .select(col("__m.id").as(idCol))
+  }
+
+  /** Production SemDeDup: centroids learned with KMeans on a bounded
+    * deterministic sample (the [[Similarity.ivfTopK]] training budget —
+    * ~64 vectors/cell, never the full corpus), K ≈ √n by default, then
+    * [[semDedup]]. The learned-centroid step is why this variant is
+    * spec-pinned rather than oracle-checked (KMeans is not replayable in
+    * SQL); the dedup semantics downstream of the centroid seam are
+    * identical to the oracle-checked [[firstKCentroids]] path — q103.
+    */
+  def semDedupAuto(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numCentroids: Int = 0,
+      seed: Long = 42L,
+      maxCellSize: Int = DefaultMaxBucketSize): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val n = embeddings.select(col(idCol)).count()
+    if (n == 0L) return embeddings.select(col(idCol))
+    val cells = if (numCentroids > 0) numCentroids else Similarity.autoNumCentroids(n)
+    val all = embeddings
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val trainTarget = cells.toLong * 64
+    val train =
+      if (n <= trainTarget) all
+      else all.sample(withReplacement = false, trainTarget.toDouble / n, seed)
+    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(5).fit(train)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("centroid_id", "cvec")
+    semDedup(embeddings, idCol, vecCol, centroids, threshold, maxCellSize)
+  }
 }

@@ -520,4 +520,87 @@ object TextAnalysis {
         (-col("__slp").cast("double") / col("__nb")).as("cross_entropy"),
         round(exp(-col("__slp").cast("double") / col("__nb")), 6).as("ppl"))
   }
+
+  /** Interpolated Kneser-Ney bigram perplexity — the smoothing family the
+    * CCNet stack actually deploys (KenLM trains modified-KN models; this
+    * is the bigram order of that family, where add-k is the classroom
+    * stand-in [[bigramLmScore]] offers):
+    *
+    *   p(w|p) = (max(c(p,w) − D, 0) + D · N1+(p·) · p_cont(w)) / c(p·)
+    *   p_cont(w) = N1+(·w) / N1+(··)
+    *
+    * with D the absolute discount. KN's point over add-k: the backoff
+    * mass goes to words in proportion to how many DISTINCT contexts they
+    * follow (continuation probability), not raw frequency — "francisco"
+    * is frequent but only ever follows "san", so KN prices it low in
+    * novel contexts where add-k overprices it.
+    *
+    * Self-trained on the scored corpus (the q92 deployment), so every
+    * scored bigram has c ≥ 1 and D < 1 keeps every term positive — no
+    * OOV branch. `discount` must be exactly binary-representable (the
+    * default 0.75 is), because the oracle interpolates it as a SQL
+    * literal and the per-position probability must be the same IEEE
+    * double in both engines: the whole expression is spelled in one
+    * fixed operation order here and in the q104 SQL, then ln → round-6 →
+    * decimal(18,6), exact per-doc sums, unrounded quotient — the q92
+    * discipline unchanged.
+    *
+    * Scale shape: identical to [[bigramLmScore]] — one tokenize pass
+    * collapsed to per-doc (p, w, cnt), model joins shuffled on (p, w),
+    * (p), and (w) (the continuation-count join is the one extra
+    * w-keyed shuffle KN costs over add-k; the N1+(··) scalar broadcasts).
+    */
+  def bigramLmScoreKn(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1); got $discount")
+    val id = col(idCol)
+    val base = docs
+      .select(id.as("__did"), wsTokens(col(textCol)).as("__t"))
+      .lazySerCkpt
+    val bi = base
+      .select(col("__did"), explode(expr(
+        """zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),
+          |         slice(__t, 2, greatest(size(__t) - 1, 0)),
+          |         (a, b) -> struct(a AS p, b AS w))""".stripMargin)).as("__bg"))
+      .select(col("__did"), col("__bg.p").as("__p"), col("__bg.w").as("__w"))
+      .filter(col("__p") =!= "" && col("__w") =!= "")
+      .groupBy(col("__did"), col("__p"), col("__w"))
+      .agg(count(lit(1)).as("__cnt"))
+      .lazySerCkpt
+    val bigramCounts = bi.groupBy(col("__p"), col("__w")).agg(sum(col("__cnt")).as("__c"))
+      .lazySerCkpt
+    // one pass per key side: (cc, n1p) share the p-grouping; n1w is the
+    // w-keyed continuation count; N1+(··) is one scalar
+    val contexts = bigramCounts.groupBy(col("__p"))
+      .agg(sum(col("__c")).as("__cc"), count(lit(1)).as("__n1p"))
+    val continuations = bigramCounts.groupBy(col("__w")).agg(count(lit(1)).as("__n1w"))
+    val n1all = bigramCounts.agg(count(lit(1)).as("__n1all"))
+    val d = lit(discount)
+    val scored = bi
+      .join(bigramCounts, Seq("__p", "__w"))
+      .join(contexts, Seq("__p"))
+      .join(continuations, Seq("__w"))
+      .crossJoin(broadcast(n1all))
+      // FIXED operation order, mirrored literally in the q104 SQL:
+      // ((c − D) + D · n1p · n1w / n1all) / cc — every intermediate is the
+      // same IEEE double in both engines, so round-6 cannot straddle
+      .withColumn("__lp",
+        round(log(
+          ((col("__c") - d) + d * col("__n1p") * col("__n1w") / col("__n1all")) /
+            col("__cc")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("__did"))
+      .agg(sum(col("__cnt")).as("__nb"), sum(col("__cnt") * col("__lp")).as("__slp"))
+    docs
+      .select(id)
+      .join(scored, id === col("__did"), "left")
+      .select(id,
+        coalesce(col("__nb"), lit(0L)).as("n_bigrams"),
+        (-col("__slp").cast("double") / col("__nb")).as("cross_entropy"),
+        round(exp(-col("__slp").cast("double") / col("__nb")), 6).as("ppl"))
+  }
 }

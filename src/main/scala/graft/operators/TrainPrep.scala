@@ -142,7 +142,16 @@ object TrainPrep {
       // full of boilerplate cannot teach the model that boilerplate is
       // normal. Ignored unless lmMaxPpl arms the gate.
       lmModel: Option[TextAnalysis.BigramLm] = None,
-      lmBroadcastModel: Boolean = false): DataFrame = {
+      lmBroadcastModel: Boolean = false,
+      // Kneser-Ney smoothing for the SELF-TRAINED gate (the KenLM/CCNet
+      // smoothing family at the bigram order — TextAnalysis
+      // .bigramLmScoreKn). Self-trained only: the model-as-data shape
+      // (lmModel) carries no continuation counts, so the two knobs are
+      // mutually exclusive by require below.
+      lmKn: Boolean = false): DataFrame = {
+    require(!(lmKn && lmModel.isDefined),
+      "lmKn applies to the self-trained gate; a fixed reference model " +
+        "(lmModel) carries no continuation counts")
     val id = obsId.incrementAndGet()
     def staged(df: DataFrame, stage: String): DataFrame =
       df.observe(s"train_prep_${id}_$stage", count(lit(1)).as("docs"))
@@ -178,6 +187,7 @@ object TrainPrep {
         val scoredDf = lmModel match {
           case Some(m) => TextAnalysis.bigramLmScoreWith(
             curated, idCol, textCol, m, broadcastModel = lmBroadcastModel)
+          case None if lmKn => TextAnalysis.bigramLmScoreKn(curated, idCol, textCol)
           case None => TextAnalysis.bigramLmScore(curated, idCol, textCol)
         }
         val kept = scoredDf

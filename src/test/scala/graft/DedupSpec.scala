@@ -903,4 +903,67 @@ class DedupSpec extends SparkSpecBase {
     assert(run(transitive = true, hash64 = false) === Seq(1L, 4L))
     assert(run(transitive = true, hash64 = true) === Seq(1L, 4L))
   }
+
+  test("firstKCentroids: the k lowest ids' vectors, re-keyed 0..k-1 in id order") {
+    val emb = Seq(
+      (7L, Array(1f, 0f)), (3L, Array(0f, 1f)), (9L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val c = Dedup.firstKCentroids(emb, "vec_id", "embedding", 2)
+      .orderBy("centroid_id").collect()
+    assert(c.map(_.getInt(0)).toSeq === Seq(0, 1))
+    assert(c(0).getSeq[Float](1) === Seq(0f, 1f)) // vec_id 3 → centroid 0
+    assert(c(1).getSeq[Float](1) === Seq(1f, 0f)) // vec_id 7 → centroid 1
+  }
+
+  test("semDedup keeps the member FURTHEST from its centroid (the paper's " +
+      "rule), not the min id; singletons survive") {
+    // centroid 0 = x-axis, centroid 1 = y-axis. ids 1..3 all assign to
+    // centroid 0 and are mutual near-dups; id 3 has the LOWEST cosine to
+    // the centroid (furthest = least prototypical) so it must be the
+    // survivor even though id 1 is the min. id 4 assigns to centroid 1,
+    // pairs with nothing, and survives as a singleton.
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("centroid_id", "cvec")
+    val emb = Seq(
+      (1L, Array(1f, 0.1f)), (2L, Array(1f, 0.3f)), (3L, Array(1f, 0.5f)),
+      (4L, Array(0.1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val surv = Dedup.semDedup(emb, "vec_id", "embedding", cents, threshold = 0.9)
+      .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(surv === Seq(3L, 4L))
+  }
+
+  test("semDedup guard: an oversized replica cell star-collapses to the " +
+      "same survivors as the plain intra-cell join") {
+    // 30 exact replicas + 3 distinct spread vectors in one cell: with
+    // maxCellSize = 5 the cell is degenerate and the fp star-collapse
+    // carries the pairs; survivors must match the unguarded run exactly
+    // (the guard changes work, not components — all replicas share one fp)
+    val cents = Seq((0, Seq(1f, 0f, 0f))).toDF("centroid_id", "cvec")
+    val rows = (1L to 30L).map(i => (i, Array(1f, 0.2f, 0f))) ++ Seq(
+      (31L, Array(1f, 0f, 0.6f)), (32L, Array(1f, 0.6f, 0f)), (33L, Array(1f, 0f, 0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    def run(cap: Int) = Dedup
+      .semDedup(emb, "vec_id", "embedding", cents, threshold = 0.99, maxCellSize = cap)
+      .collect().map(_.getLong(0)).toSet
+    val guarded = run(5)
+    val plain = run(1 << 20)
+    assert(guarded === plain)
+    // the 30 replicas collapse to ONE survivor; the three distinct vectors
+    // clear no 0.99 pairwise bar and survive
+    assert(guarded.size === 4)
+  }
+
+  test("semDedupAuto (KMeans centroids) collapses exact-duplicate groups " +
+      "to one survivor each") {
+    // exact duplicates always share a cell (identical vectors, identical
+    // assignment) and pair at cos = 1 regardless of learned centroids, so
+    // the KMeans seam can't change THIS outcome: 4 distinct values × 5
+    // copies → 4 survivors (equal cosc within a group → min id survives)
+    def base(g: Int) = Array.tabulate(8)(i => if (i == g) 1f else 0.1f)
+    val emb = (0 until 20).map(i => ((i + 1).toLong, base(i % 4))).toDF("vec_id", "embedding")
+    val surv = Dedup
+      .semDedupAuto(emb, "vec_id", "embedding", threshold = 0.999, numCentroids = 3)
+      .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(surv === Seq(1L, 2L, 3L, 4L))
+  }
 }

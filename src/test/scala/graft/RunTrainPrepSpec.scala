@@ -291,6 +291,59 @@ class RunTrainPrepSpec extends SparkSpecBase {
       "--in", "a", "--out", "b", "--lm-max-ppl", "30", "--lm-ref-broadcast")))
   }
 
+  test("--lm-kn: the gate scores with Kneser-Ney smoothing — CLI keep set " +
+      "equals the operator's own filter; flag dependencies fail at parse") {
+    // same fixture class as the add-1 gate test: nine conventional docs,
+    // one with out-of-distribution transitions; no near-dups, quality
+    // gate disarmed, so only the LM gate separates them
+    val normal = Seq(
+      1L -> "the cat sat on the mat and the dog sat on the rug",
+      2L -> "the dog ran over the hill and the cat ran into the barn",
+      3L -> "a bird sat on the fence and a cat sat under the tree",
+      4L -> "the horse ran over the field and the bird flew over the barn",
+      5L -> "a fox ran into the woods and the dog sat by the fire",
+      6L -> "the cow sat in the field and a horse sat by the gate",
+      7L -> "a mouse ran under the floor and the fox sat on the wall",
+      8L -> "the sheep ran over the bridge and a cow ran into the pen",
+      9L -> "a goat sat by the river and the mouse ran up the stairs")
+    val odd = 10L -> "plasma the of quantum a the lattice of to warp a the flux of"
+    val docs = (normal :+ odd).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lmkn").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+
+    // the pin is CLI ≡ the operator's own filter, not which doc is most
+    // perplexed: KN's continuation weighting legitimately REORDERS this
+    // corpus relative to add-1 (the odd doc's "the of"/"a the" bigrams
+    // back off through high-continuation words and price mid-pack, while
+    // conventional-but-unique transitions like "by the gate" price high)
+    // — a cut at the median keeps a both-smoothing-agnostic test honest.
+    // That reordering is ALSO asserted: under add-1 the odd doc is the
+    // corpus max (the add-1 gate test's fixture precondition); under KN
+    // it must not be, or this comment is stale.
+    val ppl = graft.operators.TextAnalysis
+      .bigramLmScoreKn(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ppl(10L) < ppl.values.max, s"KN no longer reorders: $ppl")
+    val sortedPpl = ppl.values.toSeq.sorted
+    val cut = (sortedPpl(4) + sortedPpl(5)) / 2 // between the 5th and 6th
+    val expectKept = ppl.filter(_._2 <= cut).keys.toSeq.sorted
+
+    val report = RunTrainPrep.execute(spark, RunTrainPrep.parse(Seq(
+      "--in", s"$tmp/in", "--out", s"$tmp/out",
+      "--min-quality", "0.0", "--lm-max-ppl", cut.toString, "--lm-kn")))
+    assert(report.stages("after_lm") === expectKept.length.toLong)
+    val kept = spark.read.parquet(s"$tmp/out/clean_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === expectKept)
+
+    // --lm-kn without an armed gate, or combined with a fixed reference
+    // model (no continuation counts in the model-as-data shape): parse fails
+    intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
+      "--in", "a", "--out", "b", "--lm-kn")))
+    intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
+      "--in", "a", "--out", "b", "--lm-max-ppl", "30", "--lm-kn", "--lm-ref", "p")))
+  }
+
   test("--select-target-col/--select-top-n arm the DSIR pre-stage; only the selection enters the pipeline") {
     import org.apache.spark.sql.functions.col
     // target docs are cat-themed; raw corpus mixes cat- and machine-themed.
