@@ -24,6 +24,12 @@ rm -rf /tmp/v10x
 SPARK_GRAFT_ONLY=q97_bpe_vocab,q98_bpe_encode,q99_bpe_pack,q100_select_cutoff,q101_lm_ref,q102_containment_planted \
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify /tmp/sf1 /tmp/v10x" \
   > dev/r14/verify10x.log 2>&1 || true
+# GRAFT_ORACLE_ONLY is REQUIRED for subset dumps at big SFs: oracle_check
+# runs every oracle SQL before checking the dump exists, and the
+# q67/q71-class recursive oracles are minutes-to-hours at 10x/100x
+# (learned the hard way this round: 200+ CPU-minutes on never-dumped
+# queries before the first kill)
+GRAFT_ORACLE_ONLY=q97_bpe_vocab,q98_bpe_encode,q99_bpe_pack,q100_select_cutoff,q101_lm_ref,q102_containment_planted \
 python3 dev/oracle_check.py /tmp/sf1 /tmp/v10x > dev/r14/oracle10x.log 2>&1 || true
 echo "=== B done: $(date)"
 
@@ -43,6 +49,7 @@ rm -rf /tmp/v100x
 SPARK_GRAFT_ONLY=q100_select_cutoff,q101_lm_ref SPARK_GRAFT_CPUS=32 \
 sbt -batch "runMain graft.Verify /tmp/sf10 /tmp/v100x" \
   > dev/r14/verify100x.log 2>&1 || true
+GRAFT_ORACLE_ONLY=q100_select_cutoff,q101_lm_ref \
 python3 dev/oracle_check.py /tmp/sf10 /tmp/v100x > dev/r14/oracle100x.log 2>&1 || true
 echo "=== E done: $(date)"
 echo CAMPAIGN_COMPLETE

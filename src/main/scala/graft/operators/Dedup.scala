@@ -1371,23 +1371,10 @@ object Dedup {
       numCentroids: Int = 0,
       seed: Long = 42L,
       maxCellSize: Int = DefaultMaxBucketSize): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val n = embeddings.select(col(idCol)).count()
     if (n == 0L) return embeddings.select(col(idCol))
     val cells = if (numCentroids > 0) numCentroids else Similarity.autoNumCentroids(n)
-    val all = embeddings
-      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val trainTarget = cells.toLong * 64
-    val train =
-      if (n <= trainTarget) all
-      else all.sample(withReplacement = false, trainTarget.toDouble / n, seed)
-    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(5).fit(train)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
-      .toSeq.toDF("centroid_id", "cvec")
+    val centroids = Similarity.trainCentroids(embeddings, vecCol, cells, n, seed)
     semDedup(embeddings, idCol, vecCol, centroids, threshold, maxCellSize)
   }
 }

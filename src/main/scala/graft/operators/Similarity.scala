@@ -64,6 +64,36 @@ object Similarity {
     * trains on a bounded deterministic sample (~64 vectors per cell, the
     * usual IVF training budget) — never the full corpus.
     */
+  /** KMeans centroid learning shared by [[ivfTopK]] and
+    * [[Dedup.semDedupAuto]]: a bounded deterministic training sample
+    * (~64 vectors per cell — the usual IVF training budget, never the
+    * full corpus), 5 iterations, fixed seed; returns the
+    * (centroid_id, cvec) frame every assignment step consumes. One
+    * definition so the training budget and determinism knobs cannot
+    * drift between the ANN and the semantic-dedup tiers (the Ckpt-helper
+    * lesson, ADVICE r13).
+    */
+  private[operators] def trainCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      cells: Int,
+      corpusSize: Long,
+      seed: Long): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val all = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val trainTarget = cells.toLong * 64
+    val train =
+      if (corpusSize <= trainTarget) all
+      else all.sample(withReplacement = false, trainTarget.toDouble / corpusSize, seed)
+    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(5).fit(train)
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("centroid_id", "cvec")
+  }
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -73,22 +103,9 @@ object Similarity {
       numCentroids: Int = 0,
       nProbe: Int = 4,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
     val n = corpus.select(col(idCol)).count() // footer-only parquet count
     val cells = if (numCentroids > 0) numCentroids else autoNumCentroids(n)
-    val all = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val trainTarget = cells.toLong * 64
-    val train =
-      if (n <= trainTarget) all
-      else all.sample(withReplacement = false, trainTarget.toDouble / n, seed)
-    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(5).fit(train)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
-      .toSeq.toDF("centroid_id", "cvec")
+    val centroids = trainCentroids(corpus, vecCol, cells, n, seed)
 
     def assign(df: DataFrame, id: String, vec: String, topN: Int): DataFrame =
       Relational.topOnePerGroupN(
