@@ -17,6 +17,8 @@ import graft.sink.ParquetSink
   *   [--min-quality 0.3] [--bands 4] [--rows-per-band 4] [--jaccard 0.6]
   *   [--contain 0.8] [--substring-k 8] [--max-candidates 4096]
   *   [--lm-max-ppl X [--lm-kn | --lm-ref <path> [--lm-ref-broadcast]]]
+  *   [--embeddings <parquet> --sem-threshold X [--sem-centroids K]
+  *    [--sem-max-cell N] [--embed-id-col vec_id] [--embed-vec-col embedding]]
   *   [--select-target-col C (--select-top-n N |
   *     --select-frac F) [--select-buckets 1024]] [--table clean_corpus]
   *   [--pack-capacity N [--pack-shard lang] [--pack-shard-buckets 64]
@@ -78,6 +80,17 @@ object RunTrainPrep {
       // order). Mutually exclusive with --lm-ref: the model-as-data
       // shape carries no continuation counts
       lmKn: Boolean = false,
+      // --embeddings <path> --sem-threshold X arm the SemDeDup stage
+      // (Dedup.semDedupAuto over the curated survivors' embeddings,
+      // joined on --embed-id-col = the doc id; stage `after_sem`).
+      // --sem-centroids 0 derives K ≈ √n; --sem-max-cell guards
+      // degenerate cells via the star-collapse
+      semEmbeddings: Option[String] = None,
+      semThreshold: Option[Double] = None,
+      semCentroids: Int = 0,
+      semMaxCell: Int = graft.operators.Dedup.DefaultMaxBucketSize,
+      embIdCol: String = "vec_id",
+      embVecCol: String = "embedding",
       // --select-target-col C --select-top-n N arm the DSIR
       // importance-selection PRE-stage (Sampling.importanceSelect): the
       // input corpus is ranked by how target-domain-like its hashed
@@ -132,6 +145,12 @@ object RunTrainPrep {
       case "--lm-ref" :: v :: t => loop(t, cfg.copy(lmRef = Some(v)))
       case "--lm-ref-broadcast" :: t => loop(t, cfg.copy(lmRefBroadcast = true))
       case "--lm-kn" :: t => loop(t, cfg.copy(lmKn = true))
+      case "--embeddings" :: v :: t => loop(t, cfg.copy(semEmbeddings = Some(v)))
+      case "--sem-threshold" :: v :: t => loop(t, cfg.copy(semThreshold = Some(v.toDouble)))
+      case "--sem-centroids" :: v :: t => loop(t, cfg.copy(semCentroids = v.toInt))
+      case "--sem-max-cell" :: v :: t => loop(t, cfg.copy(semMaxCell = v.toInt))
+      case "--embed-id-col" :: v :: t => loop(t, cfg.copy(embIdCol = v))
+      case "--embed-vec-col" :: v :: t => loop(t, cfg.copy(embVecCol = v))
       case "--select-target-col" :: v :: t => loop(t, cfg.copy(selectTargetCol = Some(v)))
       case "--select-top-n" :: v :: t => loop(t, cfg.copy(selectTopN = Some(v.toInt)))
       case "--select-frac" :: v :: t => loop(t, cfg.copy(selectFrac = Some(v.toDouble)))
@@ -169,6 +188,15 @@ object RunTrainPrep {
     require(!(cfg.lmKn && cfg.lmRef.isDefined),
       "--lm-kn applies to the self-trained gate; a fixed reference model " +
         "carries no continuation counts")
+    require(cfg.semEmbeddings.isDefined == cfg.semThreshold.isDefined,
+      "SemDeDup needs both --embeddings and --sem-threshold " +
+        "(one without the other would silently skip the stage)")
+    cfg.semThreshold.foreach(t =>
+      require(t > -1.0 && t < 1.0, s"--sem-threshold must be a cosine in (-1, 1); got $t"))
+    require(cfg.semCentroids >= 0,
+      s"--sem-centroids must be >= 0 (0 derives sqrt(n)); got ${cfg.semCentroids}")
+    require(cfg.semMaxCell > 0,
+      s"--sem-max-cell must be positive; got ${cfg.semMaxCell}")
     // dependent pair: selection needs both the target definition and the
     // budget — one without the other would silently select nothing or
     // everything while the user believes DSIR ran. The budget is EITHER a
@@ -269,13 +297,26 @@ object RunTrainPrep {
             s"(found: ${ref.columns.mkString(", ")})")
         graft.operators.TextAnalysis.trainBigramLm(ref, cfg.textCol)
       }
+      // SemDeDup stage input: one read, column presence checked up front
+      // (the --lm-ref discipline — fail before the expensive scan)
+      val semEmb = cfg.semEmbeddings.map { path =>
+        val emb = spark.read.parquet(path)
+        for (c <- Seq(cfg.embIdCol, cfg.embVecCol))
+          require(emb.columns.contains(c),
+            s"--embeddings table must carry column $c " +
+              s"(found: ${emb.columns.mkString(", ")})")
+        emb
+      }
       val clean = TrainPrep.pipeline(docs, cfg.idCol, cfg.textCol,
         hash64 = cfg.hash64, minQuality = cfg.minQuality, bands = cfg.bands,
         rowsPerBand = cfg.rowsPerBand, jaccardThreshold = cfg.jaccard,
         containThreshold = cfg.contain, substringK = cfg.substringK,
         maxCandidatesPerDoc = cfg.maxCandidates, lmMaxPpl = cfg.lmMaxPpl,
         lmModel = lmModel, lmBroadcastModel = cfg.lmRefBroadcast,
-        lmKn = cfg.lmKn)
+        lmKn = cfg.lmKn,
+        embeddings = semEmb, semThreshold = cfg.semThreshold,
+        semCentroids = cfg.semCentroids, semMaxCell = cfg.semMaxCell,
+        embIdCol = cfg.embIdCol, embVecCol = cfg.embVecCol)
       val sink = new ParquetSink(cfg.out)
       sink.overwrite(cfg.table, clean)
       // optional BPE tokenizer tail (VERDICT r13 next #2): learn the
@@ -356,7 +397,8 @@ object RunTrainPrep {
     } finally mc.close()
   }
 
-  private val StageOrder = Seq("input", "curated", "after_lm", "after_contain", "clean")
+  private val StageOrder =
+    Seq("input", "curated", "after_sem", "after_lm", "after_contain", "clean")
 
   def main(args: Array[String]): Unit = {
     val cfg = parse(args.toSeq)

@@ -1371,6 +1371,9 @@ object Dedup {
       numCentroids: Int = 0,
       seed: Long = 42L,
       maxCellSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(numCentroids == 0 || numCentroids >= 2,
+      s"numCentroids must be 0 (derive ~sqrt(n)) or >= 2 (Spark ML KMeans " +
+        s"rejects k = 1); got $numCentroids")
     val n = embeddings.select(col(idCol)).count()
     if (n == 0L) return embeddings.select(col(idCol))
     val cells = if (numCentroids > 0) numCentroids else Similarity.autoNumCentroids(n)

@@ -12,6 +12,15 @@ import Ckpt.CkptOps
   *
   *   1. [[Curation.pipeline]] (transitive) — exact dedup, quality/language
   *      gates, near-dup removal with min-id survivorship per component.
+  *   1a. (optional, `embeddings` + `semThreshold`) SemDeDup semantic
+  *      dedup — [[Dedup.semDedupAuto]] over the curated survivors'
+  *      embeddings (an EXTERNAL (id, vector) table joined on the doc id);
+  *      docs whose embedding loses its semantic cluster drop. Runs right
+  *      after curation: it is a dedup, and dedup-before-model-training is
+  *      the SemDeDup/CCNet order — semantic replica clusters would
+  *      otherwise skew the 1b model exactly like textual ones. Docs with
+  *      NO embedding row carry no semantic evidence and are KEPT (the
+  *      1b short-doc rule).
   *   1b. (optional, `lmMaxPpl`) CCNet-family perplexity gate —
   *      [[TextAnalysis.bigramLmScore]] trained on the curated corpus,
   *      docs above the perplexity ceiling dropped. Runs after curation so
@@ -148,10 +157,22 @@ object TrainPrep {
       // .bigramLmScoreKn). Self-trained only: the model-as-data shape
       // (lmModel) carries no continuation counts, so the two knobs are
       // mutually exclusive by require below.
-      lmKn: Boolean = false): DataFrame = {
+      lmKn: Boolean = false,
+      // SemDeDup stage 1a: the (embIdCol, embVecCol) table of per-doc
+      // embeddings, joined to the curated survivors on the doc id. Armed
+      // only when BOTH embeddings and semThreshold are supplied.
+      embeddings: Option[DataFrame] = None,
+      semThreshold: Option[Double] = None,
+      semCentroids: Int = 0,
+      semMaxCell: Int = Dedup.DefaultMaxBucketSize,
+      embIdCol: String = "vec_id",
+      embVecCol: String = "embedding"): DataFrame = {
     require(!(lmKn && lmModel.isDefined),
       "lmKn applies to the self-trained gate; a fixed reference model " +
         "(lmModel) carries no continuation counts")
+    require(embeddings.isDefined == semThreshold.isDefined,
+      "SemDeDup needs both the embeddings table and semThreshold " +
+        "(one without the other would silently skip the stage)")
     val id = obsId.incrementAndGet()
     def staged(df: DataFrame, stage: String): DataFrame =
       df.observe(s"train_prep_${id}_$stage", count(lit(1)).as("docs"))
@@ -182,20 +203,38 @@ object TrainPrep {
     // stage prices their shingles. Docs with <2 tokens carry no LM
     // evidence (null ppl) and are KEPT: the quality gate already judged
     // them, and a perplexity filter has nothing to say about one token.
+    // optional SemDeDup stage (1a): semantic dedup over the CURATED
+    // survivors' embeddings — replica clusters are already gone, so the
+    // semantic pass prices genuinely-distinct-text-same-meaning docs,
+    // which is the one redundancy no textual stage above can see. Docs
+    // with no embedding row ride through (no semantic evidence ≠ drop).
+    val semKept = (embeddings, semThreshold) match {
+      case (Some(emb), Some(thr)) =>
+        val universe = emb
+          .select(col(embIdCol).as(idCol), col(embVecCol).as("__vec"))
+          .join(curated.select(idCol), Seq(idCol), "left_semi")
+        val survivors = Dedup.semDedupAuto(universe, idCol, "__vec", thr,
+          numCentroids = semCentroids, maxCellSize = semMaxCell)
+        val dropped = universe.select(idCol)
+          .join(survivors, Seq(idCol), "left_anti")
+        staged(curated.join(dropped, Seq(idCol), "left_anti"), "after_sem")
+          .eagerSerCkpt
+      case _ => curated
+    }
     val lmKept = lmMaxPpl match {
       case Some(maxPpl) =>
         val scoredDf = lmModel match {
           case Some(m) => TextAnalysis.bigramLmScoreWith(
-            curated, idCol, textCol, m, broadcastModel = lmBroadcastModel)
-          case None if lmKn => TextAnalysis.bigramLmScoreKn(curated, idCol, textCol)
-          case None => TextAnalysis.bigramLmScore(curated, idCol, textCol)
+            semKept, idCol, textCol, m, broadcastModel = lmBroadcastModel)
+          case None if lmKn => TextAnalysis.bigramLmScoreKn(semKept, idCol, textCol)
+          case None => TextAnalysis.bigramLmScore(semKept, idCol, textCol)
         }
         val kept = scoredDf
           .filter(col("ppl") <= maxPpl || col("ppl").isNull)
           .select(idCol)
-        staged(curated.join(kept, Seq(idCol), "left_semi"), "after_lm")
+        staged(semKept.join(kept, Seq(idCol), "left_semi"), "after_lm")
           .eagerSerCkpt
-      case None => curated
+      case None => semKept
     }
     val pairs = Dedup.containmentPairs(lmKept, idCol, textCol,
         threshold = containThreshold, maxCandidatesPerDoc = maxCandidatesPerDoc)

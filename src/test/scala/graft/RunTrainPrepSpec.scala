@@ -344,6 +344,53 @@ class RunTrainPrepSpec extends SparkSpecBase {
       "--in", "a", "--out", "b", "--lm-max-ppl", "30", "--lm-kn", "--lm-ref", "p")))
   }
 
+  test("--embeddings/--sem-threshold arm the SemDeDup stage: semantic " +
+      "replicas collapse to one survivor, no-embedding docs ride through") {
+    // six unique plain-English docs (curation keeps all); an EXTERNAL
+    // embedding table where docs 1-3 are semantic replicas (near-collinear
+    // vectors), 4-5 distinct, and 6 has NO embedding row at all. The
+    // stage must drop exactly two of {1,2,3} — whichever two sit closer
+    // to the learned centroid — and must not touch 4, 5, or 6.
+    val docs = Seq(
+      1L -> "the cat sat on the mat and the dog sat on the rug",
+      2L -> "the dog ran over the hill and the cat ran into the barn",
+      3L -> "a bird sat on the fence and a cat sat under the tree",
+      4L -> "the horse ran over the field and the bird flew over the barn",
+      5L -> "a fox ran into the woods and the dog sat by the fire",
+      6L -> "the cow sat in the field and a horse sat by the gate")
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      1L -> Array(1f, 0f, 0f), 2L -> Array(1f, 0.01f, 0f),
+      3L -> Array(1f, 0.02f, 0f), 4L -> Array(0f, 1f, 0f),
+      5L -> Array(0f, 0f, 1f))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semstage").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    emb.coalesce(1).write.mode("overwrite").parquet(s"$tmp/emb")
+
+    val report = RunTrainPrep.execute(spark, RunTrainPrep.parse(Seq(
+      "--in", s"$tmp/in", "--out", s"$tmp/out", "--min-quality", "0.0",
+      "--embeddings", s"$tmp/emb", "--sem-threshold", "0.999",
+      "--sem-centroids", "2")))
+    assert(report.stages("curated") === 6L)
+    assert(report.stages("after_sem") === 4L)
+    val kept = spark.read.parquet(s"$tmp/out/clean_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Set(4L, 5L, 6L).subsetOf(kept))
+    assert((kept & Set(1L, 2L, 3L)).size === 1)
+
+    // default-off, and half-armed configurations fail at parse
+    val off = RunTrainPrep.execute(spark, RunTrainPrep.parse(Seq(
+      "--in", s"$tmp/in", "--out", s"$tmp/out_off", "--min-quality", "0.0")))
+    assert(!off.stages.contains("after_sem") && off.stages("clean") === 6L)
+    intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
+      "--in", "a", "--out", "b", "--embeddings", "p")))
+    intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
+      "--in", "a", "--out", "b", "--sem-threshold", "0.9")))
+    intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
+      "--in", "a", "--out", "b", "--embeddings", "p", "--sem-threshold", "1.5")))
+  }
+
   test("--select-target-col/--select-top-n arm the DSIR pre-stage; only the selection enters the pipeline") {
     import org.apache.spark.sql.functions.col
     // target docs are cat-themed; raw corpus mixes cat- and machine-themed.
