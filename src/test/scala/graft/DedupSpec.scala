@@ -953,6 +953,30 @@ class DedupSpec extends SparkSpecBase {
     assert(guarded.size === 4)
   }
 
+  test("semDedupPairs shuffles thin (id, fp, cell) rows, never vectors") {
+    // the 100 TB rule the sign-bucket tier pins at line ~318, applied to
+    // the clustered tier: the intra-cell candidate exchange must carry
+    // only the thin banded columns — vectors join back per surviving pair
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("centroid_id", "cvec")
+    val emb = (0L until 60L).map(i => (i, Array((i % 3).toFloat + 1f, (i % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pairs = Dedup.semDedupPairs(emb, "vec_id", "embedding", cents, threshold = 0.999)
+      val exchanges = pairs.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name)
+        assert(!(names.contains("bucket") &&
+            names.exists(n => n.startsWith("vec") || n == "embedding")),
+          s"candidate shuffle carries vectors: $names")
+      }
+      assert(pairs.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("semDedupAuto (KMeans centroids) collapses exact-duplicate groups " +
       "to one survivor each") {
     // exact duplicates always share a cell (identical vectors, identical
