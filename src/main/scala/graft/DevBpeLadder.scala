@@ -36,9 +36,12 @@ object DevBpeLadder {
       k -> rows.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     }
     for (Seq((ka, a), (kb, b)) <- tables.combinations(2)) {
-      val same = a == b
-      println(s"BPE_LADDER identity batchK=$ka vs batchK=$kb: " +
-        (if (same) "IDENTICAL" else s"DIVERGED (${a.zip(b).indexWhere(p => p._1 != p._2)})"))
+      val detail =
+        if (a == b) "IDENTICAL"
+        else if (a.length != b.length && a.zip(b).forall(p => p._1 == p._2))
+          s"DIVERGED (length ${a.length} vs ${b.length}, common prefix equal)"
+        else s"DIVERGED (first mismatch at ${a.zip(b).indexWhere(p => p._1 != p._2)})"
+      println(s"BPE_LADDER identity batchK=$ka vs batchK=$kb: $detail")
     }
     spark.stop()
   }

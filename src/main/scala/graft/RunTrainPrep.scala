@@ -193,8 +193,9 @@ object RunTrainPrep {
         "(one without the other would silently skip the stage)")
     cfg.semThreshold.foreach(t =>
       require(t > -1.0 && t < 1.0, s"--sem-threshold must be a cosine in (-1, 1); got $t"))
-    require(cfg.semCentroids >= 0,
-      s"--sem-centroids must be >= 0 (0 derives sqrt(n)); got ${cfg.semCentroids}")
+    require(cfg.semCentroids == 0 || cfg.semCentroids >= 2,
+      "--sem-centroids must be 0 (derive ~sqrt(n)) or >= 2 (Spark ML " +
+        s"KMeans rejects k = 1); got ${cfg.semCentroids}")
     require(cfg.semMaxCell > 0,
       s"--sem-max-cell must be positive; got ${cfg.semMaxCell}")
     // dependent pair: selection needs both the target definition and the

@@ -301,15 +301,8 @@ object Bpe {
   def vocabulary(
       docs: DataFrame,
       textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    // lazy checkpoint (the encode() discipline): vocabulary0 feeds the
-    // merged frame into an explode + distinct + ranking window, and the
-    // interpreted merge-fold chain must MATERIALIZE once rather than
-    // re-evaluate inside whatever plan shape the consumer builds
-    // (measured at 10x: 71 s -> vocab-scale seconds with the checkpoint)
-    import Ckpt.CkptOps
-    vocabulary0(mergedWords(docs, textCol, merges).lazySerCkpt)
-  }
+      merges: Seq[(String, String)]): DataFrame =
+    vocabulary0(mergedWordsCkpt(docs, textCol, merges))
 
   /** Encode the corpus: per doc, the BPE token-id SEQUENCE (in token
     * order, each word's subwords in left-to-right order) under a learned
@@ -335,7 +328,7 @@ object Bpe {
       idCol: String,
       textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val merged = mergedWords(docs, textCol, merges).lazySerCkpt
+    val merged = mergedWordsCkpt(docs, textCol, merges)
     val voc = vocabulary0(merged)
     // word -> ordered token-id array, assembled on the vocab-scale frame
     val wordIds = merged
@@ -362,13 +355,20 @@ object Bpe {
   }
 
   /** Shared [[vocabulary]]/[[encode]] prefix: distinct corpus words with
-    * their merged symbol arrays.
+    * their merged symbol arrays, MATERIALIZED exactly once. Short merge
+    * lists (≤ one [[applyMergesChunked]] chunk) come back as a pure plan
+    * whose interpreted fold chain would re-evaluate per consumer
+    * reference (measured at 10×: q97 71 s → 8.5 s) — lazy-checkpoint
+    * those; longer lists already END in applyMergesChunked's eager
+    * checkpoint, where a second wrapper would pin a redundant full copy
+    * of the vocab table for the session.
     */
-  private def mergedWords(
+  private def mergedWordsCkpt(
       docs: DataFrame,
       textCol: String,
-      merges: Seq[(String, String)]): DataFrame =
-    applyMergesChunked(
+      merges: Seq[(String, String)]): DataFrame = {
+    import Ckpt.CkptOps
+    val merged = applyMergesChunked(
       docs
         .select(explode(TextAnalysis.wsTokens(col(textCol))).as("__w"))
         .filter(col("__w") =!= "")
@@ -376,6 +376,8 @@ object Bpe {
         .withColumn("__syms",
           expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))")),
       merges)
+    if (merges.lengthCompare(ApplyCkptEvery) <= 0) merged.lazySerCkpt else merged
+  }
 
   /** [[vocabulary]] over an already-merged word frame (avoids re-running
     * the merge folds when [[encode]] needs both).

@@ -1302,14 +1302,23 @@ object Dedup {
       vecCol: String,
       centroids: DataFrame,
       threshold: Double,
-      maxCellSize: Int = DefaultMaxBucketSize): DataFrame =
+      maxCellSize: Int = DefaultMaxBucketSize): DataFrame = {
+    import Ckpt.CkptOps
+    // the assignment is a corpus-wide crossJoin argmax: checkpoint it on
+    // the public pair path too (semDedup checkpoints its own copy), or
+    // guardedBandPairs' branches and the two vector join-backs re-run it
     semPairsFromAssign(
-      semAssign(embeddings, idCol, vecCol, centroids), threshold, maxCellSize)
+      semAssign(embeddings, idCol, vecCol, centroids).lazySerCkpt,
+      threshold, maxCellSize)
+  }
 
   private def semPairsFromAssign(
       asg: DataFrame, threshold: Double, maxCellSize: Int): DataFrame = {
     import graft.functions.Vectors
     val vecs = asg.select(col("id"), col("vec"))
+    // thin-row checkpoint before the guard (the embeddingNearDupPairs /
+    // embeddingLshBandPairs rule): guardedBandPairs reads `banded` in its
+    // oversized/normal/sub branches — materialize the 5 thin columns once
     val banded = asg.select(
       col("id"),
       xxhash64(col("vec")).as("fp"),
@@ -1318,6 +1327,7 @@ object Dedup {
       // wrapped: short vectors (< GuardSubBits dims) degrade the
       // sub-split, never throw (the embeddingNearDupPairs rule)
       Vectors.signBucketWrapped(col("vec"), GuardSubBits, 0).as("sub"))
+      .localCheckpoint(false)
     guardedBandPairs(banded, maxCellSize)
       .join(vecs.toDF("id1", "vec1"), Seq("id1"))
       .join(vecs.toDF("id2", "vec2"), Seq("id2"))

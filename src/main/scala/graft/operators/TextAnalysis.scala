@@ -356,6 +356,28 @@ object TextAnalysis {
     * probes are pre-aggregated per doc, which bounds any one key's rows
     * by the doc count, and AQE skew-join covers the rest.
     */
+  /** Per-doc adjacent-bigram counts over a (__did, __t) tokenized frame —
+    * the ONE derivation every LM operator (add-1 self-trained, fixed-
+    * reference, Kneser-Ney) and its oracle mirror builds on: one zip of
+    * the token array against its own tail (no per-doc window, no
+    * positional self-join), empty tokens filtered, positions collapsed
+    * immediately to (__did, __p, __w, __cnt) — same-(doc, p, w) positions
+    * are interchangeable for both models and scores. One definition so a
+    * tokenization or empty-token fix cannot silently desynchronize a
+    * subset of the gates.
+    */
+  private def docBigramCounts(
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    base
+      .select(col("__did"), explode(expr(
+        """zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),
+          |         slice(__t, 2, greatest(size(__t) - 1, 0)),
+          |         (a, b) -> struct(a AS p, b AS w))""".stripMargin)).as("__bg"))
+      .select(col("__did"), col("__bg.p").as("__p"), col("__bg.w").as("__w"))
+      .filter(col("__p") =!= "" && col("__w") =!= "")
+      .groupBy(col("__did"), col("__p"), col("__w"))
+      .agg(count(lit(1)).as("__cnt"))
+
   def bigramLmScore(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String,
@@ -372,20 +394,7 @@ object TextAnalysis {
       .select(explode(col("__t")).as("__w"))
       .filter(col("__w") =!= "")
       .agg(count_distinct(col("__w")).as("__v"))
-    // adjacent pairs via one zip of the array against its own tail — no
-    // per-doc window, no positional self-join; collapsed to per-doc counts
-    // immediately (positions with the same (doc, p, w) are interchangeable
-    // for both the model and the score)
-    val bi = base
-      .select(col("__did"), explode(expr(
-        """zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),
-          |         slice(__t, 2, greatest(size(__t) - 1, 0)),
-          |         (a, b) -> struct(a AS p, b AS w))""".stripMargin)).as("__bg"))
-      .select(col("__did"), col("__bg.p").as("__p"), col("__bg.w").as("__w"))
-      .filter(col("__p") =!= "" && col("__w") =!= "")
-      .groupBy(col("__did"), col("__p"), col("__w"))
-      .agg(count(lit(1)).as("__cnt"))
-      .lazySerCkpt
+    val bi = docBigramCounts(base).lazySerCkpt
     val bigramCounts = bi.groupBy(col("__p"), col("__w")).agg(sum(col("__cnt")).as("__c"))
     val contextCounts = bigramCounts.groupBy(col("__p")).agg(sum(col("__c")).as("__cc"))
     val scored = bi
@@ -445,14 +454,12 @@ object TextAnalysis {
       .filter(col("__w") =!= "")
       .agg(count_distinct(col("__w")))
       .collect()(0).getLong(0)
-    val bigrams = base
-      .select(explode(expr(
-        """zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),
-          |         slice(__t, 2, greatest(size(__t) - 1, 0)),
-          |         (a, b) -> struct(a AS p, b AS w))""".stripMargin)).as("__bg"))
-      .select(col("__bg.p").as("p"), col("__bg.w").as("w"))
-      .filter(col("p") =!= "" && col("w") =!= "")
-      .groupBy(col("p"), col("w")).agg(count(lit(1)).as("c"))
+    // corpus-level counts through the shared per-doc derivation (a
+    // constant __did makes docBigramCounts' (did, p, w) grouping the
+    // (p, w) grouping; Catalyst's partial aggregation sees one key)
+    val bigrams = docBigramCounts(base.withColumn("__did", lit(0L)))
+      .groupBy(col("__p").as("p"), col("__w").as("w"))
+      .agg(sum(col("__cnt")).as("c"))
     val contexts = bigrams.groupBy(col("p")).agg(sum(col("c")).as("cc"))
     BigramLm(bigrams, contexts, vocabSize)
   }
@@ -483,16 +490,8 @@ object TextAnalysis {
     val id = col(idCol)
     val hint = (df: org.apache.spark.sql.DataFrame) =>
       if (broadcastModel) broadcast(df) else df
-    val bi = docs
-      .select(id.as("__did"), wsTokens(col(textCol)).as("__t"))
-      .select(col("__did"), explode(expr(
-        """zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),
-          |         slice(__t, 2, greatest(size(__t) - 1, 0)),
-          |         (a, b) -> struct(a AS p, b AS w))""".stripMargin)).as("__bg"))
-      .select(col("__did"), col("__bg.p").as("__p"), col("__bg.w").as("__w"))
-      .filter(col("__p") =!= "" && col("__w") =!= "")
-      .groupBy(col("__did"), col("__p"), col("__w"))
-      .agg(count(lit(1)).as("__cnt"))
+    val bi = docBigramCounts(
+      docs.select(id.as("__did"), wsTokens(col(textCol)).as("__t")))
     // rename the model's columns before joining: contexts DERIVES from
     // bigrams, so their `p` attributes share expression ids — joining the
     // raw frames would make the second condition ambiguous/trivial
@@ -561,16 +560,7 @@ object TextAnalysis {
     val base = docs
       .select(id.as("__did"), wsTokens(col(textCol)).as("__t"))
       .lazySerCkpt
-    val bi = base
-      .select(col("__did"), explode(expr(
-        """zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),
-          |         slice(__t, 2, greatest(size(__t) - 1, 0)),
-          |         (a, b) -> struct(a AS p, b AS w))""".stripMargin)).as("__bg"))
-      .select(col("__did"), col("__bg.p").as("__p"), col("__bg.w").as("__w"))
-      .filter(col("__p") =!= "" && col("__w") =!= "")
-      .groupBy(col("__did"), col("__p"), col("__w"))
-      .agg(count(lit(1)).as("__cnt"))
-      .lazySerCkpt
+    val bi = docBigramCounts(base).lazySerCkpt
     val bigramCounts = bi.groupBy(col("__p"), col("__w")).agg(sum(col("__cnt")).as("__c"))
       .lazySerCkpt
     // one pass per key side: (cc, n1p) share the p-grouping; n1w is the

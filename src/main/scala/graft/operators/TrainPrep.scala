@@ -210,9 +210,13 @@ object TrainPrep {
     // with no embedding row ride through (no semantic evidence ≠ drop).
     val semKept = (embeddings, semThreshold) match {
       case (Some(emb), Some(thr)) =>
+        // checkpointed: semDedupAuto reads it three times (corpus count,
+        // KMeans training sample, assignment scan) — one embeddings read
+        // + semi-join instead of three
         val universe = emb
           .select(col(embIdCol).as(idCol), col(embVecCol).as("__vec"))
           .join(curated.select(idCol), Seq(idCol), "left_semi")
+          .lazySerCkpt
         val survivors = Dedup.semDedupAuto(universe, idCol, "__vec", thr,
           numCentroids = semCentroids, maxCellSize = semMaxCell)
         val dropped = universe.select(idCol)
