@@ -258,6 +258,58 @@ object OracleSql {
       |  SELECT doc_id FROM dropped UNION SELECT doc_id FROM lmdrop)"""
       .stripMargin.replace("__LMMAXPPL__", maxPpl)
 
+  /** q105's SemDeDup-gate CTE block (between the curation closure and the
+    * containment tail — the [[lmGateSql]] pattern for the embedding
+    * modality): the q103 semantic-dedup mirror restricted to the CURATED
+    * corpus's embeddings, ending in `semexcl` = closure drops ∪ semantic
+    * drops. Docs with no embedding row never enter `semuni`, so they are
+    * kept — the engine's no-evidence rule. Closure CTE names are
+    * sem-prefixed (the WITH RECURSIVE list already holds the curation
+    * closure's `reach`). Multi-reference CTEs are MATERIALIZED inline.
+    */
+  private def semGateSql(k: Int, threshold: String): String =
+    s"""semuni AS MATERIALIZED (SELECT e.vec_id AS doc_id, e.embedding AS vec
+      |  FROM embeddings e JOIN gated g ON g.doc_id = e.vec_id
+      |  WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = e.vec_id)),
+      |semc AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+      |         embedding AS cvec
+      |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
+      |semscored AS (
+      |  SELECT u.doc_id, u.vec, c.centroid_id,
+      |         round(${cosSql("u.vec", "c.cvec")}, 6) AS cosc
+      |  FROM semuni u CROSS JOIN semc c),
+      |semasg AS MATERIALIZED (
+      |  SELECT doc_id, vec, centroid_id, cosc FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY cosc DESC, centroid_id ASC) AS rn FROM semscored)
+      |  WHERE rn = 1),
+      |sempairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM semasg a JOIN semasg b
+      |    ON a.centroid_id = b.centroid_id AND a.doc_id < b.doc_id
+      |  WHERE ${cosSql("a.vec", "b.vec")} > $threshold),
+      |semedges AS (SELECT id1 AS a, id2 AS e2 FROM sempairs
+      |  UNION SELECT id2, id1 FROM sempairs),
+      |semreach AS (
+      |  SELECT a AS id, e2 AS r FROM semedges
+      |  UNION
+      |  SELECT semreach.id, e.e2 FROM semreach JOIN semedges e ON semreach.r = e.a),
+      |semcomp AS (SELECT id, least(id, min(r)) AS comp FROM semreach GROUP BY id),
+      |semlab AS (
+      |  SELECT semasg.doc_id, semasg.cosc,
+      |         coalesce(semcomp.comp, semasg.doc_id) AS comp
+      |  FROM semasg LEFT JOIN semcomp ON semasg.doc_id = semcomp.id),
+      |semkeep AS (SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (PARTITION BY comp
+      |      ORDER BY cosc ASC, doc_id ASC) AS rn FROM semlab)
+      |  WHERE rn = 1),
+      |semdrop AS (SELECT u.doc_id FROM semuni u
+      |  WHERE NOT EXISTS (SELECT 1 FROM semkeep s WHERE s.doc_id = u.doc_id)),
+      |semexcl AS MATERIALIZED (
+      |  SELECT doc_id FROM dropped UNION SELECT doc_id FROM semdrop)"""
+      .stripMargin
+
   /** q95/q96 shared BPE mirror: word counts → char-symbol arrays → one
     * (pair-count, argmax, recursive greedy-merge) stage per iteration.
     * Every stage CTE that is read more than once is MATERIALIZED (the
@@ -838,6 +890,16 @@ object OracleSql {
     "q94_train_prep_lm" -> capped(materializedPrep(
       "WITH RECURSIVE " + CurationPrefixSql + ",\n" + CurationClosureSql +
       ",\n" + lmGateSql("31.0") + ",\n" + prepTailSql("lmexcl") +
+      "\nSELECT doc_id, clean_text FROM clean ORDER BY doc_id")),
+
+    // q73 with the SemDeDup stage armed (Forgy centroids, threshold .35):
+    // the q103 semantic-dedup mirror over the curated survivors'
+    // embeddings slots between the curation closure and the containment
+    // tail; the tail's exclusion set becomes closure ∪ semantic drops —
+    // the q94 stitching pattern for the embedding modality.
+    "q105_train_prep_sem" -> capped(materializedPrep(
+      "WITH RECURSIVE " + CurationPrefixSql + ",\n" + CurationClosureSql +
+      ",\n" + semGateSql(8, "0.35") + ",\n" + prepTailSql("semexcl") +
       "\nSELECT doc_id, clean_text FROM clean ORDER BY doc_id")),
 
     // prep -> pack: the clean corpus (q73's CTEs verbatim) re-tokenized

@@ -1398,6 +1398,22 @@ object SparkEntry {
       .bigramLmScoreKn(T(s, d, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  // ---- q73 with the SemDeDup stage armed: curation → semantic dedup
+  // (q103's operator over the CURATED survivors' embeddings, centroids
+  // injected via the deterministic Forgy seam) → containment → substring
+  // removal, one stitched oracle through all four stages — the q94
+  // stitching pattern for the embedding modality. Pins the stage
+  // INTERACTION: the semantic pass prices exactly the closure's
+  // survivors, and containment prices exactly the semantic survivors ----
+  private def q105TrainPrepSem(s: SparkSession, d: String): DataFrame = {
+    val emb = T(s, d, "embeddings")
+    graft.operators.TrainPrep.pipeline(T(s, d, "documents"), "doc_id", "text",
+        embeddings = Some(emb), semThreshold = Some(0.35),
+        semCentroidsDf =
+          Some(Dedup.firstKCentroids(emb, "vec_id", "embedding", 8)))
+      .orderBy("doc_id")
+  }
+
   // ---- distributed BPE vocabulary learning (Sennrich et al. 2016): five
   // merge iterations over the corpus's word-count table — one corpus
   // shuffle, then per-iteration pair-count + distributed-argmax + map-only
@@ -1690,7 +1706,8 @@ object SparkEntry {
     "q101_lm_ref" -> (q101LmRef _),
     "q102_containment_planted" -> (q102ContainmentPlanted _),
     "q103_sem_dedup" -> (q103SemDedup _),
-    "q104_lm_kn" -> (q104LmKn _)
+    "q104_lm_kn" -> (q104LmKn _),
+    "q105_train_prep_sem" -> (q105TrainPrepSem _)
   )
 
   /** Oracle-checked queries whose oracle SQL MIRRORS the LSH bucket

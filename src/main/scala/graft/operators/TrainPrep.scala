@@ -166,7 +166,13 @@ object TrainPrep {
       semCentroids: Int = 0,
       semMaxCell: Int = Dedup.DefaultMaxBucketSize,
       embIdCol: String = "vec_id",
-      embVecCol: String = "embedding"): DataFrame = {
+      embVecCol: String = "embedding",
+      // injectable centroid seam (the [[Dedup.semDedup]] oracle rule):
+      // when supplied, the stage clusters around THESE centroids instead
+      // of training KMeans — deterministic Forgy centroids make the whole
+      // stitched pipeline SQL-replayable (q105); production leaves this
+      // None and gets semDedupAuto
+      semCentroidsDf: Option[DataFrame] = None): DataFrame = {
     require(!(lmKn && lmModel.isDefined),
       "lmKn applies to the self-trained gate; a fixed reference model " +
         "(lmModel) carries no continuation counts")
@@ -217,8 +223,12 @@ object TrainPrep {
           .select(col(embIdCol).as(idCol), col(embVecCol).as("__vec"))
           .join(curated.select(idCol), Seq(idCol), "left_semi")
           .lazySerCkpt
-        val survivors = Dedup.semDedupAuto(universe, idCol, "__vec", thr,
-          numCentroids = semCentroids, maxCellSize = semMaxCell)
+        val survivors = semCentroidsDf match {
+          case Some(c) =>
+            Dedup.semDedup(universe, idCol, "__vec", c, thr, maxCellSize = semMaxCell)
+          case None => Dedup.semDedupAuto(universe, idCol, "__vec", thr,
+            numCentroids = semCentroids, maxCellSize = semMaxCell)
+        }
         val dropped = universe.select(idCol)
           .join(survivors, Seq(idCol), "left_anti")
         staged(curated.join(dropped, Seq(idCol), "left_anti"), "after_sem")
