@@ -1248,11 +1248,21 @@ object Dedup {
   /** Nearest-centroid assignment, the shared first stage of the SemDeDup
     * family: every vector gets (centroid_id, cosc) for its argmax-cosine
     * centroid. `centroids` must carry (centroid_id, cvec) and is K rows by
-    * construction — the join broadcasts, the argmax is map-side, and the
-    * wide embedding column never shuffles. cosc is rounded to 6 dp so the
-    * argmax (and the keep rule built on it) orders identically in Spark
-    * and the DuckDB oracle — the q25 cosine-ordering discipline; ties
-    * break to the lower centroid_id.
+    * construction.
+    *
+    * TRULY map-side (ADVICE r14): the K centroids collapse to ONE row
+    * holding an array of (centroid_id, cvec) structs, crossJoined in as a
+    * broadcast nested-loop against the corpus — a 1-row build side, so no
+    * exchange anywhere — and the argmax is `array_max` over a per-row
+    * `transform`: max of (cosc, −centroid_id) structs realizes exactly the
+    * old (cosc desc, centroid_id asc) window order without the row_number
+    * window whose exchange input carried K wide-vector copies per doc.
+    * The embedding column provably never shuffles (spec-pinned: zero
+    * Exchange nodes in the assignment plan).
+    *
+    * cosc is rounded to 6 dp so the argmax (and the keep rule built on it)
+    * orders identically in Spark and the DuckDB oracle — the q25
+    * cosine-ordering discipline; ties break to the lower centroid_id.
     */
   private[graft] def semAssign(
       embeddings: DataFrame,
@@ -1260,13 +1270,121 @@ object Dedup {
       vecCol: String,
       centroids: DataFrame): DataFrame = {
     import graft.functions.Vectors
-    Relational.topOnePerGroupN(
-        embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
-          .crossJoin(broadcast(centroids))
-          .withColumn("cosc", round(Vectors.cosine(col("vec"), col("cvec")), 6))
-          .drop("cvec"),
-        Seq("id"), Seq(col("cosc").desc, col("centroid_id").asc), 1)
-      .select("id", "vec", "centroid_id", "cosc")
+    val cands = centroids
+      .agg(collect_list(struct(col("centroid_id"), col("cvec"))).as("__cands"))
+    embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cands))
+      .withColumn("__best",
+        array_max(transform(col("__cands"), c =>
+          struct(
+            round(Vectors.cosine(col("vec"), c.getField("cvec")), 6).as("cosc"),
+            (-c.getField("centroid_id")).as("negid"),
+            c.getField("centroid_id").as("centroid_id")))))
+      .select(col("id"), col("vec"),
+        col("__best.centroid_id").as("centroid_id"),
+        col("__best.cosc").as("cosc"))
+  }
+
+  /** Below this K, [[semAssignPruned]] runs the exhaustive [[semAssign]]
+    * directly: two-level pruning pays a KMeans over the centroids plus a
+    * super-cosine per (vector, group), which only wins once K is large
+    * enough that √K-ish candidate sets beat K.
+    */
+  private[graft] val SemPruneMinCentroids: Int = 64
+
+  /** [[semAssign]] with the O(n·K) argmax pruned by a two-level triangle-
+    * inequality bound (VERDICT r14 next #2) — EXACT, not approximate:
+    * identical output to the exhaustive scan including 6-dp rounding ties
+    * (spec-pinned on randomized fixtures; DevSemLadder pins survivors at
+    * scale).
+    *
+    * The K centroids are grouped into G ≈ √K super-cells (KMeans over the
+    * K-row centroid table — grouping quality affects only SPEED; the bound
+    * below is valid for ANY partition of the centroids). Per group g the
+    * build side carries its super-vector s_g, the max/min unit-sphere
+    * child distances r_g / rmin_g, and the child (centroid_id, cvec) list.
+    * Cosine argmax = unit-sphere nearest neighbor (‖v̂−ĉ‖² = 2 − 2·cos),
+    * so per vector, one cosine against each s_g gives d_g and
+    *
+    *   ub_g = 1 − max(d_g − r_g, 0)²/2   (no child of g can beat this)
+    *   lb_g = 1 − (d_g + rmin_g)²/2      (some child of g achieves this)
+    *
+    * by the triangle inequality. Groups with ub_g < max_h lb_h − 1e-6 are
+    * skipped — the 1e-6 slack covers every 6-dp rounding tie (two cosines
+    * rounding equal differ by < 1e-6), so the tie-break id is preserved
+    * exactly. Degenerate zero vectors make every bound NaN, which compares
+    * greatest in Spark — pruning disables itself and the scan falls back
+    * to exhaustive for those rows. Radii are inflated by 1e-9 under the
+    * sqrt for float-arithmetic conservatism.
+    *
+    * Cost per vector: G super cosines + the surviving groups' children
+    * (≈ K/G each on a balanced grouping) instead of K — the ~√K× cut; the
+    * plan stays one broadcast nested-loop + projection, zero exchanges,
+    * like the exhaustive path.
+    */
+  private[graft] def semAssignPruned(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      numGroups: Int = 0,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.Vectors
+    import Ckpt.CkptOps
+    val cents = centroids.select(col("centroid_id"), col("cvec")).lazySerCkpt
+    val k = cents.count()
+    val g =
+      if (numGroups > 0) numGroups
+      else math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    if (k < SemPruneMinCentroids || g >= k) return semAssign(embeddings, idCol, vecCol, cents)
+    val supers = Similarity.trainCentroids(cents, "cvec", g, k, seed)
+      .select(col("centroid_id").as("__gid"), col("cvec").as("__gvec"))
+    // child -> group via the exhaustive argmax (K×G work on the K-row
+    // table; the grouping choice is arbitrary for exactness)
+    val childAsg = semAssign(
+        cents.select(col("centroid_id").as("__cid"), col("cvec")),
+        "__cid", "cvec",
+        supers.select(col("__gid").as("centroid_id"), col("__gvec").as("cvec")))
+      .select(col("id").as("__cid"), col("vec").as("__cvec"),
+        col("centroid_id").as("__gid"))
+    val geo = childAsg
+      .join(supers, Seq("__gid"))
+      .withColumn("__dc",
+        sqrt(greatest(
+          lit(2.0) - lit(2.0) * Vectors.cosine(col("__cvec"), col("__gvec")) + lit(1e-9),
+          lit(0.0))))
+      .groupBy(col("__gid"))
+      .agg(
+        first(col("__gvec")).as("__gvec"),
+        max(col("__dc")).as("__r"),
+        min(col("__dc")).as("__rmin"),
+        collect_list(struct(col("__cid").as("centroid_id"), col("__cvec").as("cvec")))
+          .as("__children"))
+    val grouped = geo.agg(collect_list(
+      struct(col("__gvec"), col("__r"), col("__rmin"), col("__children"))).as("__groups"))
+    embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(grouped))
+      .withColumn("__gb", transform(col("__groups"), grp => {
+        val dg = sqrt(greatest(
+          lit(2.0) - lit(2.0) * Vectors.cosine(col("vec"), grp.getField("__gvec")),
+          lit(0.0)))
+        struct(
+          (lit(1.0) - pow(greatest(dg - grp.getField("__r"), lit(0.0)), 2) / 2).as("ub"),
+          (lit(1.0) - pow(dg + grp.getField("__rmin"), 2) / 2).as("lb"),
+          grp.getField("__children").as("children"))
+      }))
+      .withColumn("__bestlb", array_max(transform(col("__gb"), x => x.getField("lb"))))
+      .withColumn("__best",
+        array_max(flatten(transform(
+          filter(col("__gb"), x => x.getField("ub") >= col("__bestlb") - lit(1e-6)),
+          x => transform(x.getField("children"), c =>
+            struct(
+              round(Vectors.cosine(col("vec"), c.getField("cvec")), 6).as("cosc"),
+              (-c.getField("centroid_id")).as("negid"),
+              c.getField("centroid_id").as("centroid_id")))))))
+      .select(col("id"), col("vec"),
+        col("__best.centroid_id").as("centroid_id"),
+        col("__best.cosc").as("cosc"))
   }
 
   /** Deterministic Forgy centroids: the embeddings of the `k` lowest ids,
@@ -1304,11 +1422,11 @@ object Dedup {
       threshold: Double,
       maxCellSize: Int = DefaultMaxBucketSize): DataFrame = {
     import Ckpt.CkptOps
-    // the assignment is a corpus-wide crossJoin argmax: checkpoint it on
+    // the assignment is a corpus-wide broadcast argmax: checkpoint it on
     // the public pair path too (semDedup checkpoints its own copy), or
     // guardedBandPairs' branches and the two vector join-backs re-run it
     semPairsFromAssign(
-      semAssign(embeddings, idCol, vecCol, centroids).lazySerCkpt,
+      semAssignPruned(embeddings, idCol, vecCol, centroids).lazySerCkpt,
       threshold, maxCellSize)
   }
 
@@ -1356,7 +1474,7 @@ object Dedup {
       threshold: Double,
       maxCellSize: Int = DefaultMaxBucketSize): DataFrame = {
     import Ckpt.CkptOps
-    val asg = semAssign(embeddings, idCol, vecCol, centroids).lazySerCkpt
+    val asg = semAssignPruned(embeddings, idCol, vecCol, centroids).lazySerCkpt
     val comps = connectedComponents(semPairsFromAssign(asg, threshold, maxCellSize))
     asg.join(comps, Seq("id"), "left")
       .withColumn("comp", coalesce(col("comp"), col("id")))
@@ -1385,8 +1503,16 @@ object Dedup {
       s"numCentroids must be 0 (derive ~sqrt(n)) or >= 2 (Spark ML KMeans " +
         s"rejects k = 1); got $numCentroids")
     val n = embeddings.select(col(idCol)).count()
-    if (n == 0L) return embeddings.select(col(idCol))
-    val cells = if (numCentroids > 0) numCentroids else Similarity.autoNumCentroids(n)
+    // n < 2: a single vector (or none) has no duplicate to dedup, and
+    // KMeans needs k >= 2 training points — survivors are the universe
+    if (n < 2L) return embeddings.select(col(idCol))
+    // clamp to the embedding-universe size (ADVICE r14): an explicit
+    // numCentroids (or the sqrt-n floor of 4 on a tiny universe) can
+    // exceed n, handing MLlib a k > training-point-count edge path whose
+    // behavior nothing here pins
+    val cells = math.min(
+      if (numCentroids > 0) numCentroids else Similarity.autoNumCentroids(n).toLong,
+      n).toInt.max(2)
     val centroids = Similarity.trainCentroids(embeddings, vecCol, cells, n, seed)
     semDedup(embeddings, idCol, vecCol, centroids, threshold, maxCellSize)
   }

@@ -990,4 +990,68 @@ class DedupSpec extends SparkSpecBase {
       .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
     assert(surv === Seq(1L, 2L, 3L, 4L))
   }
+
+  test("semAssign is truly map-side: zero exchanges in the assignment plan") {
+    // the ADVICE r14 contract: the old row_number-window form shuffled the
+    // crossJoin rows (K wide vector copies per doc through one exchange);
+    // the array-argmax form must plan NO exchange at all — one broadcast
+    // nested-loop against a 1-row candidate table plus a projection
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("centroid_id", "cvec")
+    val emb = (0L until 40L).map(i => (i, Array((i % 7).toFloat + 1f, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val asg = Dedup.semAssign(emb, "vec_id", "embedding", cents)
+    val exchanges = asg.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"assignment plans a shuffle: $exchanges")
+    // and the argmax semantics hold: ties at equal rounded cosine break to
+    // the LOWER centroid_id (vector equidistant from both axes)
+    val dup = Seq((99L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val tie = Dedup.semAssign(dup, "vec_id", "embedding", cents).collect()(0)
+    assert(tie.getInt(2) === 0)
+  }
+
+  test("semAssignPruned == semAssign exactly, on random fixtures, any " +
+      "grouping, zero vectors and duplicates included") {
+    // the VERDICT r14 next-#2 exactness contract: pruning via the two-level
+    // triangle-inequality bound must reproduce the exhaustive argmax row
+    // for row — rounded cosc, tie-break id, NaN degenerates and all. The
+    // bound is valid for ANY centroid partition, so a deliberately bad
+    // grouping (numGroups = 3) must also be exact, just slower.
+    val rnd = new scala.util.Random(4242)
+    val dim = 12
+    def vec() = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    val cents = (0 until 80).map(i => (i, vec().toSeq)).toDF("centroid_id", "cvec")
+    val rows = (0L until 300L).map(i => (i, vec())) ++ Seq(
+      (300L, Array.fill(dim)(0f)), // zero vector: NaN cosine to everything
+      (301L, Array.fill(dim)(0.5f)), (302L, Array.fill(dim)(0.5f))) // exact dups
+    val emb = rows.toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(2), java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .toSeq
+    val exhaustive = key(Dedup.semAssign(emb, "vec_id", "embedding", cents))
+    assert(key(Dedup.semAssignPruned(emb, "vec_id", "embedding", cents)) === exhaustive)
+    assert(key(Dedup.semAssignPruned(emb, "vec_id", "embedding", cents, numGroups = 3))
+      === exhaustive)
+    assert(key(Dedup.semAssignPruned(emb, "vec_id", "embedding", cents, numGroups = 25))
+      === exhaustive)
+  }
+
+  test("semDedupAuto clamps cells to the embedding-universe size (ADVICE " +
+      "r14) and survives n = 1") {
+    // numCentroids = 10 over 3 vectors: without the clamp MLlib's k >
+    // points fallback decides the behavior; clamped to n = 3 the result is
+    // the deterministic 3-cell dedup (all distinct, no 0.999 pairs)
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)), (3L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val surv = Dedup
+      .semDedupAuto(emb, "vec_id", "embedding", threshold = 0.999, numCentroids = 10)
+      .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(surv === Seq(1L, 2L, 3L))
+    val one = Seq((7L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Dedup.semDedupAuto(one, "vec_id", "embedding", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSeq === Seq(7L))
+  }
 }
