@@ -1937,7 +1937,85 @@ object OracleSql {
     // selection instead of TakeOrdered; the SEMANTICS are identical by
     // construction, so the oracle is q93's SQL verbatim — one hash pins
     // the two paths to the same total order on real corpus scores.
-    "q100_select_cutoff" -> ImportanceSelectSql
+    "q100_select_cutoff" -> ImportanceSelectSql,
+
+    // Interpolated Kneser-Ney at the TRIGRAM order (q106): the q104
+    // family one order up, with KenLM's adjusted-count derivation — every
+    // lower-order statistic is a TYPE count over the trigram table (md =
+    // adjusted bigrams N1+(·p2w); cm/cw/na its context, continuation, and
+    // total type counts). The probability is spelled in the SAME fixed
+    // operation order as the engine —
+    // ((c−D) + D·n1p·(((n2−D) + D·nmid·(n1w/n1all))/ccmid))/cc — so every
+    // per-position double is IEEE-identical before round-6. tri/tc/md are
+    // MATERIALIZED (multiple consumers — the re-inlining hazard).
+    "q106_lm_kn3" ->
+      """WITH base AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS l
+        |  FROM documents),
+        |pos AS (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS i FROM base),
+        |tri AS MATERIALIZED (SELECT doc_id, l[i] AS p1, l[i + 1] AS p2,
+        |    l[i + 2] AS w, count(*) AS cnt
+        |  FROM pos WHERE l[i] <> '' AND l[i + 1] <> '' AND l[i + 2] <> ''
+        |  GROUP BY 1, 2, 3, 4),
+        |tc AS MATERIALIZED (SELECT p1, p2, w, sum(cnt) AS c FROM tri GROUP BY 1, 2, 3),
+        |cx AS (SELECT p1, p2, sum(c) AS cc, count(*) AS n1p FROM tc GROUP BY 1, 2),
+        |md AS MATERIALIZED (SELECT p2, w, count(*) AS n2 FROM tc GROUP BY 1, 2),
+        |cm AS (SELECT p2, sum(n2) AS ccmid, count(*) AS nmid FROM md GROUP BY 1),
+        |cw AS (SELECT w, count(*) AS n1w FROM md GROUP BY 1),
+        |na AS (SELECT count(*) AS n1all FROM md),
+        |sc AS (SELECT tri.doc_id, sum(tri.cnt) AS nb,
+        |    sum(tri.cnt * CAST(round(ln(
+        |      ((tc.c - 0.75) + 0.75 * cx.n1p *
+        |        (((md.n2 - 0.75) + 0.75 * cm.nmid * (cw.n1w / na.n1all)) / cm.ccmid))
+        |      / cx.cc), 6)
+        |      AS DECIMAL(18,6))) AS slp
+        |  FROM tri, tc, cx, md, cm, cw, na
+        |  WHERE tri.p1 = tc.p1 AND tri.p2 = tc.p2 AND tri.w = tc.w
+        |    AND tc.p1 = cx.p1 AND tc.p2 = cx.p2
+        |    AND tc.p2 = md.p2 AND tc.w = md.w
+        |    AND md.p2 = cm.p2 AND md.w = cw.w
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_trigrams,
+        |  -CAST(sc.slp AS DOUBLE) / sc.nb AS cross_entropy,
+        |  round(exp(-CAST(sc.slp AS DOUBLE) / sc.nb), 6) AS ppl
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // fasttext-family quality-classifier selection (q107): closed-form
+    // multinomial Naive Bayes over the q93 hashed-unigram buckets, trained
+    // target-vs-REST (the discriminative contrast, where DSIR's
+    // denominator is the raw mixture) plus an add-1 doc-count class prior.
+    // The oracle retrains both class distributions, rounds each bucket's
+    // log-odds weight and the prior to DECIMAL(18,6), and replays the
+    // exact decimal ranking with the (score DESC, doc_id) tiebreak.
+    "q107_quality_select" ->
+      """WITH tok AS (SELECT doc_id, source = 'src0' AS tgt,
+        |    unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS w
+        |  FROM documents),
+        |f AS (SELECT doc_id, tgt,
+        |    ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b, count(*) AS cnt
+        |  FROM tok WHERE w <> '' GROUP BY 1, 2, 3),
+        |pos AS (SELECT b, sum(cnt) AS cp FROM f WHERE tgt GROUP BY 1),
+        |neg AS (SELECT b, sum(cnt) AS cn FROM f WHERE NOT tgt GROUP BY 1),
+        |tot AS (SELECT (SELECT coalesce(sum(cp), 0) FROM pos) AS np,
+        |               (SELECT coalesce(sum(cn), 0) FROM neg) AS nn),
+        |prior AS (SELECT CAST(round(ln(
+        |    (sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) + 1.0) /
+        |    (sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) + 1.0)), 6)
+        |  AS DECIMAL(18,6)) AS bias FROM documents),
+        |model AS (SELECT u.b,
+        |    CAST(round(ln((coalesce(pos.cp, 0) + 1.0) / (tot.np + 1024.0)) -
+        |               ln((coalesce(neg.cn, 0) + 1.0) / (tot.nn + 1024.0)), 6)
+        |      AS DECIMAL(18,6)) AS w8
+        |  FROM (SELECT DISTINCT b FROM f) u
+        |  LEFT JOIN pos ON u.b = pos.b LEFT JOIN neg ON u.b = neg.b, tot),
+        |sc AS (SELECT f.doc_id, prior.bias + sum(f.cnt * model.w8) AS score
+        |  FROM f JOIN model ON f.b = model.b, prior GROUP BY 1, prior.bias),
+        |top AS (SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id,
+        |  round(CAST(score AS DOUBLE), 6) AS score
+        |FROM top WHERE rnk <= 100 ORDER BY rnk""".stripMargin
   )
 
   /** q93/q100 shared DSIR selection mirror (both engine paths realize the

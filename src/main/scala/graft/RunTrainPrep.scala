@@ -20,7 +20,8 @@ import graft.sink.ParquetSink
   *   [--embeddings <parquet> --sem-threshold X [--sem-centroids K]
   *    [--sem-max-cell N] [--embed-id-col vec_id] [--embed-vec-col embedding]]
   *   [--select-target-col C (--select-top-n N |
-  *     --select-frac F) [--select-buckets 1024]] [--table clean_corpus]
+  *     --select-frac F) [--select-buckets 1024]
+  *     [--select-classifier dsir|nb]] [--table clean_corpus]
   *   [--pack-capacity N [--pack-shard lang] [--pack-shard-buckets 64]
   *     [--pack-split]] [--bpe-merges N]
   * }}}
@@ -106,6 +107,12 @@ object RunTrainPrep {
       // distributed cutoff path automatically
       selectFrac: Option[Double] = None,
       selectBuckets: Int = 1024,
+      // --select-classifier picks the selection model: "dsir" (default —
+      // importance resampling, target vs raw mixture) or "nb" (the
+      // fasttext-family quality-classifier shape: closed-form Naive Bayes,
+      // target vs REST, class prior included). Same hashed features, same
+      // two selection plan shapes either way.
+      selectClassifier: String = "dsir",
       table: String = "clean_corpus",
       // --pack-capacity N additionally emits `<table>_packed` — the clean
       // corpus with (n_tokens, bin_id) per doc (q75's composition; bins
@@ -155,6 +162,7 @@ object RunTrainPrep {
       case "--select-top-n" :: v :: t => loop(t, cfg.copy(selectTopN = Some(v.toInt)))
       case "--select-frac" :: v :: t => loop(t, cfg.copy(selectFrac = Some(v.toDouble)))
       case "--select-buckets" :: v :: t => loop(t, cfg.copy(selectBuckets = v.toInt))
+      case "--select-classifier" :: v :: t => loop(t, cfg.copy(selectClassifier = v))
       case "--table" :: v :: t => loop(t, cfg.copy(table = v))
       case "--pack-capacity" :: v :: t => loop(t, cfg.copy(packCapacity = Some(v.toLong)))
       case "--pack-shard" :: v :: t => loop(t, cfg.copy(packShard = v))
@@ -215,6 +223,8 @@ object RunTrainPrep {
       require(f > 0 && f <= 1, s"--select-frac must be in (0, 1]; got $f"))
     require(cfg.selectBuckets > 0,
       s"--select-buckets must be positive; got ${cfg.selectBuckets}")
+    require(Set("dsir", "nb")(cfg.selectClassifier),
+      s"--select-classifier must be dsir or nb; got ${cfg.selectClassifier}")
     // dependent flag: --pack-split only takes effect inside the
     // --pack-capacity tail — alone it would be a silent no-op (no _packed
     // artifact, no warning) while the user believes the corpus was split
@@ -279,11 +289,14 @@ object RunTrainPrep {
     val docs = (cfg.selectTargetCol, selectN) match {
       case (Some(tgt), Some(n)) =>
         import org.apache.spark.sql.functions.col
-        val picked = graft.operators.Sampling
-          .importanceSelect(raw, cfg.idCol, cfg.textCol,
-            isTarget = col(tgt), topN = n, buckets = cfg.selectBuckets)
-          .select(cfg.idCol)
-        raw.join(picked, Seq(cfg.idCol), "left_semi")
+        val ranked =
+          if (cfg.selectClassifier == "nb")
+            graft.operators.Sampling.qualitySelect(raw, cfg.idCol, cfg.textCol,
+              isTarget = col(tgt), topN = n, buckets = cfg.selectBuckets)
+          else
+            graft.operators.Sampling.importanceSelect(raw, cfg.idCol, cfg.textCol,
+              isTarget = col(tgt), topN = n, buckets = cfg.selectBuckets)
+        raw.join(ranked.select(cfg.idCol), Seq(cfg.idCol), "left_semi")
       case _ => raw
     }
     val mc = new MetricsCollector(spark)
@@ -412,9 +425,10 @@ object RunTrainPrep {
         val budget = cfg.selectTopN.map(n => s"top $n docs")
           .getOrElse(s"top ${cfg.selectFrac.get} of the corpus")
         println(
-          s"[train-prep] dsir selection ACTIVE: $budget by $c-likeness " +
-            s"(${cfg.selectBuckets} hash buckets) entered the pipeline — " +
-            "the input stage below counts the selection, not the raw corpus")
+          s"[train-prep] ${cfg.selectClassifier} selection ACTIVE: $budget " +
+            s"by $c-likeness (${cfg.selectBuckets} hash buckets) entered " +
+            "the pipeline — the input stage below counts the selection, " +
+            "not the raw corpus")
       }
       val line = StageOrder.flatMap(s => report.stages.get(s).map(n => s"$s=$n")).mkString(" ")
       println(s"[train-prep] $line")

@@ -1398,6 +1398,29 @@ object SparkEntry {
       .bigramLmScoreKn(T(s, d, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  // ---- interpolated Kneser-Ney at the TRIGRAM order (VERDICT r14 next
+  // #4 — KenLM deploys order 4-5): q104's family climbed one order, with
+  // KenLM's adjusted-count derivation (every lower-order statistic a TYPE
+  // count over the trigram table). One fixed-operation-order IEEE
+  // probability expression mirrored literally in the oracle -------------
+  private def q106LmKn3(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis
+      .trigramLmScoreKn(T(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // ---- fasttext-family quality-classifier selection (VERDICT r14 next
+  // #5 — the staple selection shape beside DSIR): a closed-form
+  // multinomial Naive Bayes over the SAME 1024 md5-bucket hashed-unigram
+  // features, trained target-vs-rest distributed, scoring docs with a
+  // broadcast weight vector (+ class prior), top-100 kept through the
+  // same two selection plan shapes as q93/q100. The oracle retrains the
+  // classifier and replays the exact decimal ranking --------------------
+  private def q107QualitySelect(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.qualitySelect(
+        T(s, d, "documents"), "doc_id", "text",
+        isTarget = col("source") === "src0", topN = 100)
+      .orderBy("rnk")
+
   // ---- q73 with the SemDeDup stage armed: curation → semantic dedup
   // (q103's operator over the CURATED survivors' embeddings, centroids
   // injected via the deterministic Forgy seam) → containment → substring
@@ -1707,7 +1730,9 @@ object SparkEntry {
     "q102_containment_planted" -> (q102ContainmentPlanted _),
     "q103_sem_dedup" -> (q103SemDedup _),
     "q104_lm_kn" -> (q104LmKn _),
-    "q105_train_prep_sem" -> (q105TrainPrepSem _)
+    "q105_train_prep_sem" -> (q105TrainPrepSem _),
+    "q106_lm_kn3" -> (q106LmKn3 _),
+    "q107_quality_select" -> (q107QualitySelect _)
   )
 
   /** Oracle-checked queries whose oracle SQL MIRRORS the LSH bucket

@@ -306,17 +306,112 @@ object Sampling {
       .join(broadcast(model), Seq("__b"))
       .groupBy(col("__did"))
       .agg(sum(col("__cnt") * col("__lr")).as("__score"))
-    val ranked =
-      if (topN <= takeOrderedMaxN) {
-        // TakeOrdered path: distributed per-partition top-N, one merge; the
-        // presentation-rank window runs over the ALREADY-SELECTED topN rows
-        val top = scores
-          .orderBy(col("__score").desc, col("__did").asc)
-          .limit(topN)
-        val w = Window.orderBy(col("__score").desc, col("__did").asc)
-        top.withColumn("rnk", row_number().over(w))
-      } else cutoffSelect(scores, topN)
-    ranked.select(col("rnk"), col("__did").as(idCol),
+    rankTopN(scores, topN, takeOrderedMaxN).select(col("rnk"), col("__did").as(idCol),
+      round(col("__score").cast("double"), 6).as("score"))
+  }
+
+  /** The selection tail shared by [[importanceSelect]] and
+    * [[qualitySelect]]: top `topN` of a (__did, __score) frame by
+    * (score desc, id asc) — TakeOrdered + presentation-rank window at
+    * presentation-sized N, the fully distributed [[cutoffSelect]] above
+    * `takeOrderedMaxN` (identical output by construction; SamplingSpec
+    * pins the equality, tied boundary included).
+    */
+  private def rankTopN(scores: DataFrame, topN: Int, takeOrderedMaxN: Int): DataFrame =
+    if (topN <= takeOrderedMaxN) {
+      // TakeOrdered path: distributed per-partition top-N, one merge; the
+      // presentation-rank window runs over the ALREADY-SELECTED topN rows
+      val top = scores
+        .orderBy(col("__score").desc, col("__did").asc)
+        .limit(topN)
+      val w = Window.orderBy(col("__score").desc, col("__did").asc)
+      top.withColumn("rnk", row_number().over(w))
+    } else cutoffSelect(scores, topN)
+
+  /** fasttext-family quality-classifier selection (VERDICT r14 next #5 —
+    * the staple selection shape beside DSIR): a closed-form MULTINOMIAL
+    * NAIVE BAYES linear classifier over [[importanceSelect]]'s hashed
+    * unigram buckets, trained distributed on target-vs-rest, scoring every
+    * document with a broadcast weight vector. Per document
+    *
+    *   score(d) = bias + Σ_b c_d(b) · w_b,
+    *   w_b      = ln p(b | target) − ln p(b | rest),
+    *   p(b | cls) = (c_cls(b) + k) / (N_cls + k·B),
+    *   bias     = ln((D_tgt + 1) / (D_rest + 1))
+    *
+    * — the NB log-odds of the target class, which is exactly what a
+    * fasttext-style quality gate thresholds (CCNet trains it on
+    * Wikipedia-vs-crawl; here `isTarget` marks the trusted slice). Where
+    * DSIR's denominator is the RAW mixture, NB contrasts target against
+    * its complement — the discriminative shape. Output: the top `topN`
+    * docs as (rnk, id, score), rank 1 = most target-like; ties on id.
+    *
+    * Same determinism discipline as DSIR (exact integer-derived doubles →
+    * round-6 → decimal(18,6) weights; exact decimal per-doc sums; md5
+    * bucket hash), same scale shape (one tokenize pass collapsed to
+    * per-doc (bucket, cnt); the model is a B-row broadcast no matter the
+    * corpus; scoring never shuffles the corpus), and the same two
+    * selection plan shapes via [[rankTopN]] — TakeOrdered at
+    * presentation-sized topN, the distributed cutoff above
+    * `takeOrderedMaxN`.
+    */
+  def qualitySelect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      topN: Int,
+      buckets: Int = 1024,
+      addK: Double = 1.0,
+      takeOrderedMaxN: Int = SelectTakeOrderedMaxN): DataFrame = {
+    require(topN > 0, s"topN must be positive; got $topN")
+    require(buckets > 0, s"buckets must be positive; got $buckets")
+    require(addK > 0, s"addK must be positive (add-k smoothing); got $addK")
+    val id = col(idCol)
+    val feats = docs
+      .select(id.as("__did"), coalesce(isTarget, lit(false)).as("__tgt"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .withColumn("__b",
+        conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long") % buckets)
+      .groupBy(col("__did"), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .lazySerCkpt
+    val pos = feats.filter(col("__tgt"))
+      .groupBy(col("__b")).agg(sum(col("__cnt")).as("__cp"))
+    val neg = feats.filter(!col("__tgt"))
+      .groupBy(col("__b")).agg(sum(col("__cnt")).as("__cn"))
+    // doc-count prior on the CLASSES (add-1 so an empty class stays finite)
+    val prior = docs
+      .agg(
+        sum(when(coalesce(isTarget, lit(false)), 1L).otherwise(0L)).as("__dp"),
+        sum(when(coalesce(isTarget, lit(false)), 0L).otherwise(1L)).as("__dn"))
+      .select(round(log((col("__dp") + lit(1.0)) / (col("__dn") + lit(1.0))), 6)
+        .cast("decimal(18,6)").as("__bias"))
+    val totals = pos.agg(coalesce(sum(col("__cp")), lit(0L)).as("__np"))
+      .crossJoin(neg.agg(coalesce(sum(col("__cn")), lit(0L)).as("__nn")))
+    // model rows = buckets present ANYWHERE in the corpus (the union of
+    // both classes covers every doc's buckets by construction); a bucket
+    // absent from one class smooths from count 0
+    val model = feats
+      .select(col("__b")).distinct()
+      .join(pos, Seq("__b"), "left")
+      .join(neg, Seq("__b"), "left")
+      .na.fill(0L, Seq("__cp", "__cn"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__w8",
+        round(
+          log((col("__cp") + lit(addK)) / (col("__np") + lit(addK * buckets))) -
+            log((col("__cn") + lit(addK)) / (col("__nn") + lit(addK * buckets))), 6)
+          .cast("decimal(18,6)"))
+      .select(col("__b"), col("__w8"))
+    val scores = feats
+      .join(broadcast(model), Seq("__b"))
+      .groupBy(col("__did"))
+      .agg(sum(col("__cnt") * col("__w8")).as("__s"))
+      .crossJoin(broadcast(prior))
+      .withColumn("__score", col("__bias") + col("__s"))
+    rankTopN(scores, topN, takeOrderedMaxN).select(col("rnk"), col("__did").as(idCol),
       round(col("__score").cast("double"), 6).as("score"))
   }
 

@@ -461,4 +461,36 @@ class RunTrainPrepSpec extends SparkSpecBase {
         "--select-target-col", "text", "--select-top-n", "3"))))
     assert(badType.getMessage.contains("must be BOOLEAN"))
   }
+
+  test("--select-classifier nb swaps the selection model to the " +
+      "Naive-Bayes quality classifier (VERDICT r14 next #5)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat purred", true),
+      (2L, "a cat ran up the tree and the cat slept", true),
+      (3L, "the cat chased a mouse around the old barn", false),
+      (4L, "a kitten and a cat played near the fence", false),
+      (5L, "the compiler emits bytecode and the linker maps sections", false))
+      .toDF("doc_id", "text", "is_cat")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nbsel").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    val expect = graft.operators.Sampling
+      .qualitySelect(docs, "doc_id", "text", col("is_cat"), topN = 3,
+        buckets = 64)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    val report = RunTrainPrep.execute(spark, RunTrainPrep.parse(Seq(
+      "--in", s"$tmp/in", "--out", s"$tmp/out",
+      "--min-quality", "0.0",
+      "--select-target-col", "is_cat", "--select-top-n", "3",
+      "--select-buckets", "64", "--select-classifier", "nb")))
+    assert(report.stages("input") === 3L)
+    val kept = spark.read.parquet(s"$tmp/out/clean_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === expect)
+    assert(!expect.contains(5L)) // the off-domain doc fell outside the budget
+    // unknown classifier fails at parse
+    intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
+      "--in", "a", "--out", "b", "--select-target-col", "is_cat",
+      "--select-top-n", "3", "--select-classifier", "svm")))
+  }
 }

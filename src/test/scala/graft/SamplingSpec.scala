@@ -390,4 +390,93 @@ class SamplingSpec extends SparkSpecBase {
     assert(plan.contains("shiftright(__mono") && plan.contains("BroadcastHashJoin"),
       s"expected the offset-rank machinery in:\n$plan")
   }
+
+  /** Independent replica of qualitySelect's Naive-Bayes arithmetic: same
+    * md5 buckets, target-vs-REST class distributions, add-1 class prior,
+    * round-6 decimal weights, exact decimal doc sums.
+    */
+  private def nbReference(
+      docs: Seq[(Long, String, Boolean)],
+      buckets: Int): Seq[(Long, BigDecimal)] = {
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % buckets
+    }
+    val toks = docs.flatMap { case (id, t, tgt) =>
+      Option(t).getOrElse("").toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        .map(w => (id, tgt, bucket(w)))
+    }
+    val pos = toks.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val neg = toks.filterNot(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val np = pos.values.sum
+    val nn = neg.values.sum
+    val dp = docs.count(_._3)
+    val dn = docs.size - dp
+    val bias = BigDecimal(math.log((dp + 1.0) / (dn + 1.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val w8 = toks.map(_._3).distinct.map { b =>
+      b -> BigDecimal(
+        math.log((pos.getOrElse(b, 0L) + 1.0) / (np + 1.0 * buckets)) -
+          math.log((neg.getOrElse(b, 0L) + 1.0) / (nn + 1.0 * buckets)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.toMap
+    toks.groupBy(t => (t._1, t._3)).toSeq
+      .map { case ((id, b), occ) => id -> w8(b) * occ.size }
+      .groupBy(_._1).view.mapValues(v => bias + v.map(_._2).sum).toSeq
+  }
+
+  test("qualitySelect: scores equal an independent Naive-Bayes replica; " +
+      "the classifier separates target-like from rest-like docs") {
+    val docs = Seq(
+      (1L, "x x x y", true),    // target class: x-heavy
+      (2L, "x x y z", true),
+      (3L, "x x x x z", false), // rest doc that LOOKS like the target
+      (4L, "z z z y", false),   // rest-typical
+      (5L, "q q q q", false),   // tokens unseen in target
+      (6L, "", false))          // no tokens: never scored or selected
+    val df = docs.toDF("doc_id", "text", "tgt")
+    val out = Sampling.qualitySelect(
+        df, "doc_id", "text", isTarget = col("tgt"), topN = 10, buckets = 64)
+      .orderBy("rnk").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val ref = nbReference(docs, buckets = 64).toMap
+    assert(out.length === 5) // doc 6 has no features
+    out.foreach { case (_, id, score) =>
+      assert(score === BigDecimal(ref(id).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"doc $id score mismatch")
+    }
+    val rankOf = out.map(t => t._2 -> t._1).toMap
+    // the NB log-odds puts the x-heavy rest doc above rest-typical and
+    // unseen-vocab docs, and the genuinely-target docs above everything
+    assert(rankOf(1L) < rankOf(4L) && rankOf(2L) < rankOf(4L))
+    assert(rankOf(3L) < rankOf(4L) && rankOf(3L) < rankOf(5L))
+  }
+
+  test("qualitySelect rides both selection plan shapes: cutoff ≡ " +
+      "TakeOrdered, partition-invariant") {
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, s"w${i % 13} w${i % 13} v${i % 4}", i % 5 == 0))
+      .toDF("doc_id", "text", "tgt")
+    for (n <- Seq(1, 7, 100, 200, 500)) {
+      val take = Sampling.qualitySelect(
+          docs, "doc_id", "text", col("tgt"), topN = n, buckets = 64)
+        .orderBy("rnk").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      val cut = Sampling.qualitySelect(
+          docs, "doc_id", "text", col("tgt"), topN = n, buckets = 64,
+          takeOrderedMaxN = 0)
+        .orderBy("rnk").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(cut === take, s"paths diverge at topN=$n")
+    }
+    val a = Sampling.qualitySelect(
+        docs, "doc_id", "text", col("tgt"), topN = 60, buckets = 64)
+      .orderBy("rnk").collect().toSeq
+    val b = Sampling.qualitySelect(
+        docs.repartition(17), "doc_id", "text", col("tgt"), topN = 60, buckets = 64)
+      .orderBy("rnk").collect().toSeq
+    assert(a === b)
+  }
 }

@@ -400,4 +400,61 @@ class TextAnalysisSpec extends SparkSpecBase {
       .orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  /** Trigram-KN per-position price in the engine's fixed operation order
+    * (see [[graft.operators.TextAnalysis.trigramLmScoreKn]]).
+    */
+  private def kn3lp6(
+      c: Long, cc: Long, n1p: Long,
+      n2: Long, ccmid: Long, nmid: Long,
+      n1w: Long, n1all: Long): BigDecimal =
+    BigDecimal(math.log(
+      ((c - 0.75) + 0.75 * n1p *
+        (((n2 - 0.75) + 0.75 * nmid * (n1w.toDouble / n1all)) / ccmid)) / cc))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  test("trigramLmScoreKn: hand-built adjusted counts through all three " +
+      "orders, exact entropy, degenerate docs") {
+    val docs = Seq(
+      (1L, "a b c a b c"), // trigrams (a,b,c)x2 (b,c,a)x1 (c,a,b)x1
+      (2L, "a b d"),       // (a,b,d)x1
+      (3L, "x y"),         // 2 tokens: no trigrams
+      (4L, "")).toDF("doc_id", "text")
+    // tc = {(a,b,c):2, (b,c,a):1, (c,a,b):1, (a,b,d):1}
+    // cx: (a,b) → (cc=3, n1p=2); (b,c) → (1,1); (c,a) → (1,1)
+    // md (adjusted bigrams, type counts): (b,c):1 (b,d):1 (c,a):1 (a,b):1
+    // cm: b → (ccmid=2, nmid=2); c → (1,1); a → (1,1)
+    // cw: every w (a,b,c,d) → 1; n1all = 4
+    val out = TextAnalysis.trigramLmScoreKn(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val d1slp = kn3lp6(2, 3, 2, 1, 2, 2, 1, 4) * 2 +
+      kn3lp6(1, 1, 1, 1, 1, 1, 1, 4) + kn3lp6(1, 1, 1, 1, 1, 1, 1, 4)
+    val d1h = -(d1slp.toDouble) / 4
+    assert(out(0).getLong(1) === 4L)
+    assert(out(0).getDouble(2) === d1h)
+    assert(out(0).getDouble(3) ===
+      BigDecimal(math.exp(d1h)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val d2h = -(kn3lp6(1, 3, 2, 1, 2, 2, 1, 4).toDouble) / 1
+    assert(out(1).getLong(1) === 1L)
+    assert(out(1).getDouble(2) === d2h)
+    Seq(2, 3).foreach { i =>
+      assert(out(i).getLong(1) === 0L)
+      assert(out(i).isNullAt(2) && out(i).isNullAt(3))
+    }
+  }
+
+  test("trigramLmScoreKn is invariant under input partitioning") {
+    val corpus = Seq(
+      (1L, "sa nb ko sa nb ko sa nb"),
+      (2L, "x1 vr ko x2 vr ko x3 vr"),
+      (3L, "sa nb ko"), (4L, "x1 vr ko"), (5L, "sa"), (6L, ""))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.trigramLmScoreKn(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.trigramLmScoreKn(corpus.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // and shorter docs that DO have trigrams priced by the shared model
+    assert(a(2).getLong(1) === 1L)
+  }
 }
