@@ -23,6 +23,7 @@ import graft.sink.ParquetSink
   *   [--max-bucket N] [--dedup] [--max-pixels N]
   *   [--frame-stride N] [--max-frames N] [--table media]
   *   [--text-survivors <parquet> [--text-id-col doc_id]]
+  *   [--sem-dedup T]
   * }}}
   *
   * Per modality value of the `modality` column — each a SINGLE decode
@@ -60,6 +61,17 @@ import graft.sink.ParquetSink
   * graph (paired ids minus survivors — duplicate-count-sized), never a
   * corpus-sized anti-join of the audit tables; docs with no media, or
   * media never paired, ride through untouched. Requires `--dedup`.
+  * `--sem-dedup T` runs SemDeDup ([[graft.operators.Dedup.semDedupAuto]])
+  * as a FOURTH dedup geometry per modality (VERDICT r14 next #6), beside
+  * the banded-Hamming pair tier: each modality's fingerprint bits embed
+  * as a ±1 vector (the Hamming→cosine bridge — for b-bit fingerprints
+  * cos = 1 − 2·hamming/b, so T = 0.8 on the 64-bit image hash ≈
+  * hamming ≤ 6, the pair tier's default bar), KMeans cells propose
+  * candidates, and the paper's keep-furthest-from-centroid rule picks
+  * survivors → `<table>_<modality>_sem_survivors`. Undecodable assets
+  * (null fingerprints) survive — the undecodable count's job, not silent
+  * removal fodder (the `--dedup` rule). Needs only the audit tables, so
+  * it composes with or without `--pairs`.
   * Rows whose modality matches no branch are counted (one metadata-only
   * aggregation — the blob column never loads) and disclosed as a
   * bounded UNAUDITED summary (totals + top-5 values): an audit that
@@ -99,7 +111,8 @@ object RunMediaAudit {
       maxFrames: Int = Int.MaxValue,
       table: String = "media",
       textSurvivors: Option[String] = None,
-      textIdCol: String = "doc_id")
+      textIdCol: String = "doc_id",
+      semDedup: Option[Double] = None)
 
   def parse(args: Seq[String]): Config = {
     def loop(rest: List[String], cfg: Config): Config = rest match {
@@ -122,6 +135,7 @@ object RunMediaAudit {
       case "--table" :: v :: t => loop(t, cfg.copy(table = v))
       case "--text-survivors" :: v :: t => loop(t, cfg.copy(textSurvivors = Some(v)))
       case "--text-id-col" :: v :: t => loop(t, cfg.copy(textIdCol = v))
+      case "--sem-dedup" :: v :: t => loop(t, cfg.copy(semDedup = Some(v.toDouble)))
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
     }
     val cfg = loop(args.toList, Config())
@@ -161,6 +175,8 @@ object RunMediaAudit {
     require(cfg.textSurvivors.isEmpty || cfg.dedup,
       "--text-survivors joins the clean corpus against media-dedup removals; " +
         "it requires --dedup")
+    require(cfg.semDedup.forall(t => t > -1.0 && t < 1.0),
+      s"--sem-dedup threshold must be a cosine in (-1, 1); got ${cfg.semDedup.get}")
     cfg
   }
 
@@ -169,7 +185,8 @@ object RunMediaAudit {
     * run), dedup survivors kept (−1 = dedup not run).
     */
   final case class ModalityReport(
-      rows: Long, undecodable: Long, pairs: Long, survivors: Long = -1L)
+      rows: Long, undecodable: Long, pairs: Long, survivors: Long = -1L,
+      semSurvivors: Long = -1L)
 
   /** The full run report: per-modality health, the UNAUDITED disclosure
     * (bounded — total + distinct + top-5 by rows, never a collect of
@@ -296,6 +313,36 @@ object RunMediaAudit {
         survivorsOf("video")
       }
 
+      // SemDeDup geometry (VERDICT r14 next #6): fingerprint bits → ±1
+      // vectors → semDedupAuto (KMeans cells, keep-furthest survivor
+      // rule). The embedding frame is the AUDIT table (decoded once,
+      // already on disk), so this tier adds zero decode passes.
+      cfg.semDedup.foreach { t =>
+        // bit i of `bits` → coordinate i as ±1f (SQL `>>` so the shift
+        // amount can be the lambda variable)
+        def bitsVec(bits: String, n: Int): String =
+          s"transform(sequence(0, ${n - 1}), " +
+            s"i -> CAST(IF((($bits >> i) & 1) = 1, 1.0, -1.0) AS FLOAT))"
+        val hiLoVec = expr(
+          s"concat(${bitsVec("ahash_lo", 32)}, ${bitsVec("ahash_hi", 32)})")
+        def semOf(name: String, vec: org.apache.spark.sql.Column,
+            fpOk: org.apache.spark.sql.Column): Unit = {
+          val audit = spark.read.parquet(s"${cfg.out}/${cfg.table}_${name}_audit")
+          val kept = graft.operators.Dedup.semDedupAuto(
+            audit.filter(fpOk).select(col("media_id"), vec.as("__vec")),
+            "media_id", "__vec", t)
+          // null-fingerprint assets survive: dedup removes only rows with
+          // positive duplicate evidence (the --dedup rule)
+          sink.overwrite(s"${cfg.table}_${name}_sem_survivors",
+            kept.unionByName(audit.filter(!fpOk).select("media_id"))
+              .observe(s"media_audit_${id}_sem_survivors_$name",
+                count(lit(1)).as("rows")))
+        }
+        semOf("image", hiLoVec, col("ahash_hi").isNotNull && col("ahash_lo").isNotNull)
+        semOf("audio", expr(bitsVec("afp", cfg.audioFrames)), col("afp").isNotNull)
+        semOf("video", hiLoVec, col("ahash_hi").isNotNull && col("ahash_lo").isNotNull)
+      }
+
       // mixed-modality clean-corpus tail (VERDICT r12 next #6): the doc set
       // a multimodal trainer keeps = text survivors ∖ media-removed. The
       // removed set per modality is (ids in the pair graph) ∖ survivors —
@@ -362,7 +409,8 @@ object RunMediaAudit {
       val audits = Seq("image", "audio", "video").map { m =>
         m -> ModalityReport(field(m, "rows"), field(m, "undecodable"),
           if (cfg.pairs) field(s"pairs_$m", "rows") else -1L,
-          if (cfg.dedup) field(s"survivors_$m", "rows") else -1L)
+          if (cfg.dedup) field(s"survivors_$m", "rows") else -1L,
+          if (cfg.semDedup.isDefined) field(s"sem_survivors_$m", "rows") else -1L)
       }.toMap
       AuditReport(audits, unauditedRows, unauditedModalities, unauditedTop, guard,
         cleanDocs =
@@ -378,7 +426,9 @@ object RunMediaAudit {
       for (m <- Seq("image", "audio", "video"); r <- report.modalities.get(m)) {
         val pairs = if (r.pairs >= 0) s" pairs=${r.pairs}" else ""
         val survivors = if (r.survivors >= 0) s" survivors=${r.survivors}" else ""
-        println(s"[media-audit] $m rows=${r.rows} undecodable=${r.undecodable}$pairs$survivors")
+        val sem = if (r.semSurvivors >= 0) s" sem_survivors=${r.semSurvivors}" else ""
+        println(s"[media-audit] $m rows=${r.rows} undecodable=${r.undecodable}" +
+          s"$pairs$survivors$sem")
       }
       // the RunTrainPrep guard-disclosure pattern: a production run must
       // SAY when pair semantics are no longer the plain join's

@@ -83,12 +83,22 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
-    val all = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val all = corpus.select(col(vecCol).cast("array<double>").as("__arr"))
     val trainTarget = cells.toLong * 64
-    val train =
+    val sampled =
       if (corpusSize <= trainTarget) all
       else all.sample(withReplacement = false, trainTarget.toDouble / corpusSize, seed)
-    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(5).fit(train)
+    // DISTINCT training points, and k clamped to their count: MLlib's
+    // k-means|| init dedups candidate centers, so k > distinct-points makes
+    // the aggregator index past the center array (AIOOBE on replica-heavy
+    // corpora — the ADVICE r14 clamp, enforced where it is cheap: the
+    // sample is bounded by cells·64 rows, so the distinct+count never
+    // touches corpus scale)
+    val train = sampled.distinct()
+      .select(array_to_vector(col("__arr")).as("features"))
+      .localCheckpoint(false)
+    val k = math.max(1L, math.min(cells.toLong, train.count())).toInt
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5).fit(train)
     model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
       .toSeq.toDF("centroid_id", "cvec")

@@ -344,4 +344,61 @@ class RunMediaAuditSpec extends SparkSpecBase {
       "--in", s"$tmp/in", "--out", s"$tmp/out", "--max-pixels", "100")))
     assert(report.modalities("image") === RunMediaAudit.ModalityReport(3L, 2L, -1L))
   }
+
+  test("--sem-dedup: SemDeDup as a fourth media dedup geometry — CLI " +
+      "survivors ≡ the operator over the fingerprint-bit embedding " +
+      "(VERDICT r14 next #6)") {
+    import org.apache.spark.sql.functions.expr
+    def gray(id: Long) = Array.tabulate[Byte](128)(i => ((id * (i + 1)) % 256).toByte)
+    def wav(id: Long) = Multimodal.WavCodec.encode(8000, 1,
+      Array.tabulate[Short](160)(i => ((id * (i + 3)) % 256).toShort))
+    // 6 image replicas + 2 distinct; 4 audio replicas + 2 distinct: exact
+    // replicas share a fingerprint, so the ±1 embedding pairs them at
+    // cos = 1 regardless of learned centroids (the semDedupAuto spec rule)
+    val rows =
+      (1L to 6L).map(id => Row(id, "image", Multimodal.PgmCodec.encode(16, 8, 255, gray(500L)))) ++
+      Seq(Row(7L, "image", Multimodal.PgmCodec.encode(16, 8, 255, gray(7L))),
+        Row(8L, "image", Multimodal.PgmCodec.encode(16, 8, 255, gray(8L)))) ++
+      (21L to 24L).map(id => Row(id, "audio", wav(700L))) ++
+      Seq(Row(25L, "audio", wav(25L)), Row(26L, "audio", wav(26L)))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media-sem").toString
+    media.write.mode("overwrite").parquet(s"$tmp/in")
+
+    // no --pairs needed: the sem tier reads only the audit tables
+    val report = RunMediaAudit.execute(spark, RunMediaAudit.parse(Seq(
+      "--in", s"$tmp/in", "--out", s"$tmp/out", "--sem-dedup", "0.8")))
+
+    // identity vs the operator call on the same derived vectors
+    val bitVec = expr(
+      "concat(transform(sequence(0, 31), i -> CAST(IF(((ahash_lo >> i) & 1) = 1, 1.0, -1.0) AS FLOAT))," +
+        " transform(sequence(0, 31), i -> CAST(IF(((ahash_hi >> i) & 1) = 1, 1.0, -1.0) AS FLOAT)))")
+    val audit = spark.read.parquet(s"$tmp/out/media_image_audit")
+    val expect = graft.operators.Dedup.semDedupAuto(
+        audit.filter(col("ahash_hi").isNotNull && col("ahash_lo").isNotNull)
+          .select(col("media_id"), bitVec.as("__vec")),
+        "media_id", "__vec", 0.8)
+      .collect().map(_.getLong(0)).toSet
+    val got = spark.read.parquet(s"$tmp/out/media_image_sem_survivors")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    // the replica cluster collapses to ONE survivor; distinct images ride
+    assert(got.size === 3 && got.contains(7L) && got.contains(8L))
+    assert(report.modalities("image").semSurvivors === 3L)
+    // audio: 4 replicas → 1 survivor + 2 distinct
+    val aud = spark.read.parquet(s"$tmp/out/media_audio_sem_survivors")
+      .collect().map(_.getLong(0)).toSet
+    assert(aud.size === 3 && aud.contains(25L) && aud.contains(26L))
+    assert(report.modalities("audio").semSurvivors === 3L)
+    // pairs/dedup not armed: their report slots stay -1, sem stands alone
+    assert(report.modalities("image").pairs === -1L)
+    assert(report.modalities("image").survivors === -1L)
+    // threshold is validated as a cosine at parse
+    intercept[IllegalArgumentException](RunMediaAudit.parse(Seq(
+      "--in", "a", "--out", "b", "--sem-dedup", "1.5")))
+  }
 }
