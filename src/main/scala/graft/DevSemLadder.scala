@@ -17,6 +17,36 @@ object DevSemLadder {
     val mc = new graft.run.MetricsCollector(spark)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = emb.count()
+
+    // assignment A/B (VERDICT r14 next #2): the SAME learned centroids
+    // under the exhaustive map-side argmax vs the two-level pruned path —
+    // wall for the dominant O(n·K) term, and row identity (the pruning is
+    // EXACT by the triangle-inequality bound; this pins it at corpus scale
+    // on learned centroids, where the spec pins it on random fixtures)
+    val centroids = graft.operators.Dedup
+      .semCentroidsFor(emb, "vec_id", "embedding", n, numCentroids = 0, seed = 42L)
+      .localCheckpoint(true)
+    val k = centroids.count()
+    def timeAssign(label: String, asg: org.apache.spark.sql.DataFrame): Unit = {
+      val t = System.nanoTime()
+      asg.select("id", "centroid_id", "cosc").write.mode("overwrite")
+        .format("noop").save()
+      val sec = (System.nanoTime() - t) / 1e9
+      println(f"SEM_LADDER assign $label n=$n K=$k sec=$sec%.1f")
+    }
+    timeAssign("exhaustive",
+      graft.operators.Dedup.semAssign(emb, "vec_id", "embedding", centroids))
+    timeAssign("pruned",
+      graft.operators.Dedup.semAssignPruned(emb, "vec_id", "embedding", centroids))
+    val diff = graft.operators.Dedup.semAssign(emb, "vec_id", "embedding", centroids)
+      .select("id", "centroid_id", "cosc")
+      .exceptAll(graft.operators.Dedup
+        .semAssignPruned(emb, "vec_id", "embedding", centroids)
+        .select("id", "centroid_id", "cosc"))
+      .count()
+    println(s"SEM_LADDER assign identity exhaustive-vs-pruned exceptAll=$diff " +
+      (if (diff == 0L) "IDENTICAL" else "DIVERGED"))
+
     val before = mc.snapshot.keySet
     val t0 = System.nanoTime()
     val survivors = graft.operators.Dedup

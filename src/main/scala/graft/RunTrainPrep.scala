@@ -16,7 +16,8 @@ import graft.sink.ParquetSink
   *   [--id-col doc_id] [--text-col text] [--hash64]
   *   [--min-quality 0.3] [--bands 4] [--rows-per-band 4] [--jaccard 0.6]
   *   [--contain 0.8] [--substring-k 8] [--max-candidates 4096]
-  *   [--lm-max-ppl X [--lm-kn | --lm-ref <path> [--lm-ref-broadcast]]]
+  *   [--lm-max-ppl X [--lm-kn [--lm-kn-order 2|3] |
+  *     --lm-ref <path> [--lm-ref-broadcast]]]
   *   [--embeddings <parquet> --sem-threshold X [--sem-centroids K]
   *    [--sem-max-cell N] [--embed-id-col vec_id] [--embed-vec-col embedding]]
   *   [--select-target-col C (--select-top-n N |
@@ -77,10 +78,12 @@ object RunTrainPrep {
       lmRef: Option[String] = None,
       lmRefBroadcast: Boolean = false,
       // --lm-kn switches the SELF-TRAINED gate's smoothing from add-1 to
-      // interpolated Kneser-Ney (the KenLM/CCNet family at the bigram
-      // order). Mutually exclusive with --lm-ref: the model-as-data
+      // interpolated Kneser-Ney (the KenLM/CCNet family; --lm-kn-order
+      // picks bigram (2, default) or trigram (3) — KenLM deploys higher
+      // orders). Mutually exclusive with --lm-ref: the model-as-data
       // shape carries no continuation counts
       lmKn: Boolean = false,
+      lmKnOrder: Int = 2,
       // --embeddings <path> --sem-threshold X arm the SemDeDup stage
       // (Dedup.semDedupAuto over the curated survivors' embeddings,
       // joined on --embed-id-col = the doc id; stage `after_sem`).
@@ -152,6 +155,7 @@ object RunTrainPrep {
       case "--lm-ref" :: v :: t => loop(t, cfg.copy(lmRef = Some(v)))
       case "--lm-ref-broadcast" :: t => loop(t, cfg.copy(lmRefBroadcast = true))
       case "--lm-kn" :: t => loop(t, cfg.copy(lmKn = true))
+      case "--lm-kn-order" :: v :: t => loop(t, cfg.copy(lmKnOrder = v.toInt))
       case "--embeddings" :: v :: t => loop(t, cfg.copy(semEmbeddings = Some(v)))
       case "--sem-threshold" :: v :: t => loop(t, cfg.copy(semThreshold = Some(v.toDouble)))
       case "--sem-centroids" :: v :: t => loop(t, cfg.copy(semCentroids = v.toInt))
@@ -196,6 +200,10 @@ object RunTrainPrep {
     require(!(cfg.lmKn && cfg.lmRef.isDefined),
       "--lm-kn applies to the self-trained gate; a fixed reference model " +
         "carries no continuation counts")
+    require(cfg.lmKnOrder == 2 || cfg.lmKnOrder == 3,
+      s"--lm-kn-order must be 2 or 3; got ${cfg.lmKnOrder}")
+    require(cfg.lmKnOrder == 2 || cfg.lmKn,
+      "--lm-kn-order refines --lm-kn; arm the KN gate first")
     require(cfg.semEmbeddings.isDefined == cfg.semThreshold.isDefined,
       "SemDeDup needs both --embeddings and --sem-threshold " +
         "(one without the other would silently skip the stage)")
@@ -327,7 +335,7 @@ object RunTrainPrep {
         containThreshold = cfg.contain, substringK = cfg.substringK,
         maxCandidatesPerDoc = cfg.maxCandidates, lmMaxPpl = cfg.lmMaxPpl,
         lmModel = lmModel, lmBroadcastModel = cfg.lmRefBroadcast,
-        lmKn = cfg.lmKn,
+        lmKn = cfg.lmKn, lmKnOrder = cfg.lmKnOrder,
         embeddings = semEmb, semThreshold = cfg.semThreshold,
         semCentroids = cfg.semCentroids, semMaxCell = cfg.semMaxCell,
         embIdCol = cfg.embIdCol, embVecCol = cfg.embVecCol)

@@ -51,6 +51,28 @@ object Bpe {
     */
   val DefaultMergeBatch: Int = 64
 
+  /** Above this many distinct corpus words, [[learnMerges]] keeps the
+    * iteration distributed; at or below it, the word-count table collects
+    * once and the merge loop runs driver-local ([[learnMergesLocalLoop]]).
+    *
+    * WHY an adaptive switch (round-15): the iteration's working set after
+    * the one corpus shuffle is the DISTINCT-WORD table. Measured on a
+    * Zipfian 60 k-word / 5 M-token corpus, 2,048 sequential merges cost
+    * 606 s as driver-looped Spark rounds — ~0.3 s/round of pure job
+    * scheduling over a table that fits in single-digit MB — and exact
+    * merge batching cannot cut the round count more than ~1.4× (top pairs
+    * share symbols at the head; near-tied counts pin the created-count
+    * bound at the tail — dev/r15/bpe_ladder_zipf.log). The optimal plan
+    * for a vocab-sized loop is a vocab-sized engine: local arrays, zero
+    * scheduling. 2^20 words × ~40 B is ~tens of MB driver-side — far
+    * under any driver heap that runs this library — while a 100 TB crawl
+    * (~10⁸ distinct words) stays on the distributed path. The local loop
+    * is the SAME algorithm (same counting, same (count desc, lhs, rhs)
+    * argmax with UTF-8 byte-order ties, same greedy fold) — BpeSpec pins
+    * local ≡ distributed on fixtures and randomized corpora.
+    */
+  val DefaultLocalLearnMaxVocab: Int = 1 << 20
+
   /** Learn `numMerges` BPE merges from the corpus; returns the merge table
     * (merge_idx, lhs, rhs, pair_count) in learning order. Stops early if
     * the vocabulary runs out of adjacent pairs (every word fully merged
@@ -94,8 +116,129 @@ object Bpe {
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
-      batchK: Int = DefaultMergeBatch): DataFrame =
-    learnMergesWithRounds(docs, textCol, numMerges, batchK)._1
+      batchK: Int = DefaultMergeBatch,
+      localMaxVocab: Int = DefaultLocalLearnMaxVocab): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive; got $numMerges")
+    require(batchK > 0, s"batchK must be positive; got $batchK")
+    import Ckpt.{ckptRdd, CkptOps}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = wordCounts(docs, textCol).lazySerCkpt
+    val vocab = wc.count() // materializes the one corpus shuffle, reused below
+    if (vocab <= localMaxVocab) {
+      // split by CODE POINTS, matching Spark's substring(__w, i, 1)
+      // semantics on the distributed path (UTF-16 code units would
+      // diverge on supplementary characters)
+      val words = wc.collect().map { r =>
+        (r.getString(0).codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))), r.getLong(1))
+      }
+      ckptRdd(wc).foreach(_.unpersist(blocking = false))
+      learnMergesLocalLoop(words, numMerges)
+        .toDF("merge_idx", "lhs", "rhs", "pair_count")
+    } else distributedLearn(wc, numMerges, batchK)._1
+  }
+
+  /** The shared first (and only corpus-scale) stage: whitespace tokens →
+    * (word, count). ONE corpus shuffle; everything after runs on this
+    * table.
+    */
+  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+
+  /** The driver-local merge loop (see [[DefaultLocalLearnMaxVocab]]):
+    * per iteration, recount adjacent pairs over the word array (the same
+    * counting the distributed rounds do — no incremental-update
+    * subtleties to diverge on), pick the (count desc, lhs, rhs) argmax
+    * with ties in UNSIGNED UTF-8 BYTE order (Spark's string ordering —
+    * a UTF-16 compareTo would diverge on supplementary characters), and
+    * apply the greedy fold via a literal mirror of [[mergeFold]].
+    */
+  private[graft] def learnMergesLocalLoop(
+      words: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    def utf8Lt(x: String, y: String): Boolean = {
+      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(xb.length, yb.length)
+      var i = 0
+      while (i < n) {
+        val d = (xb(i) & 0xff) - (yb(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      xb.length < yb.length
+    }
+    val syms = words.map(_._1)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i)
+        val c = words(i)._2
+        var j = 0
+        while (j + 1 < s.length) {
+          val k = (s(j), s(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestK: (String, String) = null
+        var bestC = Long.MinValue
+        counts.foreach { case (k, c) =>
+          if (c > bestC || (c == bestC &&
+              (utf8Lt(k._1, bestK._1) || (k._1 == bestK._1 && utf8Lt(k._2, bestK._2))))) {
+            bestK = k; bestC = c
+          }
+        }
+        val (a, b) = bestK
+        merges += ((merges.length + 1, a, b, bestC))
+        var w = 0
+        while (w < syms.length) {
+          syms(w) = applyMergeLocal(syms(w), a, b)
+          w += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Literal mirror of [[mergeFold]]'s greedy non-overlapping
+    * left-to-right rule: emit each symbol unless the previously-EMITTED
+    * symbol equals `a` and the current equals `b`, in which case the
+    * previous is replaced by the merged token. (Replacement consumes the
+    * emitted `a`, so overlapping matches cannot double-merge — the
+    * BpeSpec-pinned contract.)
+    */
+  private[graft] def applyMergeLocal(s: Array[String], a: String, b: String): Array[String] = {
+    // cheap containment probe first: most words don't hold the pair, and
+    // returning the same array keeps the loop allocation-light
+    var found = false
+    var j = 0
+    while (!found && j + 1 < s.length) {
+      if (s(j) == a && s(j + 1) == b) found = true
+      j += 1
+    }
+    if (!found) return s
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val cur = s(i)
+      if (out.nonEmpty && out(out.length - 1) == a && cur == b)
+        out(out.length - 1) = a + b
+      else out += cur
+      i += 1
+    }
+    out.toArray
+  }
 
   /** [[learnMerges]] plus the number of Spark rounds it ran — the scale
     * ladder's measurement hook (rounds, not wall-clock noise, is what
@@ -106,14 +249,38 @@ object Bpe {
       textCol: String,
       numMerges: Int,
       batchK: Int = DefaultMergeBatch): (DataFrame, Int) = {
+    val (m, sizes) = learnMergesWithBatchSizes(docs, textCol, numMerges, batchK)
+    (m, sizes.length)
+  }
+
+  /** [[learnMerges]] plus the per-round ACCEPTED-BATCH SIZES (empty-batch
+    * rounds excluded — a round that learns nothing still counts toward the
+    * caller's round arithmetic only through the final table) — the
+    * VERDICT r14 next-#1 measurement hook: batch FILL along the learning
+    * curve, so a ladder can report head-of-distribution seriality (top
+    * pairs share symbols; the created-count bound MUST end those batches)
+    * separately from tail fill.
+    */
+  private[graft] def learnMergesWithBatchSizes(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      batchK: Int = DefaultMergeBatch): (DataFrame, Seq[Int]) = {
     require(numMerges > 0, s"numMerges must be positive; got $numMerges")
     require(batchK > 0, s"batchK must be positive; got $batchK")
-    val spark = docs.sparkSession
+    distributedLearn(wordCounts(docs, textCol), numMerges, batchK)
+  }
+
+  /** The distributed merge loop over an already-derived (__w, __cnt)
+    * frame — [[learnMerges]]'s big-vocab path and the ladder's
+    * measurement subject.
+    */
+  private def distributedLearn(
+      wc: DataFrame,
+      numMerges: Int,
+      batchK: Int): (DataFrame, Seq[Int]) = {
+    val spark = wc.sparkSession
     import Ckpt.ckptRdd
-    val wc = docs
-      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("__w"))
-      .filter(col("__w") =!= "")
-      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
     // loop state is (cnt, syms) ONLY: the word string is dead weight once
     // the symbol array exists, and it would otherwise ride every
     // checkpointed iteration copy. (This is also why subwordStats
@@ -126,9 +293,12 @@ object Bpe {
         expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))"))
       .select(col("__cnt"), col("__syms"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    // if the caller's wc was itself checkpointed (learnMerges' vocab-count
+    // probe), its blocks are superseded by `state` — free them now
+    ckptRdd(wc).foreach(_.unpersist(blocking = false))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     var exhausted = false
-    var rounds = 0
     while (merges.length < numMerges && !exhausted) {
       val collectM = math.max(batchK * 8, 64)
       val top = state
@@ -142,11 +312,11 @@ object Bpe {
         .limit(collectM)
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      rounds += 1
       if (top.isEmpty) exhausted = true
       else {
         val want = math.min(batchK, numMerges - merges.length)
         val batch = acceptablePrefix(top, collectM, want)
+        batchSizes += batch.length
         batch.foreach { case (a, b, c) =>
           merges += ((merges.length + 1, a, b, c))
         }
@@ -163,7 +333,7 @@ object Bpe {
     }
     ckptRdd(state).foreach(_.unpersist(blocking = false))
     import spark.implicits._
-    (merges.toSeq.toDF("merge_idx", "lhs", "rhs", "pair_count"), rounds)
+    (merges.toSeq.toDF("merge_idx", "lhs", "rhs", "pair_count"), batchSizes.toSeq)
   }
 
   /** The longest batchable prefix of one round's (count desc, lhs, rhs)

@@ -1506,14 +1506,28 @@ object Dedup {
     // n < 2: a single vector (or none) has no duplicate to dedup, and
     // KMeans needs k >= 2 training points — survivors are the universe
     if (n < 2L) return embeddings.select(col(idCol))
-    // clamp to the embedding-universe size (ADVICE r14): an explicit
-    // numCentroids (or the sqrt-n floor of 4 on a tiny universe) can
-    // exceed n, handing MLlib a k > training-point-count edge path whose
-    // behavior nothing here pins
+    val centroids = semCentroidsFor(embeddings, idCol, vecCol, n, numCentroids, seed)
+    semDedup(embeddings, idCol, vecCol, centroids, threshold, maxCellSize)
+  }
+
+  /** [[semDedupAuto]]'s centroid derivation, exposed for the scale ladder
+    * (assignment A/B needs the SAME learned centroids under both the
+    * exhaustive and the pruned argmax): K clamped to the embedding
+    * universe (ADVICE r14 — an explicit numCentroids, or the sqrt-n floor
+    * of 4 on a tiny universe, can exceed n, handing MLlib a
+    * k > training-point-count edge path nothing here pins), then the
+    * bounded-sample KMeans.
+    */
+  private[graft] def semCentroidsFor(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n: Long,
+      numCentroids: Int,
+      seed: Long): DataFrame = {
     val cells = math.min(
       if (numCentroids > 0) numCentroids else Similarity.autoNumCentroids(n).toLong,
       n).toInt.max(2)
-    val centroids = Similarity.trainCentroids(embeddings, vecCol, cells, n, seed)
-    semDedup(embeddings, idCol, vecCol, centroids, threshold, maxCellSize)
+    Similarity.trainCentroids(embeddings, vecCol, cells, n, seed)
   }
 }

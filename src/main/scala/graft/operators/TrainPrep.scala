@@ -153,11 +153,12 @@ object TrainPrep {
       lmModel: Option[TextAnalysis.BigramLm] = None,
       lmBroadcastModel: Boolean = false,
       // Kneser-Ney smoothing for the SELF-TRAINED gate (the KenLM/CCNet
-      // smoothing family at the bigram order — TextAnalysis
-      // .bigramLmScoreKn). Self-trained only: the model-as-data shape
-      // (lmModel) carries no continuation counts, so the two knobs are
-      // mutually exclusive by require below.
+      // smoothing family — TextAnalysis.bigramLmScoreKn /
+      // .trigramLmScoreKn per lmKnOrder). Self-trained only: the
+      // model-as-data shape (lmModel) carries no continuation counts, so
+      // the two knobs are mutually exclusive by require below.
       lmKn: Boolean = false,
+      lmKnOrder: Int = 2,
       // SemDeDup stage 1a: the (embIdCol, embVecCol) table of per-doc
       // embeddings, joined to the curated survivors on the doc id. Armed
       // only when BOTH embeddings and semThreshold are supplied.
@@ -176,6 +177,8 @@ object TrainPrep {
     require(!(lmKn && lmModel.isDefined),
       "lmKn applies to the self-trained gate; a fixed reference model " +
         "(lmModel) carries no continuation counts")
+    require(lmKnOrder == 2 || lmKnOrder == 3,
+      s"lmKnOrder must be 2 (bigram) or 3 (trigram); got $lmKnOrder")
     require(embeddings.isDefined == semThreshold.isDefined,
       "SemDeDup needs both the embeddings table and semThreshold " +
         "(one without the other would silently skip the stage)")
@@ -240,6 +243,8 @@ object TrainPrep {
         val scoredDf = lmModel match {
           case Some(m) => TextAnalysis.bigramLmScoreWith(
             semKept, idCol, textCol, m, broadcastModel = lmBroadcastModel)
+          case None if lmKn && lmKnOrder == 3 =>
+            TextAnalysis.trigramLmScoreKn(semKept, idCol, textCol)
           case None if lmKn => TextAnalysis.bigramLmScoreKn(semKept, idCol, textCol)
           case None => TextAnalysis.bigramLmScore(semKept, idCol, textCol)
         }

@@ -109,13 +109,24 @@ class BpeSpec extends SparkSpecBase {
       })
     for (rows <- fixtures; n <- Seq(3, 8)) {
       val docs = rows.toDF("doc_id", "text")
-      val seqOut = Bpe.learnMerges(docs, "text", numMerges = n, batchK = 1)
+      // localMaxVocab = 0 forces the DISTRIBUTED path on both sides —
+      // this test pins batching, not the local/distributed seam (below)
+      val seqOut = Bpe.learnMerges(docs, "text", numMerges = n, batchK = 1,
+          localMaxVocab = 0)
         .orderBy("merge_idx").collect()
         .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
-      val batOut = Bpe.learnMerges(docs, "text", numMerges = n, batchK = 64)
+      val batOut = Bpe.learnMerges(docs, "text", numMerges = n, batchK = 64,
+          localMaxVocab = 0)
         .orderBy("merge_idx").collect()
         .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
       assert(batOut === seqOut, s"batched ≠ sequential on $rows (numMerges=$n)")
+      // the LOCAL loop (the default path for any vocab that fits the
+      // driver) must produce the identical table: same counting, same
+      // UTF-8-byte-order tie-break, same greedy fold
+      val locOut = Bpe.learnMerges(docs, "text", numMerges = n)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(locOut === seqOut, s"local ≠ distributed on $rows (numMerges=$n)")
     }
   }
 

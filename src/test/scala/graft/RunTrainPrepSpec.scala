@@ -336,12 +336,35 @@ class RunTrainPrepSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept === expectKept)
 
+    // --lm-kn-order 3: the TRIGRAM gate — same identity pin against the
+    // operator's own filter at a median cut of the trigram prices
+    val ppl3 = graft.operators.TextAnalysis
+      .trigramLmScoreKn(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val sorted3 = ppl3.values.toSeq.sorted
+    val cut3 = (sorted3(4) + sorted3(5)) / 2
+    val expect3 = ppl3.filter(_._2 <= cut3).keys.toSeq.sorted
+    val report3 = RunTrainPrep.execute(spark, RunTrainPrep.parse(Seq(
+      "--in", s"$tmp/in", "--out", s"$tmp/out3",
+      "--min-quality", "0.0", "--lm-max-ppl", cut3.toString,
+      "--lm-kn", "--lm-kn-order", "3")))
+    assert(report3.stages("after_lm") === expect3.length.toLong)
+    val kept3 = spark.read.parquet(s"$tmp/out3/clean_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept3 === expect3)
+
     // --lm-kn without an armed gate, or combined with a fixed reference
     // model (no continuation counts in the model-as-data shape): parse fails
     intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
       "--in", "a", "--out", "b", "--lm-kn")))
     intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
       "--in", "a", "--out", "b", "--lm-max-ppl", "30", "--lm-kn", "--lm-ref", "p")))
+    // order without the KN gate, and orders outside {2, 3}: parse fails
+    intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
+      "--in", "a", "--out", "b", "--lm-max-ppl", "30", "--lm-kn-order", "3")))
+    intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
+      "--in", "a", "--out", "b", "--lm-max-ppl", "30", "--lm-kn",
+      "--lm-kn-order", "4")))
   }
 
   test("--embeddings/--sem-threshold arm the SemDeDup stage: semantic " +
