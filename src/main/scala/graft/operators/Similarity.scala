@@ -73,6 +73,12 @@ object Similarity {
     * drift between the ANN and the semantic-dedup tiers (the Ckpt-helper
     * lesson, ADVICE r13).
     */
+  /** [[trainCentroids]] for the dev probes (package-private otherwise). */
+  private[graft] def trainCentroidsHook(
+      corpus: DataFrame, vecCol: String, cells: Int, corpusSize: Long,
+      seed: Long): DataFrame =
+    trainCentroids(corpus, vecCol, cells, corpusSize, seed)
+
   private[operators] def trainCentroids(
       corpus: DataFrame,
       vecCol: String,

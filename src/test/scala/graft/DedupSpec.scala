@@ -1036,6 +1036,13 @@ class DedupSpec extends SparkSpecBase {
       === exhaustive)
     assert(key(Dedup.semAssignPruned(emb, "vec_id", "embedding", cents, numGroups = 25))
       === exhaustive)
+    // and the NATIVE tight-loop expressions are bit-identical to the HOF
+    // reference formulations (the cosineLongHof pinning precedent) —
+    // rounding recipe, tie-break, NaN order and all
+    assert(key(Dedup.semAssign(emb, "vec_id", "embedding", cents, native = false))
+      === exhaustive)
+    assert(key(Dedup.semAssignPruned(emb, "vec_id", "embedding", cents, numGroups = 7,
+      native = false)) === exhaustive)
   }
 
   test("semDedupAuto clamps cells to the embedding-universe size (ADVICE " +
