@@ -26,7 +26,7 @@ object DevSemProbe {
     val g = if (numGroups > 0) numGroups
       else math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
     val supers = graft.operators.Similarity
-      .trainCentroidsHook(centroids, "cvec", g, k, 42L)
+      .trainCentroids(centroids, "cvec", g, k, 42L)
       .select(col("centroid_id").as("__gid"), col("cvec").as("__gvec"))
     val childAsg = graft.operators.Dedup.semAssign(
         centroids.select(col("centroid_id").as("__cid"), col("cvec")),

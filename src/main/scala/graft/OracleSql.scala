@@ -1996,7 +1996,7 @@ object OracleSql {
         |    ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b, count(*) AS cnt
         |  FROM tok WHERE w <> '' GROUP BY 1, 2, 3),
         |pos AS (SELECT b, sum(cnt) AS cp FROM f WHERE tgt GROUP BY 1),
-        |neg AS (SELECT b, sum(cnt) AS cn FROM f WHERE NOT tgt GROUP BY 1),
+        |neg AS (SELECT b, sum(cnt) AS cn FROM f WHERE tgt IS NOT TRUE GROUP BY 1),
         |tot AS (SELECT (SELECT coalesce(sum(cp), 0) FROM pos) AS np,
         |               (SELECT coalesce(sum(cn), 0) FROM neg) AS nn),
         |prior AS (SELECT CAST(round(ln(

@@ -323,8 +323,16 @@ object RunMediaAudit {
         def bitsVec(bits: String, n: Int): String =
           s"transform(sequence(0, ${n - 1}), " +
             s"i -> CAST(IF((($bits >> i) & 1) = 1, 1.0, -1.0) AS FLOAT))"
-        val hiLoVec = expr(
-          s"concat(${bitsVec("ahash_lo", 32)}, ${bitsVec("ahash_hi", 32)})")
+        // embed exactly the ahash's REAL bit width (ahashSize² — bits
+        // 0..31 in lo, 32+ in hi): padding to a fixed 64 would add
+        // constant −1 coordinates that inflate every pair's cosine
+        // (1 − 2h/64 instead of 1 − 2h/n²) and silently over-dedup
+        // narrow hashes
+        val imgBits = cfg.ahashSize * cfg.ahashSize
+        val hiLoVec =
+          if (imgBits <= 32) expr(bitsVec("ahash_lo", imgBits))
+          else expr(
+            s"concat(${bitsVec("ahash_lo", 32)}, ${bitsVec("ahash_hi", imgBits - 32)})")
         def semOf(name: String, vec: org.apache.spark.sql.Column,
             fpOk: org.apache.spark.sql.Column): Unit = {
           val audit = spark.read.parquet(s"${cfg.out}/${cfg.table}_${name}_audit")

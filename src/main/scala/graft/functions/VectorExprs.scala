@@ -171,6 +171,9 @@ case class CosineArgMax(left: Expression, right: Expression)
   override def dataType: DataType = StructType(Seq(
     StructField("cosc", DT, nullable = false),
     StructField("centroid_id", IntegerType, nullable = false)))
+  // an empty candidate array yields null even when both children are
+  // non-nullable (array_max's contract)
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_arg_max"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -233,6 +236,9 @@ case class CosineArgMaxTwoLevel(left: Expression, right: Expression)
   override def dataType: DataType = StructType(Seq(
     StructField("cosc", DT, nullable = false),
     StructField("centroid_id", IntegerType, nullable = false)))
+  // empty groups / empty children yield null even when both children are
+  // non-nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_arg_max_two_level"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -250,7 +256,14 @@ case class CosineArgMaxTwoLevel(left: Expression, right: Expression)
       val grp = groups.getStruct(i, 4)
       val dg = math.sqrt(gmax(2.0 - 2.0 * VecOps.cos(vec, grp.getArray(0)), 0.0))
       val ub = 1.0 - math.pow(gmax(dg - grp.getDouble(1), 0.0), 2) / 2
-      val lb = 1.0 - math.pow(dg + grp.getDouble(2), 2) / 2
+      val lb0 = 1.0 - math.pow(dg + grp.getDouble(2), 2) / 2
+      // a NaN lb (degenerate zero SUPER-vector: 0/0 cosine) claims
+      // nothing about achievable cosines — but NaN is the ordering
+      // MAXIMUM, so without this floor it would poison the cut and prune
+      // every finite-ub group (silently wrong argmax). −∞ is the
+      // conservative truth; the group's own NaN ub still keeps it
+      // scanned. Mirrors the HOF form's nanvl.
+      val lb = if (lb0.isNaN) Double.NegativeInfinity else lb0
       ubs(i) = ub
       if (firstLb || VecOps.cmp(lb, bestLb) > 0) { bestLb = lb; firstLb = false }
       i += 1

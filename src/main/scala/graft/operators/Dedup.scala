@@ -1393,7 +1393,12 @@ object Dedup {
             lit(0.0)))
           struct(
             (lit(1.0) - pow(greatest(dg - grp.getField("__r"), lit(0.0)), 2) / 2).as("ub"),
-            (lit(1.0) - pow(dg + grp.getField("__rmin"), 2) / 2).as("lb"),
+            // nanvl: a degenerate zero super-vector gives a NaN lb, which
+            // would otherwise be the ordering MAXIMUM and poison the cut
+            // (pruning every finite-ub group); −∞ is the conservative
+            // claim. The group's own NaN ub still survives the filter.
+            nanvl(lit(1.0) - pow(dg + grp.getField("__rmin"), 2) / 2,
+              lit(Double.NegativeInfinity)).as("lb"),
             grp.getField("__children").as("children"))
         }))
         .withColumn("__bestlb", array_max(transform(col("__gb"), x => x.getField("lb"))))

@@ -73,13 +73,7 @@ object Similarity {
     * drift between the ANN and the semantic-dedup tiers (the Ckpt-helper
     * lesson, ADVICE r13).
     */
-  /** [[trainCentroids]] for the dev probes (package-private otherwise). */
-  private[graft] def trainCentroidsHook(
-      corpus: DataFrame, vecCol: String, cells: Int, corpusSize: Long,
-      seed: Long): DataFrame =
-    trainCentroids(corpus, vecCol, cells, corpusSize, seed)
-
-  private[operators] def trainCentroids(
+  private[graft] def trainCentroids(
       corpus: DataFrame,
       vecCol: String,
       cells: Int,
@@ -103,7 +97,15 @@ object Similarity {
     val train = sampled.distinct()
       .select(array_to_vector(col("__arr")).as("features"))
       .localCheckpoint(false)
-    val k = math.max(1L, math.min(cells.toLong, train.count())).toInt
+    val distinctPoints = train.count()
+    // a single distinct training vector (replica-only corpus): Spark ML
+    // KMeans rejects k = 1, and no clustering is needed — that one vector
+    // IS the centroid (every assignment lands on it regardless)
+    if (distinctPoints <= 1L)
+      return sampled.limit(1)
+        .select(lit(0).as("centroid_id"),
+          col("__arr").cast("array<float>").as("cvec"))
+    val k = math.min(cells.toLong, distinctPoints).toInt
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5).fit(train)
     model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }

@@ -1061,4 +1061,44 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.semDedupAuto(one, "vec_id", "embedding", threshold = 0.5)
       .collect().map(_.getLong(0)).toSeq === Seq(7L))
   }
+
+  test("semDedupAuto on a replica-only corpus (ONE distinct vector): no " +
+      "KMeans k=1 crash, replicas collapse to one survivor") {
+    // the canonical dedup input — every vector byte-identical. KMeans
+    // rejects k = 1, so trainCentroids must shortcut: the one distinct
+    // vector IS the centroid. Equal cosc within the cluster → min id.
+    val emb = (1L to 6L).map(i => (i, Array(0.5f, 0.5f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val surv = Dedup.semDedupAuto(emb, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(_.getLong(0)).toSeq
+    assert(surv === Seq(1L))
+  }
+
+  test("two-level argmax: a degenerate zero SUPER-vector (NaN lb) must " +
+      "not poison the pruning cut") {
+    // g0's super-vector is all-zero → cos(v, s0) = 0/0 = NaN → its lb is
+    // NaN, the double-ordering MAXIMUM. Without the nanvl/-Inf floor the
+    // cut becomes NaN, g1 (which holds the TRUE argmax) is pruned, and
+    // the wrong centroid flows out silently. g0's own NaN ub keeps it
+    // scanned either way.
+    import org.apache.spark.sql.GraftColumnBridge
+    val df = Seq(1).toDF("x").select(
+      typedLit(Array(1f, 0f)).as("vec"),
+      array(
+        struct(typedLit(Array(0f, 0f)).as("__gvec"),
+          lit(0.1).as("__r"), lit(0.0).as("__rmin"),
+          array(struct(lit(9).as("centroid_id"),
+            typedLit(Array(0f, 1f)).as("cvec"))).as("__children")),
+        struct(typedLit(Array(1f, 0f)).as("__gvec"),
+          lit(0.05).as("__r"), lit(0.0).as("__rmin"),
+          array(struct(lit(1).as("centroid_id"),
+            typedLit(Array(1f, 0f)).as("cvec"))).as("__children"))).as("__groups"))
+    val best = df.select(GraftColumnBridge.column(
+        graft.functions.CosineArgMaxTwoLevel(
+          GraftColumnBridge.expression(col("vec")),
+          GraftColumnBridge.expression(col("__groups")))).as("b"))
+      .select(col("b.centroid_id"), col("b.cosc")).collect()(0)
+    assert(best.getInt(0) === 1, s"zero-super NaN lb pruned the true argmax: $best")
+    assert(best.getDouble(1) === 1.0)
+  }
 }

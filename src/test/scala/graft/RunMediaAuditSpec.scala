@@ -401,4 +401,38 @@ class RunMediaAuditSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](RunMediaAudit.parse(Seq(
       "--in", "a", "--out", "b", "--sem-dedup", "1.5")))
   }
+
+  test("--sem-dedup embeds the ahash's REAL bit width: --ahash-size 4 " +
+      "uses 16 coordinates, not 64 with constant padding") {
+    import org.apache.spark.sql.functions.expr
+    def gray(id: Long) = Array.tabulate[Byte](128)(i => ((id * (i + 1)) % 256).toByte)
+    val rows =
+      (1L to 4L).map(id => Row(id, "image", Multimodal.PgmCodec.encode(16, 8, 255, gray(300L)))) ++
+      Seq(Row(5L, "image", Multimodal.PgmCodec.encode(16, 8, 255, gray(5L))),
+        Row(6L, "image", Multimodal.PgmCodec.encode(16, 8, 255, gray(6L))))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media-sem4").toString
+    media.write.mode("overwrite").parquet(s"$tmp/in")
+    // narrow hashes are pair-tier-forbidden (--pairs requires size 8) but
+    // sem-dedup legitimately runs on them — with a 16-coordinate embedding
+    val report = RunMediaAudit.execute(spark, RunMediaAudit.parse(Seq(
+      "--in", s"$tmp/in", "--out", s"$tmp/out",
+      "--ahash-size", "4", "--sem-dedup", "0.8")))
+    val bitVec16 = expr(
+      "transform(sequence(0, 15), i -> CAST(IF(((ahash_lo >> i) & 1) = 1, 1.0, -1.0) AS FLOAT))")
+    val audit = spark.read.parquet(s"$tmp/out/media_image_audit")
+    val expect = graft.operators.Dedup.semDedupAuto(
+        audit.filter(col("ahash_hi").isNotNull && col("ahash_lo").isNotNull)
+          .select(col("media_id"), bitVec16.as("__vec")),
+        "media_id", "__vec", 0.8)
+      .collect().map(_.getLong(0)).toSet
+    val got = spark.read.parquet(s"$tmp/out/media_image_sem_survivors")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    assert(report.modalities("image").semSurvivors === expect.size.toLong)
+  }
 }
