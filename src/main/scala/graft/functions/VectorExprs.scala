@@ -216,6 +216,81 @@ case class CosineArgMax(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All intra-cell pairs above a cosine threshold, emitted from ONE
+  * collected cell — the SemDeDup pair stage without the candidate
+  * shuffle: the plain formulation self-joins thin (id, cell) rows and
+  * then JOINS THE VECTORS BACK onto every candidate pair (two shuffles
+  * probing a pairs-quadratic table; measured 102 s of a 165 s 100×
+  * semDedupAuto run), where this evaluates the same O(cell²) cosines in
+  * one pass over the grouped cell and emits only the passing pairs.
+  * Exactly the plain join's semantics: id1 < id2, STRICT cosine >
+  * threshold, the same [[CosineSim]] arithmetic (symmetric in fp — the
+  * dot and both norms accumulate identically under argument swap).
+  * The caller bounds cell size (collect_list of a ≤ maxCellSize cell),
+  * so the emitted array is ≤ cell²/2 rows.
+  *
+  * left = array<struct<id:long, vec:array<float>>>; right = the
+  * threshold (double).
+  */
+case class CosinePairsAbove(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id1", LongType, nullable = false),
+      StructField("id2", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cosine_pairs_above"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val cell = a.asInstanceOf[ArrayData]
+    val th = b.asInstanceOf[Double]
+    val n = cell.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[ArrayData](n)
+    var i = 0
+    while (i < n) {
+      val row = cell.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      vecs(i) = row.getArray(1)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (VecOps.cos(vecs(i), vecs(j)) > th) {
+          val lo = math.min(ids(i), ids(j))
+          val hi = math.max(ids(i), ids(j))
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](lo, hi))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("cosinePairsAbove", this, classOf[CosinePairsAbove].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"(ArrayData) $ref.evalPairs($a, $b)")
+  }
+
+  /** Codegen entry point. */
+  def evalPairs(a: ArrayData, b: Double): Any = nullSafeEval(a, b)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosinePairsAbove =
+    copy(left = newLeft, right = newRight)
+}
+
 /** [[CosineArgMax]] with the two-level triangle-inequality pruning of
   * [[graft.operators.Dedup.semAssignPruned]] fused into the same tight
   * loop — a literal mirror of the spec-pinned HOF chain (same operation

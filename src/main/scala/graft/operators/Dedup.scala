@@ -1458,7 +1458,59 @@ object Dedup {
       threshold, maxCellSize)
   }
 
+  /** Above this cell population, the intra-cell pairs route through the
+    * banded join machinery instead of the collected-cell native emission
+    * (a cell of c members emits up to c²/2 pair structs in ONE array —
+    * bounded ≈ 130 MB at 4096; beyond that the streaming join is the
+    * safer shape, and beyond `maxCellSize` the star-collapse guard owns
+    * the bucket anyway).
+    */
+  private[graft] val SemLocalPairMaxCell: Int = 4096
+
+  /** [[semPairsFromAssign]] for the stage profiler and the path-identity
+    * spec (`localPairMaxCell = 0` forces the join path).
+    */
+  private[graft] def semPairsFromAssignHook(
+      asg: DataFrame, threshold: Double,
+      maxCellSize: Int = DefaultMaxBucketSize,
+      localPairMaxCell: Int = SemLocalPairMaxCell): DataFrame =
+    semPairsFromAssign(asg, threshold, maxCellSize, localPairMaxCell)
+
   private def semPairsFromAssign(
+      asg: DataFrame, threshold: Double, maxCellSize: Int,
+      localPairMaxCell: Int = SemLocalPairMaxCell): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => natCol, expression => natExpr}
+    // LOCAL-CELL PATH (the 100× profile's 62%: the join path's candidate
+    // shuffle + two vector join-backs probing a pairs-quadratic table —
+    // dev/r15/sem_stage_profile.log): cells under the cap collect once
+    // (one wide shuffle of the CORPUS, not of the pair set) and a native
+    // expression emits exactly the plain join's passing pairs. Long ids
+    // only (every sem caller's shape — the expression's schema is fixed);
+    // anything else keeps the join path.
+    val localCap = math.min(localPairMaxCell, maxCellSize)
+    if (localCap <= 0 ||
+        asg.schema("id").dataType != org.apache.spark.sql.types.LongType)
+      return semPairsJoinPath(asg, threshold, maxCellSize)
+    val sizes = asg.groupBy(col("centroid_id")).agg(count(lit(1)).as("__csz"))
+    val withSz = asg.join(broadcast(sizes), Seq("centroid_id"))
+    val smallPairs = withSz.filter(col("__csz") <= localCap)
+      .groupBy(col("centroid_id"))
+      .agg(collect_list(struct(col("id"), col("vec"))).as("__cell"))
+      .select(explode(natCol(graft.functions.CosinePairsAbove(
+        natExpr(col("__cell")), natExpr(lit(threshold))))).as("__p"))
+      .select(col("__p.id1").as("id1"), col("__p.id2").as("id2"))
+    // cells past the cap keep the banded machinery — which is exactly
+    // where the star-collapse guard (and its disclosure counters) lives
+    val big = withSz.filter(col("__csz") > localCap)
+      .select(asg.columns.map(col): _*)
+    smallPairs.unionByName(semPairsJoinPath(big, threshold, maxCellSize))
+  }
+
+  /** The banded-join formulation of the intra-cell pairs — the guard
+    * owner (oversized cells star-collapse here with disclosure counters)
+    * and the spec-pinned reference for [[graft.functions.CosinePairsAbove]].
+    */
+  private def semPairsJoinPath(
       asg: DataFrame, threshold: Double, maxCellSize: Int): DataFrame = {
     import graft.functions.Vectors
     val vecs = asg.select(col("id"), col("vec"))

@@ -1062,6 +1062,33 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSeq === Seq(7L))
   }
 
+  test("sem pair stage: the collected-cell native emission equals the " +
+      "banded-join path pair-for-pair, threshold boundary included") {
+    // random vectors over 3 cells, duplicates included; compare the local
+    // path (default) against the join path (localPairMaxCell = 0) at a
+    // threshold that cuts THROUGH the cosine distribution, and again at
+    // extremes (everything pairs / nothing pairs)
+    val rnd = new scala.util.Random(777)
+    def vec() = Array.fill(8)(rnd.nextFloat() * 2f - 1f)
+    val rows = (0L until 120L).map(i => (i, vec())) ++
+      (200L until 210L).map(i => (i, Array.fill(8)(0.7f))) // exact dups
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (1, Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2, Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f))).toDF("centroid_id", "cvec")
+    val asg = Dedup.semAssign(emb, "vec_id", "embedding", cents)
+    for (t <- Seq(-0.99, 0.3, 0.8, 0.9999)) {
+      def pairsOf(cap: Int) = Dedup
+        .semPairsFromAssignHook(asg, t, localPairMaxCell = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val local = pairsOf(Dedup.SemLocalPairMaxCell)
+      val join = pairsOf(0)
+      assert(local === join, s"paths diverge at threshold=$t")
+      if (t == 0.3) assert(local.nonEmpty)
+    }
+  }
+
   test("semDedupAuto on a replica-only corpus (ONE distinct vector): no " +
       "KMeans k=1 crash, replicas collapse to one survivor") {
     // the canonical dedup input — every vector byte-identical. KMeans
