@@ -1981,6 +1981,138 @@ object OracleSql {
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Interpolated Kneser-Ney at order 4 (q108) and order 5 (q109) — the
+    // orders KenLM deploys. The q106 derivation chain extended one TYPE
+    // level per order: raw n-gram counts at the top, each adjusted level
+    // the type count of the level above grouped on its rightmost columns,
+    // unigram continuation at the bottom. The probability is spelled in
+    // the engine's exact fixed operation order at every level —
+    // ((a_k − D) + D·nctx_k·p_{k-1})/cc_k, innermost a1/tot — so every
+    // per-position double is IEEE-identical before round-6. The n-gram
+    // and type tables are MATERIALIZED (multiple consumers).
+    "q108_lm_kn4" ->
+      """WITH base AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS l
+        |  FROM documents),
+        |pos AS (SELECT doc_id, l, unnest(range(1, len(l) - 2)) AS i FROM base),
+        |ng AS MATERIALIZED (SELECT doc_id, l[i] AS g0, l[i + 1] AS g1,
+        |    l[i + 2] AS g2, l[i + 3] AS g3, count(*) AS cnt
+        |  FROM pos WHERE l[i] <> '' AND l[i + 1] <> '' AND l[i + 2] <> ''
+        |    AND l[i + 3] <> ''
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |tc AS MATERIALIZED (SELECT g0, g1, g2, g3, sum(cnt) AS c
+        |  FROM ng GROUP BY 1, 2, 3, 4),
+        |cx AS (SELECT g0, g1, g2, sum(c) AS cc, count(*) AS n1p
+        |  FROM tc GROUP BY 1, 2, 3),
+        |a3 AS MATERIALIZED (SELECT g1, g2, g3, count(*) AS a3
+        |  FROM tc GROUP BY 1, 2, 3),
+        |c3 AS (SELECT g1, g2, sum(a3) AS cc3, count(*) AS nc3
+        |  FROM a3 GROUP BY 1, 2),
+        |a2 AS MATERIALIZED (SELECT g2, g3, count(*) AS a2 FROM a3 GROUP BY 1, 2),
+        |c2 AS (SELECT g2, sum(a2) AS cc2, count(*) AS nc2 FROM a2 GROUP BY 1),
+        |a1 AS (SELECT g3, count(*) AS a1 FROM a2 GROUP BY 1),
+        |na AS (SELECT count(*) AS tot FROM a2),
+        |sc AS (SELECT ng.doc_id, sum(ng.cnt) AS nb,
+        |    sum(ng.cnt * CAST(round(ln(
+        |      ((tc.c - 0.75) + 0.75 * cx.n1p *
+        |        (((a3.a3 - 0.75) + 0.75 * c3.nc3 *
+        |          (((a2.a2 - 0.75) + 0.75 * c2.nc2 * (a1.a1 / na.tot)) / c2.cc2))
+        |          / c3.cc3))
+        |      / cx.cc), 6)
+        |      AS DECIMAL(18,6))) AS slp
+        |  FROM ng, tc, cx, a3, c3, a2, c2, a1, na
+        |  WHERE ng.g0 = tc.g0 AND ng.g1 = tc.g1 AND ng.g2 = tc.g2 AND ng.g3 = tc.g3
+        |    AND tc.g0 = cx.g0 AND tc.g1 = cx.g1 AND tc.g2 = cx.g2
+        |    AND tc.g1 = a3.g1 AND tc.g2 = a3.g2 AND tc.g3 = a3.g3
+        |    AND a3.g1 = c3.g1 AND a3.g2 = c3.g2
+        |    AND a3.g2 = a2.g2 AND a3.g3 = a2.g3
+        |    AND a2.g2 = c2.g2 AND a2.g3 = a1.g3
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_ngrams,
+        |  -CAST(sc.slp AS DOUBLE) / sc.nb AS cross_entropy,
+        |  round(exp(-CAST(sc.slp AS DOUBLE) / sc.nb), 6) AS ppl
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q109_lm_kn5" ->
+      """WITH base AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS l
+        |  FROM documents),
+        |pos AS (SELECT doc_id, l, unnest(range(1, len(l) - 3)) AS i FROM base),
+        |ng AS MATERIALIZED (SELECT doc_id, l[i] AS g0, l[i + 1] AS g1,
+        |    l[i + 2] AS g2, l[i + 3] AS g3, l[i + 4] AS g4, count(*) AS cnt
+        |  FROM pos WHERE l[i] <> '' AND l[i + 1] <> '' AND l[i + 2] <> ''
+        |    AND l[i + 3] <> '' AND l[i + 4] <> ''
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |tc AS MATERIALIZED (SELECT g0, g1, g2, g3, g4, sum(cnt) AS c
+        |  FROM ng GROUP BY 1, 2, 3, 4, 5),
+        |cx AS (SELECT g0, g1, g2, g3, sum(c) AS cc, count(*) AS n1p
+        |  FROM tc GROUP BY 1, 2, 3, 4),
+        |a4 AS MATERIALIZED (SELECT g1, g2, g3, g4, count(*) AS a4
+        |  FROM tc GROUP BY 1, 2, 3, 4),
+        |c4 AS (SELECT g1, g2, g3, sum(a4) AS cc4, count(*) AS nc4
+        |  FROM a4 GROUP BY 1, 2, 3),
+        |a3 AS MATERIALIZED (SELECT g2, g3, g4, count(*) AS a3
+        |  FROM a4 GROUP BY 1, 2, 3),
+        |c3 AS (SELECT g2, g3, sum(a3) AS cc3, count(*) AS nc3
+        |  FROM a3 GROUP BY 1, 2),
+        |a2 AS MATERIALIZED (SELECT g3, g4, count(*) AS a2 FROM a3 GROUP BY 1, 2),
+        |c2 AS (SELECT g3, sum(a2) AS cc2, count(*) AS nc2 FROM a2 GROUP BY 1),
+        |a1 AS (SELECT g4, count(*) AS a1 FROM a2 GROUP BY 1),
+        |na AS (SELECT count(*) AS tot FROM a2),
+        |sc AS (SELECT ng.doc_id, sum(ng.cnt) AS nb,
+        |    sum(ng.cnt * CAST(round(ln(
+        |      ((tc.c - 0.75) + 0.75 * cx.n1p *
+        |        (((a4.a4 - 0.75) + 0.75 * c4.nc4 *
+        |          (((a3.a3 - 0.75) + 0.75 * c3.nc3 *
+        |            (((a2.a2 - 0.75) + 0.75 * c2.nc2 * (a1.a1 / na.tot)) / c2.cc2))
+        |            / c3.cc3))
+        |          / c4.cc4))
+        |      / cx.cc), 6)
+        |      AS DECIMAL(18,6))) AS slp
+        |  FROM ng, tc, cx, a4, c4, a3, c3, a2, c2, a1, na
+        |  WHERE ng.g0 = tc.g0 AND ng.g1 = tc.g1 AND ng.g2 = tc.g2
+        |    AND ng.g3 = tc.g3 AND ng.g4 = tc.g4
+        |    AND tc.g0 = cx.g0 AND tc.g1 = cx.g1 AND tc.g2 = cx.g2 AND tc.g3 = cx.g3
+        |    AND tc.g1 = a4.g1 AND tc.g2 = a4.g2 AND tc.g3 = a4.g3 AND tc.g4 = a4.g4
+        |    AND a4.g1 = c4.g1 AND a4.g2 = c4.g2 AND a4.g3 = c4.g3
+        |    AND a4.g2 = a3.g2 AND a4.g3 = a3.g3 AND a4.g4 = a3.g4
+        |    AND a3.g2 = c3.g2 AND a3.g3 = c3.g3
+        |    AND a3.g3 = a2.g3 AND a3.g4 = a2.g4
+        |    AND a2.g3 = c2.g3 AND a2.g4 = a1.g4
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(sc.nb, 0) AS BIGINT) AS n_ngrams,
+        |  -CAST(sc.slp AS DOUBLE) / sc.nb AS cross_entropy,
+        |  round(exp(-CAST(sc.slp AS DOUBLE) / sc.nb), 6) AS ppl
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Pruned two-level assignment on a CLUSTERED manifold (q110): the
+    // engine runs semAssignPruned (triangle-inequality groups + the
+    // adaptive gate, which measures kept ≪ K on this geometry and keeps
+    // the pruned path); pruning is EXACT, so the oracle replays the plain
+    // exhaustive argmax — round-6 cosine, lower-centroid-id tie-break (the
+    // q25/q103 ordering discipline) — over the SAME derived vectors. The
+    // derivation literals match SparkEntry.q110 token-for-token: a unit
+    // spike at (vec_id mod 16) over ±k/64 integer pseudo-noise, every
+    // component a dyadic rational so the float casts agree bit-for-bit.
+    "q110_sem_pruned_clustered" ->
+      s"""WITH dv AS (SELECT vec_id,
+         |    list_transform(range(0, 16), j -> CAST(
+         |      CASE WHEN j = vec_id % 16 THEN 1.0
+         |           ELSE ((vec_id * (j + 7)) % 11 - 5) / 64.0 END AS FLOAT)) AS vec
+         |  FROM embeddings),
+         |c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+         |    AS centroid_id, vec AS cvec
+         |  FROM (SELECT vec_id, vec FROM dv ORDER BY vec_id LIMIT 64)),
+         |scored AS (SELECT dv.vec_id, c.centroid_id,
+         |    round(${cosSql("dv.vec", "c.cvec")}, 6) AS cosc
+         |  FROM dv CROSS JOIN c)
+         |SELECT vec_id, centroid_id, cosc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cosc DESC, centroid_id ASC) AS rn FROM scored)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
     // fasttext-family quality-classifier selection (q107): closed-form
     // multinomial Naive Bayes over the q93 hashed-unigram buckets, trained
     // target-vs-REST (the discriminative contrast, where DSIR's

@@ -16,7 +16,7 @@ import graft.sink.ParquetSink
   *   [--id-col doc_id] [--text-col text] [--hash64]
   *   [--min-quality 0.3] [--bands 4] [--rows-per-band 4] [--jaccard 0.6]
   *   [--contain 0.8] [--substring-k 8] [--max-candidates 4096]
-  *   [--lm-max-ppl X [--lm-kn [--lm-kn-order 2|3] |
+  *   [--lm-max-ppl X [--lm-kn [--lm-kn-order 2|3|4|5] |
   *     --lm-ref <path> [--lm-ref-broadcast]]]
   *   [--embeddings <parquet> --sem-threshold X [--sem-centroids K]
   *    [--sem-max-cell N] [--embed-id-col vec_id] [--embed-vec-col embedding]]
@@ -200,8 +200,8 @@ object RunTrainPrep {
     require(!(cfg.lmKn && cfg.lmRef.isDefined),
       "--lm-kn applies to the self-trained gate; a fixed reference model " +
         "carries no continuation counts")
-    require(cfg.lmKnOrder == 2 || cfg.lmKnOrder == 3,
-      s"--lm-kn-order must be 2 or 3; got ${cfg.lmKnOrder}")
+    require(cfg.lmKnOrder >= 2 && cfg.lmKnOrder <= 5,
+      s"--lm-kn-order must be 2-5; got ${cfg.lmKnOrder}")
     require(cfg.lmKnOrder == 2 || cfg.lmKn,
       "--lm-kn-order refines --lm-kn; arm the KN gate first")
     require(cfg.semEmbeddings.isDefined == cfg.semThreshold.isDefined,

@@ -1408,6 +1408,47 @@ object SparkEntry {
       .trigramLmScoreKn(T(s, d, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  // ---- interpolated Kneser-Ney at orders 4 and 5 (VERDICT r15 next #2 —
+  // the orders KenLM actually deploys): the generic adjusted-count chain
+  // (ngramLmScoreKn — one TYPE level per order, spec-pinned IEEE-identical
+  // to the q106 trigram form at order 3), each order's probability one
+  // fixed-operation-order expression mirrored literally in the oracle ---
+  private def q108LmKn4(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis
+      .ngramLmScoreKn(T(s, d, "documents"), "doc_id", "text", order = 4)
+      .orderBy("doc_id")
+
+  private def q109LmKn5(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis
+      .ngramLmScoreKn(T(s, d, "documents"), "doc_id", "text", order = 5)
+      .orderBy("doc_id")
+
+  // ---- the PRUNED two-level assignment on a CLUSTERED manifold, under
+  // the oracle gate (VERDICT r15 next #3): the shipped embeddings fixture
+  // is isotropic — the one regime where exact metric pruning provably
+  // cannot fire — so the 3.2× pruning win lived only in dev-harness logs.
+  // The q102 precedent: plant the geometry IN-QUERY, deriving 16-dim
+  // vectors from vec_id with identical integer-exact literals in both
+  // engines (components are dyadic rationals, so the float casts agree
+  // bit-for-bit): a unit spike at (vec_id mod 16) over ±5/64 pseudo-noise
+  // gives 16 tight directions; K = 64 Forgy centroids (4 per direction)
+  // engage the two-level scan (K ≥ SemPruneMinCentroids), the gate probe
+  // measures a kept-fraction ≪ 1 and KEEPS the pruned path, and the
+  // output — assignment + 6-dp cosine + lower-id tie-break — is EXACT
+  // regardless of pruning, which is precisely what the oracle hash pins.
+  private def q110SemPrunedClustered(s: SparkSession, d: String): DataFrame = {
+    val dv = T(s, d, "embeddings")
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, 15), j ->
+          |  CAST(CASE WHEN j = CAST(vec_id % 16 AS INT) THEN 1.0
+          |       ELSE ((vec_id * (j + 7)) % 11 - 5) / 64.0 END AS FLOAT))"""
+          .stripMargin).as("vec"))
+    Dedup.semAssignPruned(dv, "vec_id", "vec",
+        Dedup.firstKCentroids(dv, "vec_id", "vec", 64))
+      .select(col("id").as("vec_id"), col("centroid_id"), col("cosc"))
+      .orderBy("vec_id")
+  }
+
   // ---- fasttext-family quality-classifier selection (VERDICT r14 next
   // #5 — the staple selection shape beside DSIR): a closed-form
   // multinomial Naive Bayes over the SAME 1024 md5-bucket hashed-unigram
@@ -1732,7 +1773,10 @@ object SparkEntry {
     "q104_lm_kn" -> (q104LmKn _),
     "q105_train_prep_sem" -> (q105TrainPrepSem _),
     "q106_lm_kn3" -> (q106LmKn3 _),
-    "q107_quality_select" -> (q107QualitySelect _)
+    "q107_quality_select" -> (q107QualitySelect _),
+    "q108_lm_kn4" -> (q108LmKn4 _),
+    "q109_lm_kn5" -> (q109LmKn5 _),
+    "q110_sem_pruned_clustered" -> (q110SemPrunedClustered _)
   )
 
   /** Oracle-checked queries whose oracle SQL MIRRORS the LSH bucket

@@ -223,11 +223,20 @@ case class CosineArgMax(left: Expression, right: Expression)
   * probing a pairs-quadratic table; measured 102 s of a 165 s 100×
   * semDedupAuto run), where this evaluates the same O(cell²) cosines in
   * one pass over the grouped cell and emits only the passing pairs.
-  * Exactly the plain join's semantics: id1 < id2, STRICT cosine >
-  * threshold, the same [[CosineSim]] arithmetic (symmetric in fp — the
-  * dot and both norms accumulate identically under argument swap).
-  * The caller bounds cell size (collect_list of a ≤ maxCellSize cell),
-  * so the emitted array is ≤ cell²/2 rows.
+  * Exactly the plain join's semantics: id1 < id2, cosine > threshold
+  * under SPARK's double order (`VecOps.cmp` — NaN compares greatest, so
+  * a degenerate zero-vector pair's NaN cosine PASSES, exactly as the
+  * join path's `filter(col("cos") > threshold)` does; ADVICE r15 —
+  * Java's primitive `>` would silently drop those pairs and break the
+  * path identity), the same [[CosineSim]] arithmetic (symmetric in fp —
+  * the dot and both norms accumulate identically under argument swap).
+  *
+  * Emits struct<id1s:array<long>, id2s:array<long>> — two PRIMITIVE
+  * long arrays ([[UnsafeArrayData.fromPrimitiveArray]], 16 B per pair)
+  * rather than per-pair struct rows (~100-130 B of GenericInternalRow +
+  * boxed Longs each; ADVICE r15 sized the all-pass worst case at a cap-
+  * sized cell in the GB range). The caller bounds cell size, so the
+  * worst-case emission at cap c is c²/2 pairs × 16 B (c = 2048 → 34 MB).
   *
   * left = array<struct<id:long, vec:array<float>>>; right = the
   * threshold (double).
@@ -236,11 +245,9 @@ case class CosinePairsAbove(left: Expression, right: Expression)
     extends BinaryExpression {
   import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
 
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(
-      StructField("id1", LongType, nullable = false),
-      StructField("id2", LongType, nullable = false))),
-    containsNull = false)
+  override def dataType: DataType = StructType(Seq(
+    StructField("id1s", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("id2s", ArrayType(LongType, containsNull = false), nullable = false)))
   override def prettyName: String = "cosine_pairs_above"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -256,23 +263,26 @@ case class CosinePairsAbove(left: Expression, right: Expression)
       vecs(i) = row.getArray(1)
       i += 1
     }
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    // primitive builders: no boxing, backing arrays grow by doubling
+    val lo = scala.collection.mutable.ArrayBuilder.make[Long]
+    val hi = scala.collection.mutable.ArrayBuilder.make[Long]
     i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
-        if (VecOps.cos(vecs(i), vecs(j)) > th) {
-          val lo = math.min(ids(i), ids(j))
-          val hi = math.max(ids(i), ids(j))
-          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](lo, hi))
+        if (VecOps.cmp(VecOps.cos(vecs(i), vecs(j)), th) > 0) {
+          val a = ids(i); val b = ids(j)
+          if (a <= b) { lo += a; hi += b } else { lo += b; hi += a }
         }
         j += 1
       }
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        UnsafeArrayData.fromPrimitiveArray(lo.result()),
+        UnsafeArrayData.fromPrimitiveArray(hi.result())))
   }
 
   override protected def doGenCode(
@@ -280,7 +290,7 @@ case class CosinePairsAbove(left: Expression, right: Expression)
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     val ref = ctx.addReferenceObj("cosinePairsAbove", this, classOf[CosinePairsAbove].getName)
-    defineCodeGen(ctx, ev, (a, b) => s"(ArrayData) $ref.evalPairs($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"(InternalRow) $ref.evalPairs($a, $b)")
   }
 
   /** Codegen entry point. */

@@ -64,14 +64,31 @@ object Bpe {
     * share symbols at the head; near-tied counts pin the created-count
     * bound at the tail — dev/r15/bpe_ladder_zipf.log). The optimal plan
     * for a vocab-sized loop is a vocab-sized engine: local arrays, zero
-    * scheduling. 2^20 words × ~40 B is ~tens of MB driver-side — far
-    * under any driver heap that runs this library — while a 100 TB crawl
-    * (~10⁸ distinct words) stays on the distributed path. The local loop
-    * is the SAME algorithm (same counting, same (count desc, lhs, rhs)
-    * argmax with UTF-8 byte-order ties, same greedy fold) — BpeSpec pins
-    * local ≡ distributed on fixtures and randomized corpora.
+    * scheduling. Driver memory (ADVICE r15 corrected the arithmetic — the
+    * naive per-codepoint split allocates a ~40-50 B String per CHARACTER,
+    * ~10-20× the old "~40 B per word" claim): single-codepoint symbols
+    * are INTERNED at collect time, so the steady state is one shared
+    * String per distinct codepoint plus a 4-8 B reference per symbol
+    * position and ~16 B of array header per word; the incremental loop
+    * adds ~4 B per position of occurrence index and a pair-count map
+    * bounded by the DISTINCT adjacent pairs (≤ positions; Zipf-shaped
+    * corpora sit far below). Both gates below must pass: ≤ 2^20 distinct
+    * words AND ≤ 2^22 symbol positions caps the pathological
+    * (all-pairs-distinct) ceiling near ~400 MB and the typical corpus at
+    * tens of MB, while a 100 TB crawl (~10⁸ distinct words) stays on the
+    * distributed path. The local loop is the SAME algorithm (same
+    * counting, same (count desc, lhs, rhs) argmax with UTF-8 byte-order
+    * ties, same greedy fold) — BpeSpec pins local ≡ distributed on
+    * fixtures and randomized corpora.
     */
   val DefaultLocalLearnMaxVocab: Int = 1 << 20
+
+  /** Companion gate to [[DefaultLocalLearnMaxVocab]]: total symbol
+    * positions (Σ word length) the local loop will accept — positions,
+    * not word count, size the occurrence index and the worst-case pair
+    * table.
+    */
+  private[graft] val LocalLearnMaxPositions: Long = 1L << 22
 
   /** Learn `numMerges` BPE merges from the corpus; returns the merge table
     * (merge_idx, lhs, rhs, pair_count) in learning order. Stops early if
@@ -124,14 +141,24 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val wc = wordCounts(docs, textCol).lazySerCkpt
-    val vocab = wc.count() // materializes the one corpus shuffle, reused below
-    if (vocab <= localMaxVocab) {
+    // one probe job materializes the corpus shuffle and sizes BOTH local
+    // gates (word count for the table, total positions for the index)
+    val probe = wc.agg(count(lit(1)), sum(length(col("__w")))).head()
+    val vocab = probe.getLong(0)
+    val positions = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    if (vocab <= localMaxVocab && positions <= LocalLearnMaxPositions) {
       // split by CODE POINTS, matching Spark's substring(__w, i, 1)
       // semantics on the distributed path (UTF-16 code units would
-      // diverge on supplementary characters)
+      // diverge on supplementary characters); symbols INTERNED so the
+      // driver holds one String per distinct codepoint, not per position
+      val intern = new java.util.HashMap[String, String]()
       val words = wc.collect().map { r =>
         (r.getString(0).codePoints().toArray
-          .map(cp => new String(Character.toChars(cp))), r.getLong(1))
+          .map { cp =>
+            val s = new String(Character.toChars(cp))
+            val prev = intern.putIfAbsent(s, s)
+            if (prev == null) s else prev
+          }, r.getLong(1))
       }
       ckptRdd(wc).foreach(_.unpersist(blocking = false))
       learnMergesLocalLoop(words, numMerges)
@@ -149,29 +176,156 @@ object Bpe {
       .filter(col("__w") =!= "")
       .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
 
-  /** The driver-local merge loop (see [[DefaultLocalLearnMaxVocab]]):
-    * per iteration, recount adjacent pairs over the word array (the same
-    * counting the distributed rounds do — no incremental-update
-    * subtleties to diverge on), pick the (count desc, lhs, rhs) argmax
-    * with ties in UNSIGNED UTF-8 BYTE order (Spark's string ordering —
-    * a UTF-16 compareTo would diverge on supplementary characters), and
-    * apply the greedy fold via a literal mirror of [[mergeFold]].
+  /** Spark's string ordering — unsigned UTF-8 BYTE order (a UTF-16
+    * compareTo would diverge on supplementary characters). Shared by both
+    * local-loop argmax implementations.
+    */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(xb.length, yb.length)
+    var i = 0
+    while (i < n) {
+      val d = (xb(i) & 0xff) - (yb(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    xb.length < yb.length
+  }
+
+  /** The driver-local merge loop (see [[DefaultLocalLearnMaxVocab]]) —
+    * INCREMENTAL (VERDICT r15 next #4): the recount loop pays one full
+    * pass over every word per merge (60 k words × 2,048 merges was the
+    * bulk of the 58 s Zipf-ladder learn); here the pair-count table and a
+    * pair → word-occurrence index are built ONCE, and each merge touches
+    * only the words that actually contain the merged pair — the classic
+    * O(affected) update (Sennrich 2016's learn_bpe incremental stats,
+    * re-derived). The argmax rides a lazy-deletion max-heap: every count
+    * change pushes a fresh (count, lhs, rhs) entry, stale entries are
+    * discarded on pop when their count no longer matches the live table,
+    * so the heap top is always the exact (count desc, lhs, rhs utf8 asc)
+    * argmax the recount loop computes. Occurrence lists are append-only
+    * with lazy cleanup (a containment probe skips stale/duplicate
+    * entries), 4 B per adjacency position. Exactness is spec-pinned:
+    * incremental ≡ [[learnMergesLocalLoopRecount]] ≡ distributed on
+    * fixtures and randomized corpora.
     */
   private[graft] def learnMergesLocalLoop(
       words: Array[(Array[String], Long)],
       numMerges: Int): Seq[(Int, String, String, Long)] = {
-    def utf8Lt(x: String, y: String): Boolean = {
-      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val n = math.min(xb.length, yb.length)
-      var i = 0
-      while (i < n) {
-        val d = (xb(i) & 0xff) - (yb(i) & 0xff)
-        if (d != 0) return d < 0
-        i += 1
+    final class Entry(val cnt: Long, val lhs: String, val rhs: String)
+    val heap = new java.util.PriorityQueue[Entry](64,
+      new java.util.Comparator[Entry] {
+        override def compare(x: Entry, y: Entry): Int = {
+          if (x.cnt != y.cnt) return if (x.cnt > y.cnt) -1 else 1
+          if (x.lhs != y.lhs) return if (utf8Lt(x.lhs, y.lhs)) -1 else 1
+          if (x.rhs == y.rhs) 0 else if (utf8Lt(x.rhs, y.rhs)) -1 else 1
+        }
+      })
+    // growable append-only int list (4 B/entry; boxing-free)
+    final class IntBuf {
+      var arr = new Array[Int](8)
+      var n = 0
+      def +=(v: Int): Unit = {
+        if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+        arr(n) = v; n += 1
       }
-      xb.length < yb.length
     }
+    val nW = words.length
+    val syms = words.map(_._1)
+    val wcnt = words.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable.HashMap.empty[(String, String), IntBuf]
+    var w = 0
+    while (w < nW) {
+      val s = syms(w)
+      val c = wcnt(w)
+      var j = 0
+      while (j + 1 < s.length) {
+        val k = (s(j), s(j + 1))
+        counts.update(k, counts.getOrElse(k, 0L) + c)
+        occ.getOrElseUpdate(k, new IntBuf) += w
+        j += 1
+      }
+      w += 1
+    }
+    counts.foreach { case (k, c) => heap.add(new Entry(c, k._1, k._2)) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    val changed = scala.collection.mutable.HashSet.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      var top: Entry = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (counts.getOrElse((e.lhs, e.rhs), 0L) == e.cnt) top = e
+      }
+      if (top == null) exhausted = true
+      else {
+        val a = top.lhs
+        val b = top.rhs
+        val ab = a + b // ONE merged-token instance per merge (shared by ref)
+        merges += ((merges.length + 1, a, b, top.cnt))
+        changed.clear()
+        val idxs = occ.remove((a, b)).get // the popped count > 0 ⇒ present
+        var t = 0
+        while (t < idxs.n) {
+          val wi = idxs.arr(t)
+          val old = syms(wi)
+          // lazy-cleanup probe: stale/duplicate occurrence entries (the
+          // pair was destroyed by an earlier merge, or this word already
+          // processed via a duplicate entry) skip without side effects
+          var has = false
+          var j = 0
+          while (!has && j + 1 < old.length) {
+            if (old(j) == a && old(j + 1) == b) has = true
+            j += 1
+          }
+          if (has) {
+            val c = wcnt(wi)
+            j = 0
+            while (j + 1 < old.length) {
+              val k = (old(j), old(j + 1))
+              val nc = counts(k) - c
+              if (nc == 0L) counts.remove(k) else counts.update(k, nc)
+              changed += k
+              j += 1
+            }
+            val nw = applyMergeLocal(old, a, b, ab)
+            syms(wi) = nw
+            j = 0
+            while (j + 1 < nw.length) {
+              val k = (nw(j), nw(j + 1))
+              counts.update(k, counts.getOrElse(k, 0L) + c)
+              changed += k
+              // only adjacencies touching a token minted by THIS merge can
+              // be new to the word — everything else already has its
+              // occurrence entry from the initial build (reference check:
+              // string-equal tokens from earlier merges already indexed)
+              if ((nw(j) eq ab) || (nw(j + 1) eq ab))
+                occ.getOrElseUpdate(k, new IntBuf) += wi
+              j += 1
+            }
+          }
+          t += 1
+        }
+        changed.foreach { k =>
+          val c = counts.getOrElse(k, 0L)
+          if (c > 0L) heap.add(new Entry(c, k._1, k._2))
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The per-merge RECOUNT formulation of the local loop — one full pair
+    * count over the word array per iteration, the same counting the
+    * distributed rounds do. Kept as the spec's exactness reference for
+    * the incremental [[learnMergesLocalLoop]] (no incremental-update
+    * subtleties to diverge on).
+    */
+  private[graft] def learnMergesLocalLoopRecount(
+      words: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
     val syms = words.map(_._1)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
@@ -200,10 +354,11 @@ object Bpe {
           }
         }
         val (a, b) = bestK
+        val ab = a + b
         merges += ((merges.length + 1, a, b, bestC))
         var w = 0
         while (w < syms.length) {
-          syms(w) = applyMergeLocal(syms(w), a, b)
+          syms(w) = applyMergeLocal(syms(w), a, b, ab)
           w += 1
         }
       }
@@ -218,7 +373,8 @@ object Bpe {
     * emitted `a`, so overlapping matches cannot double-merge — the
     * BpeSpec-pinned contract.)
     */
-  private[graft] def applyMergeLocal(s: Array[String], a: String, b: String): Array[String] = {
+  private[graft] def applyMergeLocal(
+      s: Array[String], a: String, b: String, ab: String): Array[String] = {
     // cheap containment probe first: most words don't hold the pair, and
     // returning the same array keeps the loop allocation-light
     var found = false
@@ -233,7 +389,10 @@ object Bpe {
     while (i < s.length) {
       val cur = s(i)
       if (out.nonEmpty && out(out.length - 1) == a && cur == b)
-        out(out.length - 1) = a + b
+        // the SHARED per-merge token instance (never a fresh `a + b` per
+        // occurrence): keeps one String per merge on the heap and lets the
+        // incremental loop identify this merge's mints by reference
+        out(out.length - 1) = ab
       else out += cur
       i += 1
     }
@@ -242,7 +401,13 @@ object Bpe {
 
   /** [[learnMerges]] plus the number of Spark rounds it ran — the scale
     * ladder's measurement hook (rounds, not wall-clock noise, is what
-    * batching reduces).
+    * batching reduces). Counting convention (ADVICE r15): this counts
+    * ACCEPTING rounds only — a run that terminates by exhaustion (the
+    * final round's top collect comes back empty) reports one round FEWER
+    * than the r14 ladder records, which incremented before the emptiness
+    * check. Ladder comparisons across rounds must use merges-capped runs
+    * (every committed rung does) or add one to exhaustion-terminated r15+
+    * numbers.
     */
   private[graft] def learnMergesWithRounds(
       docs: DataFrame,

@@ -1087,11 +1087,84 @@ object Dedup {
     * no pairs are their own singleton component (left-join + coalesce at
     * the call site).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** One per-partition union-find contraction pass over a long-id edge
+    * set: edges hash-partition by source, each partition unions its edges
+    * in a path-compressed forest (min-id roots, preserving the comp ≤ id
+    * direction the global loop converges toward), and every non-root node
+    * emits exactly one (node, partitionLocalRoot) star edge. Pure
+    * map-side after one thin shuffle; partition-local memory is one
+    * LongMap entry per distinct node seen (~24 B — the 100× graph's worst
+    * partition is a few MB). Used by [[connectedComponents]] as pre-
+    * contraction; safe on duplicate and self edges (union-find absorbs
+    * both).
+    */
+  private def localUnionFindPass(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.repartition(col("a")).select(col("a"), col("b")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x0: Long): Long = {
+          var r = x0
+          var p = parent.getOrElse(r, r)
+          while (p != r) { r = p; p = parent.getOrElse(r, r) }
+          var x = x0
+          while (x != r) { val nxt = parent(x); parent.update(x, r); x = nxt }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a)
+          val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+          }
+        }
+        // snapshot keys first — find() path-compresses the map in place
+        val keys = parent.keysIterator.toArray
+        keys.iterator.flatMap { k =>
+          val r = find(k)
+          if (r != k) Iterator.single((k, r)) else Iterator.empty
+        }
+      }
+      .toDF("a", "b")
+  }
+
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 25, preContract: Boolean = true): DataFrame = {
     import Ckpt.ckptRdd
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+    val sym = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .distinct().eagerSerCkpt
+    // PRE-CONTRACTION (VERDICT r15 next #1): two per-partition union-find
+    // passes collapse the edge set to a near-star-forest BEFORE the global
+    // loop, so each propagation round joins ~|V| star edges instead of the
+    // full 2·|E| symmetrized graph (the 100× sem pair graph is 20 M edges
+    // over ~10× fewer nodes; closure was 30 s of the 49 s semDedupAuto
+    // wall). Pass 1 partitions by source so a node's whole neighborhood
+    // contracts locally (star-collapsed (rep, member) tiers collapse in
+    // one shot); its output is ≤ one (node, localRoot) edge per node per
+    // partition, and pass 2 — partitioned the same way — merges each
+    // node's per-partition roots. Correctness never depends on contraction
+    // QUALITY: union-find merges only edge-connected nodes (sound) and
+    // every original edge (a,b) becomes the path a—root—b (complete), so
+    // components are preserved exactly and the loop below finishes
+    // whatever chains remain across stars. Long ids only (every dedup
+    // tier's shape); other id types keep the direct loop. The distinct()
+    // the direct path needs is dropped here: union-find absorbs duplicate
+    // edges for free, and the contracted output is distinct by
+    // construction (each node emits at most one edge per partition).
+    val contractible = preContract &&
+      sym.schema("a").dataType == org.apache.spark.sql.types.LongType
+    val edges =
+      if (contractible) {
+        // checkpoint the contracted stars once (both union branches read
+        // them), then free the blocks — only the symmetrized `edges`
+        // snapshot stays resident for the loop
+        val c2 = localUnionFindPass(localUnionFindPass(sym)).eagerSerCkpt
+        val e = c2.unionByName(c2.select(col("b").as("a"), col("a").as("b")))
+          .eagerSerCkpt
+        ckptRdd(c2).foreach(_.unpersist(blocking = false))
+        e
+      } else sym.distinct().eagerSerCkpt
     // seed labels with min(id, min(neighbor)) — the exact output of the
     // first propagation round against identity labels, for one groupBy
     // instead of a join+groupBy round (edges are symmetrized, so every
@@ -1272,6 +1345,14 @@ object Dedup {
       native: Boolean = true): DataFrame = {
     import graft.functions.Vectors
     import org.apache.spark.sql.GraftColumnBridge.{column => natCol, expression => natExpr}
+    // explicit, not silent (ADVICE r15): the collapsed-candidate form would
+    // hand every doc a null assignment on an EMPTY centroid table (where the
+    // r14 crossJoin produced zero rows), flipping downstream semDedup from
+    // zero survivors to all-survive. Every caller (trainCentroids /
+    // firstKCentroids) supplies >= 1 row, so the require is one tiny job on
+    // a K-row table and makes the undefined edge loud.
+    require(centroids.take(1).nonEmpty,
+      "semAssign requires a non-empty centroid table")
     val cands = centroids
       .agg(collect_list(struct(col("centroid_id"), col("cvec"))).as("__cands"))
     // native = the [[graft.functions.CosineArgMax]] tight loop (the
@@ -1340,7 +1421,8 @@ object Dedup {
       centroids: DataFrame,
       numGroups: Int = 0,
       seed: Long = 42L,
-      native: Boolean = true): DataFrame = {
+      native: Boolean = true,
+      adaptiveGate: Boolean = true): DataFrame = {
     import graft.functions.Vectors
     import org.apache.spark.sql.GraftColumnBridge.{column => natCol, expression => natExpr}
     import Ckpt.CkptOps
@@ -1351,31 +1433,26 @@ object Dedup {
       else math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
     if (k < SemPruneMinCentroids || g >= k)
       return semAssign(embeddings, idCol, vecCol, cents, native)
-    val supers = Similarity.trainCentroids(cents, "cvec", g, k, seed)
-      .select(col("centroid_id").as("__gid"), col("cvec").as("__gvec"))
-    // child -> group via the exhaustive argmax (K×G work on the K-row
-    // table; the grouping choice is arbitrary for exactness)
-    val childAsg = semAssign(
-        cents.select(col("centroid_id").as("__cid"), col("cvec")),
-        "__cid", "cvec",
-        supers.select(col("__gid").as("centroid_id"), col("__gvec").as("cvec")))
-      .select(col("id").as("__cid"), col("vec").as("__cvec"),
-        col("centroid_id").as("__gid"))
-    val geo = childAsg
-      .join(supers, Seq("__gid"))
-      .withColumn("__dc",
-        sqrt(greatest(
-          lit(2.0) - lit(2.0) * Vectors.cosine(col("__cvec"), col("__gvec")) + lit(1e-9),
-          lit(0.0))))
-      .groupBy(col("__gid"))
-      .agg(
-        first(col("__gvec")).as("__gvec"),
-        max(col("__dc")).as("__r"),
-        min(col("__dc")).as("__rmin"),
-        collect_list(struct(col("__cid").as("centroid_id"), col("__cvec").as("cvec")))
-          .as("__children"))
-    val grouped = geo.agg(collect_list(
-      struct(col("__gvec"), col("__r"), col("__rmin"), col("__children"))).as("__groups"))
+    val grouped = semPruneGeometry(cents, g, k, seed)
+      // one tiny row, read by the gate probe AND the main scan
+      .localCheckpoint(false)
+    // ADAPTIVE GATE (VERDICT r15 next #5): on corpora where the bound
+    // cannot prune (isotropic embeddings: every r_g spans the sphere, so
+    // DevSemProbe measures candidates-kept = K), the two-level scan pays
+    // its measured ~4-8% bound overhead for nothing. Probe a bounded
+    // sample's kept-candidate fraction and fall back to the exhaustive
+    // argmax when pruning would keep nearly everything. Path choice can
+    // NEVER affect output — both scans are EXACT (spec-pinned identical) —
+    // so the sample needs no determinism guarantee; it only steers cost.
+    // adaptiveGate = false (specs, ladders) forces the two-level scan so
+    // its exactness stays directly exercised on geometries the gate would
+    // route to the exhaustive path
+    if (adaptiveGate) {
+      val keptFrac = semPruneKeptFrac(
+        embeddings.select(col(vecCol).as("vec")).limit(SemPruneProbeRows), grouped, k)
+      if (keptFrac > SemPruneGateMaxKeptFrac)
+        return semAssign(embeddings, idCol, vecCol, cents, native)
+    }
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(grouped))
     // native = [[graft.functions.CosineArgMaxTwoLevel]], the whole
@@ -1413,6 +1490,85 @@ object Dedup {
     best.select(col("id"), col("vec"),
       col("__best.centroid_id").as("centroid_id"),
       col("__best.cosc").as("cosc"))
+  }
+
+  /** Rows the [[semAssignPruned]] adaptive gate probes (enough to see the
+    * corpus geometry; one sub-second job against the broadcast group
+    * table).
+    */
+  private[graft] val SemPruneProbeRows: Int = 256
+
+  /** Kept-candidate fraction above which [[semAssignPruned]] falls back
+    * to the exhaustive scan: pruning that keeps ≥85% of the children
+    * cannot recoup the per-group bound arithmetic (the measured isotropic
+    * overhead is ~4-8% at kept = 100%).
+    */
+  private[graft] val SemPruneGateMaxKeptFrac: Double = 0.85
+
+  /** The two-level pruning geometry as ONE collapsed row — G super-cells
+    * (KMeans over the K-row centroid table), each with its super-vector,
+    * max/min child unit-sphere radii, and child (centroid_id, cvec) list.
+    * Shared by [[semAssignPruned]]'s scan, the gate probe, and the spec
+    * that pins the probe's geometry separation.
+    */
+  private[graft] def semPruneGeometry(
+      cents: DataFrame, g: Int, k: Long, seed: Long): DataFrame = {
+    import graft.functions.Vectors
+    val supers = Similarity.trainCentroids(cents, "cvec", g, k, seed)
+      .select(col("centroid_id").as("__gid"), col("cvec").as("__gvec"))
+    // child -> group via the exhaustive argmax (K×G work on the K-row
+    // table; the grouping choice is arbitrary for exactness)
+    val childAsg = semAssign(
+        cents.select(col("centroid_id").as("__cid"), col("cvec")),
+        "__cid", "cvec",
+        supers.select(col("__gid").as("centroid_id"), col("__gvec").as("cvec")))
+      .select(col("id").as("__cid"), col("vec").as("__cvec"),
+        col("centroid_id").as("__gid"))
+    val geo = childAsg
+      .join(supers, Seq("__gid"))
+      .withColumn("__dc",
+        sqrt(greatest(
+          lit(2.0) - lit(2.0) * Vectors.cosine(col("__cvec"), col("__gvec")) + lit(1e-9),
+          lit(0.0))))
+      .groupBy(col("__gid"))
+      .agg(
+        first(col("__gvec")).as("__gvec"),
+        max(col("__dc")).as("__r"),
+        min(col("__dc")).as("__rmin"),
+        collect_list(struct(col("__cid").as("centroid_id"), col("__cvec").as("cvec")))
+          .as("__children"))
+    geo.agg(collect_list(
+      struct(col("__gvec"), col("__r"), col("__rmin"), col("__children"))).as("__groups"))
+  }
+
+  /** Average fraction of the K candidate children surviving the
+    * two-level ub/lb cut on `sample` — the [[semAssignPruned]] gate's
+    * probe, and the spec hook pinning the gate's decision on clustered
+    * (≪ 1) vs isotropic (≈ 1) geometries. Mirrors the scan's exact bound
+    * arithmetic including the NaN-lb floor.
+    */
+  private[graft] def semPruneKeptFrac(
+      sample: DataFrame, grouped: DataFrame, k: Long): Double = {
+    import graft.functions.Vectors
+    val row = sample
+      .crossJoin(broadcast(grouped))
+      .withColumn("__gb", transform(col("__groups"), grp => {
+        val dg = sqrt(greatest(
+          lit(2.0) - lit(2.0) * Vectors.cosine(col("vec"), grp.getField("__gvec")),
+          lit(0.0)))
+        struct(
+          (lit(1.0) - pow(greatest(dg - grp.getField("__r"), lit(0.0)), 2) / 2).as("ub"),
+          nanvl(lit(1.0) - pow(dg + grp.getField("__rmin"), 2) / 2,
+            lit(Double.NegativeInfinity)).as("lb"),
+          size(grp.getField("__children")).cast("long").as("nc"))
+      }))
+      .withColumn("__bestlb", array_max(transform(col("__gb"), x => x.getField("lb"))))
+      .withColumn("__cands",
+        aggregate(
+          filter(col("__gb"), x => x.getField("ub") >= col("__bestlb") - lit(1e-6)),
+          lit(0L), (acc, x) => acc + x.getField("nc")))
+      .agg(avg(col("__cands"))).head()
+    if (row.isNullAt(0)) 1.0 else row.getDouble(0) / k
   }
 
   /** Deterministic Forgy centroids: the embeddings of the `k` lowest ids,
@@ -1459,13 +1615,17 @@ object Dedup {
   }
 
   /** Above this cell population, the intra-cell pairs route through the
-    * banded join machinery instead of the collected-cell native emission
-    * (a cell of c members emits up to c²/2 pair structs in ONE array —
-    * bounded ≈ 130 MB at 4096; beyond that the streaming join is the
-    * safer shape, and beyond `maxCellSize` the star-collapse guard owns
-    * the bucket anyway).
+    * banded join machinery instead of the collected-cell native emission.
+    * A cell of c members emits up to c²/2 pairs as two primitive long
+    * arrays (16 B per pair): the all-pass worst case at 2048 is 34 MB per
+    * evaluating row (~64 MB transient with builder doubling) — safe even
+    * with every executor thread holding a worst-case cell at once, which
+    * the r15 cap of 4096 with per-pair boxed struct rows was not (ADVICE
+    * r15 sized that at ~1 GB per cell). Beyond the cap the streaming join
+    * is the safer shape, and beyond `maxCellSize` the star-collapse guard
+    * owns the bucket anyway.
     */
-  private[graft] val SemLocalPairMaxCell: Int = 4096
+  private[graft] val SemLocalPairMaxCell: Int = 2048
 
   /** [[semPairsFromAssign]] for the stage profiler and the path-identity
     * spec (`localPairMaxCell = 0` forces the join path).
@@ -1493,12 +1653,16 @@ object Dedup {
       return semPairsJoinPath(asg, threshold, maxCellSize)
     val sizes = asg.groupBy(col("centroid_id")).agg(count(lit(1)).as("__csz"))
     val withSz = asg.join(broadcast(sizes), Seq("centroid_id"))
+    // the native emission returns two PRIMITIVE long arrays (id1s, id2s);
+    // posexplode one and index the other — no per-pair struct rows exist
+    // anywhere between the eval and the final thin (id1, id2) projection
     val smallPairs = withSz.filter(col("__csz") <= localCap)
       .groupBy(col("centroid_id"))
       .agg(collect_list(struct(col("id"), col("vec"))).as("__cell"))
-      .select(explode(natCol(graft.functions.CosinePairsAbove(
-        natExpr(col("__cell")), natExpr(lit(threshold))))).as("__p"))
-      .select(col("__p.id1").as("id1"), col("__p.id2").as("id2"))
+      .select(natCol(graft.functions.CosinePairsAbove(
+        natExpr(col("__cell")), natExpr(lit(threshold)))).as("__pp"))
+      .select(col("__pp.id1s").as("__l"), posexplode(col("__pp.id2s")))
+      .select(col("__l").getItem(col("pos")).as("id1"), col("col").as("id2"))
     // cells past the cap keep the banded machinery — which is exactly
     // where the star-collapse guard (and its disclosure counters) lives
     val big = withSz.filter(col("__csz") > localCap)

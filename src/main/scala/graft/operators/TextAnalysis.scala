@@ -701,4 +701,112 @@ object TextAnalysis {
         (-col("__slp").cast("double") / col("__nb")).as("cross_entropy"),
         round(exp(-col("__slp").cast("double") / col("__nb")), 6).as("ppl"))
   }
+
+  /** Interpolated Kneser-Ney at ANY order 3-5 (VERDICT r15 next #2 —
+    * KenLM deploys order 4-5): [[trigramLmScoreKn]]'s derivation chain
+    * extended mechanically, one adjusted-count TYPE level per order.
+    * Level `order` holds raw n-gram counts c(g0..g_{n-1}) with context
+    * sums/type-counts over (g0..g_{n-2}); each adjusted level k (n-1 down
+    * to 2) is the TYPE count of the level above grouped on its rightmost
+    * k columns (KenLM "counting contexts"), with its own context
+    * sum/type-count; the unigram level is the type count of level 2 plus
+    * one global scalar. The probability recursion, in ONE fixed operation
+    * order mirrored literally in the q108/q109 SQL (identical to the
+    * pinned trigram form at every level — `((a_k − D) + D·nctx_k·p_{k-1})
+    * / cc_k`, innermost `a1/total`):
+    *
+    *   p_1(w)        = a1(w) / total
+    *   p_k(w | ctx)  = ((a_k − D) + D · N1+_k(ctx·) · p_{k-1}) / Σ_w a_k
+    *   p_n(w | ctx)  = ((c − D) + D · N1+(ctx·) · p_{n-1}) / c(ctx·)
+    *
+    * Self-trained on the scored corpus: every scored n-gram has c ≥ 1,
+    * every adjusted count ≥ 1, D < 1 keeps all terms positive — no OOV
+    * branch. At order 3 this is IEEE-identical to [[trigramLmScoreKn]]
+    * (spec-pinned, modulo the count column's name), which is itself
+    * hash-pinned by the q106 oracle — the generic chain inherits the
+    * per-order exactness discipline.
+    *
+    * Scale shape: one tokenize pass collapsed to per-doc
+    * (g0..g_{n-1}, cnt); the model is 2(n−1) aggregations of the n-gram
+    * TYPE table, each one shuffle of a types-sized frame on a suffix key;
+    * scoring joins shuffle on those same keys; the one global scalar
+    * broadcasts. Exactly two shuffles per order climbed — the measured
+    * per-order cost of the KN hierarchy.
+    */
+  def ngramLmScoreKn(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      order: Int,
+      discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(order >= 3 && order <= 5,
+      s"order must be 3-5 (use bigramLmScoreKn for 2); got $order")
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1); got $discount")
+    val n = order
+    val id = col(idCol)
+    val gcols = (0 until n).map(k => s"__g$k")
+    val base = docs
+      .select(id.as("__did"), wsTokens(col(textCol)).as("__t"))
+      .lazySerCkpt
+    // n-gram extraction without a per-doc window or positional self-join:
+    // transform over the valid starting SLICE with the 0-based element
+    // index reaching the remaining n−1 positions (an empty slice — doc
+    // shorter than n tokens — yields no rows; element_at stays in bounds
+    // by construction)
+    val fields = ("x AS g0" +: (1 until n).map(k =>
+      s"element_at(__t, i + ${k + 1}) AS g$k")).mkString(", ")
+    val ng = base
+      .select(col("__did"), explode(expr(
+        s"""transform(slice(__t, 1, greatest(size(__t) - ${n - 1}, 0)),
+           |          (x, i) -> struct($fields))""".stripMargin)).as("__g"))
+      .select(col("__did") +: (0 until n).map(k => col(s"__g.g$k").as(s"__g$k")): _*)
+      .filter((0 until n).map(k => col(s"__g$k") =!= "").reduce(_ && _))
+      .groupBy((col("__did") +: gcols.map(col)): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .lazySerCkpt
+    val counts = ng.groupBy(gcols.map(col): _*).agg(sum(col("__cnt")).as("__c"))
+      .lazySerCkpt
+    val ctxTop = counts.groupBy(gcols.dropRight(1).map(col): _*)
+      .agg(sum(col("__c")).as("__cc"), count(lit(1)).as("__n1p"))
+    // adjusted levels, each the type count of the level above
+    val adj = scala.collection.mutable.Map.empty[Int, org.apache.spark.sql.DataFrame]
+    val ctxAdj = scala.collection.mutable.Map.empty[Int, org.apache.spark.sql.DataFrame]
+    var above = counts
+    for (k <- (n - 1) to 2 by -1) {
+      val keys = gcols.drop(n - k)
+      val t = above.groupBy(keys.map(col): _*).agg(count(lit(1)).as(s"__a$k"))
+        .lazySerCkpt
+      adj(k) = t
+      ctxAdj(k) = t.groupBy(keys.dropRight(1).map(col): _*)
+        .agg(sum(col(s"__a$k")).as(s"__cc$k"), count(lit(1)).as(s"__nctx$k"))
+      above = t
+    }
+    val uni = adj(2).groupBy(col(gcols.last)).agg(count(lit(1)).as("__a1"))
+    val total = adj(2).agg(count(lit(1)).as("__tot"))
+    var joined = ng
+      .join(counts, gcols)
+      .join(ctxTop, gcols.dropRight(1))
+    for (k <- (n - 1) to 2 by -1) {
+      val keys = gcols.drop(n - k)
+      joined = joined.join(adj(k), keys).join(ctxAdj(k), keys.dropRight(1))
+    }
+    joined = joined.join(uni, Seq(gcols.last)).crossJoin(broadcast(total))
+    val d = lit(discount)
+    var p: Column = col("__a1") / col("__tot")
+    for (k <- 2 to (n - 1))
+      p = ((col(s"__a$k") - d) + d * col(s"__nctx$k") * p) / col(s"__cc$k")
+    val pTop = ((col("__c") - d) + d * col("__n1p") * p) / col("__cc")
+    val scored = joined
+      .withColumn("__lp", round(log(pTop), 6).cast("decimal(18,6)"))
+      .groupBy(col("__did"))
+      .agg(sum(col("__cnt")).as("__nb"), sum(col("__cnt") * col("__lp")).as("__slp"))
+    docs
+      .select(id)
+      .join(scored, id === col("__did"), "left")
+      .select(id,
+        coalesce(col("__nb"), lit(0L)).as("n_ngrams"),
+        (-col("__slp").cast("double") / col("__nb")).as("cross_entropy"),
+        round(exp(-col("__slp").cast("double") / col("__nb")), 6).as("ppl"))
+  }
 }

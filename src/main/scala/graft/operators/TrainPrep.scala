@@ -177,8 +177,8 @@ object TrainPrep {
     require(!(lmKn && lmModel.isDefined),
       "lmKn applies to the self-trained gate; a fixed reference model " +
         "(lmModel) carries no continuation counts")
-    require(lmKnOrder == 2 || lmKnOrder == 3,
-      s"lmKnOrder must be 2 (bigram) or 3 (trigram); got $lmKnOrder")
+    require(lmKnOrder >= 2 && lmKnOrder <= 5,
+      s"lmKnOrder must be 2-5 (KenLM deploys 4-5); got $lmKnOrder")
     require(embeddings.isDefined == semThreshold.isDefined,
       "SemDeDup needs both the embeddings table and semThreshold " +
         "(one without the other would silently skip the stage)")
@@ -243,6 +243,8 @@ object TrainPrep {
         val scoredDf = lmModel match {
           case Some(m) => TextAnalysis.bigramLmScoreWith(
             semKept, idCol, textCol, m, broadcastModel = lmBroadcastModel)
+          case None if lmKn && lmKnOrder >= 4 =>
+            TextAnalysis.ngramLmScoreKn(semKept, idCol, textCol, lmKnOrder)
           case None if lmKn && lmKnOrder == 3 =>
             TextAnalysis.trigramLmScoreKn(semKept, idCol, textCol)
           case None if lmKn => TextAnalysis.bigramLmScoreKn(semKept, idCol, textCol)

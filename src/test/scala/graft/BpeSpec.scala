@@ -130,6 +130,27 @@ class BpeSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental local loop ≡ per-merge recount, deep merges on randomized corpora") {
+    // the incremental path (occurrence index + lazy-deletion heap) must
+    // replay the recount loop's exact merge table — count, order, and
+    // UTF-8 tie-breaks — including regimes where counts rise and fall
+    // across merges and pairs are destroyed then re-created. Driver-side
+    // only: both loops run on the same collected word array.
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 4) {
+      val alpha = if (trial % 2 == 0) "abcd" else "abcdefghij"
+      val words = Array.tabulate(300 + trial * 200) { _ =>
+        val w = Seq.fill(rnd.nextInt(9) + 1)(alpha(rnd.nextInt(alpha.length))).mkString
+        (w.toCharArray.map(_.toString), rnd.nextInt(50).toLong + 1L)
+      }
+      def deepCopy() = words.map { case (s, c) => (s.clone(), c) }
+      val n = 120 // deep enough to hit exhaustion on the small-alphabet trials
+      val inc = Bpe.learnMergesLocalLoop(deepCopy(), n)
+      val rec = Bpe.learnMergesLocalLoopRecount(deepCopy(), n)
+      assert(inc === rec, s"trial $trial: incremental ≠ recount")
+    }
+  }
+
   test("batching reduces Spark rounds when top pairs are disjoint, and never past interaction") {
     // six mutually disjoint two-letter words with separated counts: one
     // round can absorb all six merges

@@ -338,10 +338,34 @@ class DedupSpec extends SparkSpecBase {
 
   test("connectedComponents refuses to return unconverged labels") {
     // a 4-chain needs >1 round even with pointer jumping; maxIter = 1 must
-    // fail loudly instead of silently returning wrong component labels
+    // fail loudly instead of silently returning wrong component labels.
+    // preContract = false: the union-find pre-contraction would collapse a
+    // 5-node chain inside one partition, which is exactly what this test
+    // must bypass to exercise the non-convergence guard
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id1", "id2")
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 1)
+      Dedup.connectedComponents(chain, maxIter = 1, preContract = false)
+    }
+  }
+
+  test("connectedComponents: pre-contraction ≡ direct loop on randomized graphs") {
+    // the contraction passes must never change the partition into
+    // components — only the edge count the global loop sees. Randomized
+    // (seeded) graphs over a sparse id space exercise chains, stars,
+    // merged stars, and singleton-free density extremes across partitions.
+    val rnd = new scala.util.Random(4242L)
+    for (trial <- 0 until 3) {
+      val n = 200 + trial * 150
+      val edges = Seq.tabulate(n) { _ =>
+        // sparse id space so components form chains ACROSS partitions
+        (rnd.nextInt(120).toLong * 7L, rnd.nextInt(120).toLong * 7L)
+      }.filter { case (a, b) => a != b }
+      val pairs = edges.toDF("id1", "id2").repartition(8)
+      val fast = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slow = Dedup.connectedComponents(pairs, preContract = false).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast === slow, s"trial $trial: contraction changed components")
     }
   }
 
@@ -1031,18 +1055,69 @@ class DedupSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getInt(2), java.lang.Double.doubleToLongBits(r.getDouble(3))))
       .toSeq
     val exhaustive = key(Dedup.semAssign(emb, "vec_id", "embedding", cents))
+    // adaptiveGate = false: this fixture is isotropic, exactly the
+    // geometry the r16 gate routes to the exhaustive path — forcing the
+    // two-level scan keeps its exactness DIRECTLY exercised here
+    assert(key(Dedup.semAssignPruned(emb, "vec_id", "embedding", cents,
+      adaptiveGate = false)) === exhaustive)
+    assert(key(Dedup.semAssignPruned(emb, "vec_id", "embedding", cents, numGroups = 3,
+      adaptiveGate = false)) === exhaustive)
+    assert(key(Dedup.semAssignPruned(emb, "vec_id", "embedding", cents, numGroups = 25,
+      adaptiveGate = false)) === exhaustive)
+    // and through the DEFAULT adaptive gate (whichever path it picks,
+    // output is pinned identical)
     assert(key(Dedup.semAssignPruned(emb, "vec_id", "embedding", cents)) === exhaustive)
-    assert(key(Dedup.semAssignPruned(emb, "vec_id", "embedding", cents, numGroups = 3))
-      === exhaustive)
-    assert(key(Dedup.semAssignPruned(emb, "vec_id", "embedding", cents, numGroups = 25))
-      === exhaustive)
     // and the NATIVE tight-loop expressions are bit-identical to the HOF
     // reference formulations (the cosineLongHof pinning precedent) —
     // rounding recipe, tie-break, NaN order and all
     assert(key(Dedup.semAssign(emb, "vec_id", "embedding", cents, native = false))
       === exhaustive)
     assert(key(Dedup.semAssignPruned(emb, "vec_id", "embedding", cents, numGroups = 7,
-      native = false)) === exhaustive)
+      native = false, adaptiveGate = false)) === exhaustive)
+  }
+
+  test("semAssignPruned adaptive gate: the kept-fraction probe separates " +
+      "clustered (≪ 1, prune) from isotropic (≈ 1, exhaustive) geometries, " +
+      "and output is identical either way") {
+    // clustered manifold: 8-dim one-hot spikes with small deterministic
+    // noise — the q110 construction in miniature. 64 centroids engage the
+    // two-level machinery; the probe must measure a SMALL kept fraction.
+    def spike(i: Long, dim: Int) = Array.tabulate(dim) { j =>
+      if (j == (i % dim).toInt) 1f else ((i * (j + 7)) % 11 - 5).toFloat / 64f
+    }
+    val dim = 8
+    val k = 64L
+    val g = 8
+    def probe(emb: org.apache.spark.sql.DataFrame,
+        cents: org.apache.spark.sql.DataFrame): Double =
+      Dedup.semPruneKeptFrac(
+        emb.select(col("embedding").as("vec")).limit(Dedup.SemPruneProbeRows),
+        Dedup.semPruneGeometry(
+          cents.select(col("centroid_id"), col("cvec")), g, k, 42L),
+        k)
+    def asg(df: org.apache.spark.sql.DataFrame) = df.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3))).toSeq
+    val clustered = (0L until 400L).map(i => (i, spike(i, dim)))
+      .toDF("vec_id", "embedding")
+    val cCents = (0 until 64).map(i =>
+      (i, spike(i.toLong, dim).toSeq)).toDF("centroid_id", "cvec")
+    val fracC = probe(clustered, cCents)
+    assert(fracC < Dedup.SemPruneGateMaxKeptFrac,
+      s"clustered geometry must prune (kept=$fracC)")
+    val exhC = asg(Dedup.semAssign(clustered, "vec_id", "embedding", cCents))
+    assert(asg(Dedup.semAssignPruned(clustered, "vec_id", "embedding", cCents)) === exhC)
+    // isotropic: random directions — the probe must keep ~everything and
+    // the gate must route to the exhaustive path (output identical)
+    val rnd = new scala.util.Random(11)
+    val iso = (0L until 400L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val iCents = (0 until 64).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f).toSeq)).toDF("centroid_id", "cvec")
+    val fracI = probe(iso, iCents)
+    assert(fracI > Dedup.SemPruneGateMaxKeptFrac,
+      s"isotropic geometry must not prune (kept=$fracI)")
+    val exhI = asg(Dedup.semAssign(iso, "vec_id", "embedding", iCents))
+    assert(asg(Dedup.semAssignPruned(iso, "vec_id", "embedding", iCents)) === exhI)
   }
 
   test("semDedupAuto clamps cells to the embedding-universe size (ADVICE " +
@@ -1071,7 +1146,12 @@ class DedupSpec extends SparkSpecBase {
     val rnd = new scala.util.Random(777)
     def vec() = Array.fill(8)(rnd.nextFloat() * 2f - 1f)
     val rows = (0L until 120L).map(i => (i, vec())) ++
-      (200L until 210L).map(i => (i, Array.fill(8)(0.7f))) // exact dups
+      (200L until 210L).map(i => (i, Array.fill(8)(0.7f))) ++ // exact dups
+      // degenerate ZERO vectors: their pairwise cosine is NaN, which is
+      // GREATER than any threshold in Spark's double order — the join
+      // path's filter(col("cos") > t) emits them, so the native emission
+      // must too (ADVICE r15: Java's primitive '>' silently dropped them)
+      (300L until 303L).map(i => (i, Array.fill(8)(0f)))
     val emb = rows.toDF("vec_id", "embedding")
     val cents = Seq(
       (0, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
@@ -1086,6 +1166,8 @@ class DedupSpec extends SparkSpecBase {
       val join = pairsOf(0)
       assert(local === join, s"paths diverge at threshold=$t")
       if (t == 0.3) assert(local.nonEmpty)
+      // NaN-cosine (zero-vector) pairs pass EVERY threshold on both paths
+      assert(local.contains((300L, 301L)), s"NaN pair missing at threshold=$t")
     }
   }
 

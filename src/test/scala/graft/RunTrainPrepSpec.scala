@@ -359,12 +359,13 @@ class RunTrainPrepSpec extends SparkSpecBase {
       "--in", "a", "--out", "b", "--lm-kn")))
     intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
       "--in", "a", "--out", "b", "--lm-max-ppl", "30", "--lm-kn", "--lm-ref", "p")))
-    // order without the KN gate, and orders outside {2, 3}: parse fails
+    // order without the KN gate, and orders outside {2..5}: parse fails
+    // (r16 widened the ceiling to 5 — the orders KenLM deploys)
     intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
       "--in", "a", "--out", "b", "--lm-max-ppl", "30", "--lm-kn-order", "3")))
     intercept[IllegalArgumentException](RunTrainPrep.parse(Seq(
       "--in", "a", "--out", "b", "--lm-max-ppl", "30", "--lm-kn",
-      "--lm-kn-order", "4")))
+      "--lm-kn-order", "6")))
   }
 
   test("--embeddings/--sem-threshold arm the SemDeDup stage: semantic " +

@@ -457,4 +457,51 @@ class TextAnalysisSpec extends SparkSpecBase {
     // and shorter docs that DO have trigrams priced by the shared model
     assert(a(2).getLong(1) === 1L)
   }
+
+  test("ngramLmScoreKn at order 3 is IEEE-identical to the pinned trigram " +
+      "form (modulo the count column's name)") {
+    // the generic chain must reproduce trigramLmScoreKn EXACTLY — same
+    // extraction, same type levels, same fixed-operation-order doubles —
+    // so the q106 oracle pins it transitively at order 3
+    val rnd = new scala.util.Random(99)
+    val alpha = Vector("sa", "nb", "ko", "x1", "vr", "qq", "zz")
+    val corpus = ((1L to 40L).map { i =>
+      (i, Seq.fill(rnd.nextInt(14) + 1)(alpha(rnd.nextInt(alpha.length))).mkString(" "))
+    } ++ Seq((98L, "one"), (99L, ""))).toDF("doc_id", "text")
+    val pinned = TextAnalysis.trigramLmScoreKn(corpus, "doc_id", "text")
+      .withColumnRenamed("n_trigrams", "n_ngrams")
+      .orderBy("doc_id").collect().toSeq
+    val generic = TextAnalysis.ngramLmScoreKn(corpus, "doc_id", "text", order = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(generic === pinned)
+  }
+
+  test("ngramLmScoreKn orders 4-5: hand-checkable single-path corpus, " +
+      "short docs carry no evidence, partitioning-invariant") {
+    // a corpus whose 4-grams are all distinct except one repeated path:
+    // with every type count 1 at every level except the repeated top
+    // count, the interpolated probability telescopes hand-checkably
+    val docs = Seq(
+      (1L, "a b c d a b c d"), // 4-grams: (a,b,c,d)x2 (b,c,d,a) (c,d,a,b) (d,a,b,c)
+      (2L, "a b c"),           // 3 tokens: no 4-grams
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramLmScoreKn(docs, "doc_id", "text", order = 4)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 5L)
+    assert(!out(0).isNullAt(2) && out(0).getDouble(3) > 0)
+    assert(out(1).getLong(1) === 0L && out(1).isNullAt(2))
+    assert(out(2).getLong(1) === 0L && out(2).isNullAt(2))
+    // order-5 partitioning invariance on a mixed corpus
+    val rnd = new scala.util.Random(7)
+    val alpha = Vector("sa", "nb", "ko", "x1", "vr")
+    val corpus = (1L to 30L).map { i =>
+      (i, Seq.fill(rnd.nextInt(16) + 1)(alpha(rnd.nextInt(alpha.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val a = TextAnalysis.ngramLmScoreKn(corpus, "doc_id", "text", order = 5)
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.ngramLmScoreKn(corpus.repartition(13), "doc_id", "text", order = 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    assert(a.exists(r => r.getLong(1) > 0))
+  }
 }
