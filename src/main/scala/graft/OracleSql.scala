@@ -2094,12 +2094,12 @@ object OracleSql {
     // exhaustive argmax — round-6 cosine, lower-centroid-id tie-break (the
     // q25/q103 ordering discipline) — over the SAME derived vectors. The
     // derivation literals match SparkEntry.q110 token-for-token: a unit
-    // spike at (vec_id mod 16) over ±k/64 integer pseudo-noise, every
+    // spike at (vec_id mod 8) over ±k/64 integer pseudo-noise, every
     // component a dyadic rational so the float casts agree bit-for-bit.
     "q110_sem_pruned_clustered" ->
       s"""WITH dv AS (SELECT vec_id,
          |    list_transform(range(0, 16), j -> CAST(
-         |      CASE WHEN j = vec_id % 16 THEN 1.0
+         |      CASE WHEN j = vec_id % 8 THEN 1.0
          |           ELSE ((vec_id * (j + 7)) % 11 - 5) / 64.0 END AS FLOAT)) AS vec
          |  FROM embeddings),
          |c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)

@@ -1430,8 +1430,12 @@ object SparkEntry {
   // The q102 precedent: plant the geometry IN-QUERY, deriving 16-dim
   // vectors from vec_id with identical integer-exact literals in both
   // engines (components are dyadic rationals, so the float casts agree
-  // bit-for-bit): a unit spike at (vec_id mod 16) over ±5/64 pseudo-noise
-  // gives 16 tight directions; K = 64 Forgy centroids (4 per direction)
+  // bit-for-bit): a unit spike at (vec_id mod 8) over ±5/64 pseudo-noise
+  // gives 8 tight directions — one per super-cell at G = 8, so the groups
+  // are narrow and the bound really cuts (16 directions over 8 groups
+  // left 2 per group and pruned almost nothing — DevQ110Probe measured
+  // the difference before this constant was chosen); K = 64 Forgy
+  // centroids (8 per direction)
   // engage the two-level scan (K ≥ SemPruneMinCentroids), the gate probe
   // measures a kept-fraction ≪ 1 and KEEPS the pruned path, and the
   // output — assignment + 6-dp cosine + lower-id tie-break — is EXACT
@@ -1440,7 +1444,7 @@ object SparkEntry {
     val dv = T(s, d, "embeddings")
       .select(col("vec_id"), expr(
         """transform(sequence(0, 15), j ->
-          |  CAST(CASE WHEN j = CAST(vec_id % 16 AS INT) THEN 1.0
+          |  CAST(CASE WHEN j = CAST(vec_id % 8 AS INT) THEN 1.0
           |       ELSE ((vec_id * (j + 7)) % 11 - 5) / 64.0 END AS FLOAT))"""
           .stripMargin).as("vec"))
     Dedup.semAssignPruned(dv, "vec_id", "vec",
