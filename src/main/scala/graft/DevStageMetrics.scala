@@ -21,6 +21,12 @@ object DevStageMetrics {
     val reps = if (args.length > 2) args(2).toInt else 2
     // the ONE bench config block — see Bench.benchSession's scaladoc
     val spark = Bench.benchSession()
+    // GRAFT_CONF="k=v;k=v" — extra session confs (A/B the conf-gated paths)
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
 
     case class St(name: String, tasks: Int, runMs: Long, cpuMs: Long,
         shufReadMb: Double, shufWriteMb: Double, spillMemMb: Double,

@@ -12,6 +12,14 @@ object PlanDump {
       master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]",
       shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt,
       appName = "graft-plan")
+    // GRAFT_CONF="k=v;k=v" — session confs to set before planning, so one
+    // build can dump both arms of a conf-gated plan change (spread gate,
+    // closure route) for the plans/ before/after record
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     spark.stop()
   }

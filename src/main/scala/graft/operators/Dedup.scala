@@ -699,6 +699,10 @@ object Dedup {
       threshold: Double = 0.8,
       maxCandidatesPerDoc: Int = DefaultMaxCandidatesPerDoc,
       heavyBroadcastRowBudget: Long = HeavyGramBroadcastRowBudget): DataFrame = {
+    // NOT spread (Spread.forCpu measured, then rejected here — see
+    // Spread's scaladoc): warm shingling of the byte-small corpus is
+    // sub-second single-task and the repartition's extra stages cost more
+    // than they recover (dev/r16b/spread_ab2.log: q67 +0.6 s with spread)
     val shingled = docs
       .select(col(idCol).as("__cid"), wordShingles(col(textCol), shingleLen).as("__csh"))
       .lazySerCkpt
@@ -848,9 +852,14 @@ object Dedup {
       k: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val winsCol = GraftColumnBridge.column(graft.functions.WordWindowsExpr(
-      GraftColumnBridge.expression(coalesce(col(textCol).cast("string"), lit(""))), k))
-    val wins = docs
-      .select(col(idCol).as("__did"), winsCol.as("__ws"))
+      GraftColumnBridge.expression(coalesce(col("__wtx").cast("string"), lit(""))), k))
+    // spread BEFORE the window build: the k-token window expression +
+    // posexplode + dup-gram partial-agg stage is compute-dense per byte
+    // over a byte-small corpus ([[Spread.forCpu]] — no-op at scan widths)
+    val wins = Spread
+      .forCpu(docs.select(col(idCol).as("__did"), col(textCol).as("__wtx")),
+        col("__did"))
+      .select(col("__did"), winsCol.as("__ws"))
       .select(col("__did"), posexplode(col("__ws")).as(Seq("__pos", "__g")))
       .lazySerCkpt
     // global-first rule (min doc id, then min position) in ONE aggregation:
@@ -908,8 +917,13 @@ object Dedup {
     val spans = markedSpans(docs, idCol, textCol, k)
       .groupBy("__did")
       .agg(collect_list(struct(col("__s").as("s"), col("__e").as("e"))).as("__spans"))
-    docs
-      .select(col(idCol), coalesce(col(textCol).cast("string"), lit("")).as("__t"))
+    // spread the rebuild side too: the span join is a broadcast (spans per
+    // doc are tiny), so the per-token HOF rebuild would otherwise run at
+    // the docs frame's own width — one task on a byte-small corpus
+    Spread
+      .forCpu(docs
+        .select(col(idCol), coalesce(col(textCol).cast("string"), lit("")).as("__t")),
+        col(idCol))
       .join(spans, col(idCol) === col("__did"), "left")
       .withColumn("__sp", coalesce(col("__spans"),
         expr("CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>)")))
@@ -1098,6 +1112,60 @@ object Dedup {
     * contraction; safe on duplicate and self edges (union-find absorbs
     * both).
     */
+  /** Maximum SYMMETRIZED edge count for [[connectedComponents]] to close
+    * the graph in ONE single-task union-find pass (no propagation loop at
+    * all). 2^22 edges is one ≤ ~64 MB shuffle to one task plus a LongMap
+    * of ≤ 2^22 entries (~100 MB transient worst case) — comfortably inside
+    * one executor task and far cheaper than ANY distributed loop at that
+    * size (each loop round is a join + groupBy + checkpoint job; the r16
+    * probe measured every sf0.1 closure graph at 428-2,160 sym edges,
+    * where the loop's fixed per-job cost IS the query's closure cost).
+    * Above it the per-partition pre-contraction + min-label loop takes
+    * over (measured 4.0× at 40 M sym edges,
+    * `dev/r16/sem_stage_profile.log`). The count is measured per call
+    * (observed metric on the edge checkpoint), so the route adapts to the
+    * data, not to the deployment; `spark.graft.cc.localClosureMaxEdges`
+    * overrides for A/Bs and unusual clusters.
+    */
+  private[graft] val LocalClosureMaxSymEdges: Long = 1L << 22
+
+  /** Exact closure of a SMALL symmetrized edge set in one task: union-find
+    * over every edge, then (id, root) for every node seen. Union always
+    * links the larger root under the smaller, so each tree's root is its
+    * component minimum — the same (id, comp), comp = min-id semantics the
+    * propagation loop converges to, produced in ONE job with no loop.
+    * Order-independent (min-root union-find is confluent), so the single
+    * partition's arbitrary edge order cannot change the output.
+    */
+  private def localClosureLabels(symEdges: DataFrame): DataFrame = {
+    val spark = symEdges.sparkSession
+    import spark.implicits._
+    symEdges.repartition(1).select(col("a"), col("b")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        val seen = new scala.collection.mutable.LongMap[Unit]()
+        def find(x0: Long): Long = {
+          var r = x0
+          var p = parent.getOrElse(r, r)
+          while (p != r) { r = p; p = parent.getOrElse(r, r) }
+          var x = x0
+          while (x != r) { val nxt = parent(x); parent.update(x, r); x = nxt }
+          r
+        }
+        it.foreach { case (a, b) =>
+          seen.update(a, ()); seen.update(b, ())
+          val ra = find(a)
+          val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+          }
+        }
+        val keys = seen.keysIterator.toArray
+        keys.iterator.map(k => (k, find(k)))
+      }
+      .toDF("id", "comp")
+  }
+
   private def localUnionFindPass(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -1130,39 +1198,81 @@ object Dedup {
   }
 
   def connectedComponents(
-      pairs: DataFrame, maxIter: Int = 25, preContract: Boolean = true): DataFrame = {
+      pairs: DataFrame, maxIter: Int = 25, preContract: Boolean = true,
+      localClosureMaxEdges: Long = -1L): DataFrame = {
     import Ckpt.ckptRdd
+    // threshold resolution: explicit arg > session conf > constant — the
+    // conf knob (`spark.graft.cc.localClosureMaxEdges`) exists so A/B
+    // harnesses and unusual clusters can steer the route without a rebuild
+    val ccLocalMax =
+      if (localClosureMaxEdges >= 0L) localClosureMaxEdges
+      else pairs.sparkSession.conf
+        .get("spark.graft.cc.localClosureMaxEdges", LocalClosureMaxSymEdges.toString)
+        .toLong
     val sym = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
-    // PRE-CONTRACTION (VERDICT r15 next #1): two per-partition union-find
-    // passes collapse the edge set to a near-star-forest BEFORE the global
-    // loop, so each propagation round joins ~|V| star edges instead of the
-    // full 2·|E| symmetrized graph (the 100× sem pair graph is 20 M edges
-    // over ~10× fewer nodes; closure was 30 s of the 49 s semDedupAuto
-    // wall). Pass 1 partitions by source so a node's whole neighborhood
-    // contracts locally (star-collapsed (rep, member) tiers collapse in
-    // one shot); its output is ≤ one (node, localRoot) edge per node per
-    // partition, and pass 2 — partitioned the same way — merges each
-    // node's per-partition roots. Correctness never depends on contraction
-    // QUALITY: union-find merges only edge-connected nodes (sound) and
-    // every original edge (a,b) becomes the path a—root—b (complete), so
-    // components are preserved exactly and the loop below finishes
-    // whatever chains remain across stars. Long ids only (every dedup
-    // tier's shape); other id types keep the direct loop. The distinct()
-    // the direct path needs is dropped here: union-find absorbs duplicate
-    // edges for free, and the contracted output is distinct by
-    // construction (each node emits at most one edge per partition).
+    // SCALE-ADAPTIVE ROUTE (r16 opt round): the symmetrized edge count
+    // rides the checkpoint action as an observed metric (zero extra jobs)
+    // and picks the closure engine by DATA size, not deployment:
+    //
+    //   symN ≤ ccLocalMax — [[localClosureLabels]]: ONE single-task
+    //   union-find job, no propagation loop. Every sf0.1 bench closure
+    //   graph is 428-2,160 sym edges (dev/r16b/cc_edges.log), where the
+    //   loop's fixed per-job cost — not data volume — was the entire
+    //   closure cost of ~14 queries (+0.3-1.4 s each after the ungated
+    //   r16 contraction landed, and 2-4 loop jobs even before it).
+    //
+    //   symN > ccLocalMax — PRE-CONTRACTION (VERDICT r15 next #1) + the
+    //   min-label loop: two per-partition union-find passes collapse the
+    //   edge set to a near-star-forest BEFORE the global loop, so each
+    //   propagation round joins ~|V| star edges instead of the full 2·|E|
+    //   symmetrized graph (the 100× sem pair graph is 20 M edges; closure
+    //   was 30 s of the 49 s semDedupAuto wall, 7.5 s contracted). Pass 1
+    //   partitions by source so a node's whole neighborhood contracts
+    //   locally; pass 2 merges each node's per-partition roots.
+    //   Correctness never depends on contraction QUALITY: union-find
+    //   merges only edge-connected nodes (sound) and every original edge
+    //   (a,b) becomes the path a—root—b (complete), so components are
+    //   preserved exactly and the loop finishes whatever chains remain
+    //   across stars. The distinct() the direct path needs is dropped:
+    //   union-find absorbs duplicate edges for free.
+    //
+    // Long ids only (every dedup tier's shape); other id types keep the
+    // direct distinct + loop. Route choice steers COST only — the spec
+    // pins local ≡ contracted ≡ direct components on randomized graphs.
     val contractible = preContract &&
       sym.schema("a").dataType == org.apache.spark.sql.types.LongType
+    val mc = new graft.run.MetricsCollector(pairs.sparkSession)
     val edges =
       if (contractible) {
-        // checkpoint the contracted stars once (both union branches read
-        // them), then free the blocks — only the symmetrized `edges`
-        // snapshot stays resident for the loop
-        val c2 = localUnionFindPass(localUnionFindPass(sym)).eagerSerCkpt
+        val obs = s"cc_sym_${guardObsId.incrementAndGet()}"
+        val symC = sym.observe(obs, count(lit(1)).as("n")).eagerSerCkpt
+        val symN = mc.await(obs) match {
+          case Some(m) => m("n") match { case l: Long => l; case _ => 0L }
+          // listener miss: assume big — the distributed route is the
+          // scale-safe default (its cost is bounded; a single task fed a
+          // huge graph is not)
+          case None => Long.MaxValue
+        }
+        if (pairs.sparkSession.conf
+            .get("spark.graft.cc.logEdges", "false").toBoolean)
+          System.err.println(s"[cc] symEdges=$symN " +
+            s"route=${if (symN <= ccLocalMax) "local" else "contract"}")
+        if (symN <= ccLocalMax) {
+          // small graph: exact one-job closure, loop skipped entirely
+          val labels = localClosureLabels(symC).eagerSerCkpt
+          ckptRdd(symC).foreach(_.unpersist(blocking = false))
+          mc.close()
+          return labels
+        }
+        // checkpoint the contracted stars once (both union branches
+        // read them), then free the blocks — only the symmetrized
+        // `edges` snapshot stays resident for the loop
+        val c2 = localUnionFindPass(localUnionFindPass(symC)).eagerSerCkpt
         val e = c2.unionByName(c2.select(col("b").as("a"), col("a").as("b")))
           .eagerSerCkpt
         ckptRdd(c2).foreach(_.unpersist(blocking = false))
+        ckptRdd(symC).foreach(_.unpersist(blocking = false))
         e
       } else sym.distinct().eagerSerCkpt
     // seed labels with min(id, min(neighbor)) — the exact output of the
@@ -1176,7 +1286,6 @@ object Dedup {
     // convergence detection rides the checkpoint action as an observed
     // metric — a separate changed-count join would double the actions per
     // round (an iterative operator's cost is dominated by per-round jobs)
-    val mc = new graft.run.MetricsCollector(labels.sparkSession)
     try {
       var changed = 1L
       var iter = 0

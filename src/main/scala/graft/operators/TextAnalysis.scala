@@ -385,6 +385,12 @@ object TextAnalysis {
       addK: Double = 1.0): org.apache.spark.sql.DataFrame = {
     require(addK > 0, s"addK must be positive (add-k smoothing); got $addK")
     val id = col(idCol)
+    // NOT spread (Spread.forCpu measured, then rejected here): warm
+    // tokenize+explode of the byte-small corpus is ~0.3-0.5 s single-task,
+    // and the repartition's extra stages cost more than they recover
+    // (dev/r16b/spread_ab2.log: q92 +0.44, q106 +0.86, q108 +0.98 s with
+    // spread) — the substring family keeps it, where the native window
+    // expression is heavy enough to want the width
     val base = docs
       .select(id.as("__did"), wsTokens(col(textCol)).as("__t"))
       .lazySerCkpt
@@ -397,6 +403,15 @@ object TextAnalysis {
     val bi = docBigramCounts(base).lazySerCkpt
     val bigramCounts = bi.groupBy(col("__p"), col("__w")).agg(sum(col("__cnt")).as("__c"))
     val contextCounts = bigramCounts.groupBy(col("__p")).agg(sum(col("__c")).as("__cc"))
+    // Shape note (r16 opt round): TYPE-level scoring — chaining the model
+    // joins over the bigram-types table and joining the per-doc gram table
+    // once on (p, w) — was implemented and A/B-measured, then REJECTED: on
+    // this corpus family the types table is ~0.87× the per-doc gram table
+    // (207 k vs 238 k rows at sf0.1), so it saves almost no shuffled rows
+    // while adding one extra wide-string-key join (dev/r16b/lmtype_ab.log:
+    // q92 2.31 vs 2.03, q108 4.63 vs 3.13, q94 13.3 vs 10.5 s warm). The
+    // dedup-before-LM pipeline order keeps the ratio high at every scale
+    // (replicas are removed before scoring), so the per-doc chain stays.
     val scored = bi
       .join(bigramCounts, Seq("__p", "__w"))
       .join(contextCounts, Seq("__p"))
@@ -557,6 +572,12 @@ object TextAnalysis {
     require(discount > 0 && discount < 1,
       s"discount must be in (0, 1); got $discount")
     val id = col(idCol)
+    // NOT spread (Spread.forCpu measured, then rejected here): warm
+    // tokenize+explode of the byte-small corpus is ~0.3-0.5 s single-task,
+    // and the repartition's extra stages cost more than they recover
+    // (dev/r16b/spread_ab2.log: q92 +0.44, q106 +0.86, q108 +0.98 s with
+    // spread) — the substring family keeps it, where the native window
+    // expression is heavy enough to want the width
     val base = docs
       .select(id.as("__did"), wsTokens(col(textCol)).as("__t"))
       .lazySerCkpt
@@ -570,6 +591,8 @@ object TextAnalysis {
     val continuations = bigramCounts.groupBy(col("__w")).agg(count(lit(1)).as("__n1w"))
     val n1all = bigramCounts.agg(count(lit(1)).as("__n1all"))
     val d = lit(discount)
+    // per-doc join chain kept over TYPE-level scoring — measured and
+    // rejected, see bigramLmScore's shape note (dev/r16b/lmtype_ab.log)
     val scored = bi
       .join(bigramCounts, Seq("__p", "__w"))
       .join(contexts, Seq("__p"))
@@ -655,6 +678,12 @@ object TextAnalysis {
     require(discount > 0 && discount < 1,
       s"discount must be in (0, 1); got $discount")
     val id = col(idCol)
+    // NOT spread (Spread.forCpu measured, then rejected here): warm
+    // tokenize+explode of the byte-small corpus is ~0.3-0.5 s single-task,
+    // and the repartition's extra stages cost more than they recover
+    // (dev/r16b/spread_ab2.log: q92 +0.44, q106 +0.86, q108 +0.98 s with
+    // spread) — the substring family keeps it, where the native window
+    // expression is heavy enough to want the width
     val base = docs
       .select(id.as("__did"), wsTokens(col(textCol)).as("__t"))
       .lazySerCkpt
@@ -675,6 +704,8 @@ object TextAnalysis {
     val contW = mid.groupBy(col("__w")).agg(count(lit(1)).as("__n1w"))
     val n1all = mid.agg(count(lit(1)).as("__n1all"))
     val d = lit(discount)
+    // per-doc join chain kept over TYPE-level scoring — measured and
+    // rejected, see bigramLmScore's shape note (dev/r16b/lmtype_ab.log)
     val scored = tri
       .join(triCounts, Seq("__p1", "__p2", "__w"))
       .join(ctx12, Seq("__p1", "__p2"))
@@ -746,6 +777,12 @@ object TextAnalysis {
     val n = order
     val id = col(idCol)
     val gcols = (0 until n).map(k => s"__g$k")
+    // NOT spread (Spread.forCpu measured, then rejected here): warm
+    // tokenize+explode of the byte-small corpus is ~0.3-0.5 s single-task,
+    // and the repartition's extra stages cost more than they recover
+    // (dev/r16b/spread_ab2.log: q92 +0.44, q106 +0.86, q108 +0.98 s with
+    // spread) — the substring family keeps it, where the native window
+    // expression is heavy enough to want the width
     val base = docs
       .select(id.as("__did"), wsTokens(col(textCol)).as("__t"))
       .lazySerCkpt
@@ -784,6 +821,8 @@ object TextAnalysis {
     }
     val uni = adj(2).groupBy(col(gcols.last)).agg(count(lit(1)).as("__a1"))
     val total = adj(2).agg(count(lit(1)).as("__tot"))
+    // per-doc join chain kept over TYPE-level scoring — measured and
+    // rejected, see bigramLmScore's shape note (dev/r16b/lmtype_ab.log)
     var joined = ng
       .join(counts, gcols)
       .join(ctxTop, gcols.dropRight(1))

@@ -361,11 +361,19 @@ class DedupSpec extends SparkSpecBase {
         (rnd.nextInt(120).toLong * 7L, rnd.nextInt(120).toLong * 7L)
       }.filter { case (a, b) => a != b }
       val pairs = edges.toDF("id1", "id2").repartition(8)
-      val fast = Dedup.connectedComponents(pairs).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // localClosureMaxEdges = 0 forces the contraction + loop route (the
+      // r16 scale gate would otherwise close these small graphs in one
+      // single-task union-find job)
+      val fast = Dedup.connectedComponents(pairs, localClosureMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val slow = Dedup.connectedComponents(pairs, preContract = false).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the default call takes the single-task local closure — all three
+      // routes must agree (the gate steers cost, never the partition)
+      val local = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(fast === slow, s"trial $trial: contraction changed components")
+      assert(local === slow, s"trial $trial: local closure changed components")
     }
   }
 
