@@ -14,6 +14,12 @@ object DevSemStageProfile {
     val sfDir = if (args.length > 0) args(0) else "/tmp/sf10"
     val threshold = if (args.length > 1) args(1).toDouble else 0.35
     val spark = Engine.session(master = "local[32]", appName = "sem-stage-profile")
+    // GRAFT_CONF="k=v;k=v" — extra session confs (A/B the conf-gated paths)
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = emb.count()

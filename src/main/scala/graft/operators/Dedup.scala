@@ -1242,11 +1242,27 @@ object Dedup {
     // pins local ≡ contracted ≡ direct components on randomized graphs.
     val contractible = preContract &&
       sym.schema("a").dataType == org.apache.spark.sql.types.LongType
+    val ccLog = pairs.sparkSession.conf
+      .get("spark.graft.cc.logEdges", "false").toBoolean
+    def logStep(label: String, t0: Long): Unit =
+      if (ccLog) System.err.println(
+        f"[cc] step=$label sec=${(System.nanoTime() - t0) / 1e9}%.1f")
     val mc = new graft.run.MetricsCollector(pairs.sparkSession)
     val edges =
       if (contractible) {
+        // ONE fused job, the inherited contraction shape exactly: the two
+        // per-partition union-find passes over the symmetrized plan, with
+        // the edge count riding the SAME job as an observe on the pass
+        // input. (First cut materialized a symmetrized-edge checkpoint to
+        // count it before routing — at 100× that single checkpoint wrote
+        // 40 M serialized rows for 28.4 s, 4× the whole inherited closure;
+        // dev/r16b/sem_stage_profile_r16d.log. Counting on the fused job
+        // costs one accumulator.)
         val obs = s"cc_sym_${guardObsId.incrementAndGet()}"
-        val symC = sym.observe(obs, count(lit(1)).as("n")).eagerSerCkpt
+        val tC = System.nanoTime()
+        val c2 = localUnionFindPass(localUnionFindPass(
+          sym.observe(obs, count(lit(1)).as("n")))).eagerSerCkpt
+        logStep("contract", tC)
         val symN = mc.await(obs) match {
           case Some(m) => m("n") match { case l: Long => l; case _ => 0L }
           // listener miss: assume big — the distributed route is the
@@ -1254,25 +1270,24 @@ object Dedup {
           // huge graph is not)
           case None => Long.MaxValue
         }
-        if (pairs.sparkSession.conf
-            .get("spark.graft.cc.logEdges", "false").toBoolean)
+        if (ccLog)
           System.err.println(s"[cc] symEdges=$symN " +
             s"route=${if (symN <= ccLocalMax) "local" else "contract"}")
         if (symN <= ccLocalMax) {
-          // small graph: exact one-job closure, loop skipped entirely
-          val labels = localClosureLabels(symC).eagerSerCkpt
-          ckptRdd(symC).foreach(_.unpersist(blocking = false))
+          // small graph: finish the (component-preserving) contracted star
+          // forest in one single-task union-find job — no propagation loop
+          val tLoc = System.nanoTime()
+          val labels = localClosureLabels(c2).eagerSerCkpt
+          logStep("localClosure", tLoc)
+          ckptRdd(c2).foreach(_.unpersist(blocking = false))
           mc.close()
           return labels
         }
-        // checkpoint the contracted stars once (both union branches
-        // read them), then free the blocks — only the symmetrized
-        // `edges` snapshot stays resident for the loop
-        val c2 = localUnionFindPass(localUnionFindPass(symC)).eagerSerCkpt
+        val tE = System.nanoTime()
         val e = c2.unionByName(c2.select(col("b").as("a"), col("a").as("b")))
           .eagerSerCkpt
+        logStep("symmetrizeStars", tE)
         ckptRdd(c2).foreach(_.unpersist(blocking = false))
-        ckptRdd(symC).foreach(_.unpersist(blocking = false))
         e
       } else sym.distinct().eagerSerCkpt
     // seed labels with min(id, min(neighbor)) — the exact output of the
