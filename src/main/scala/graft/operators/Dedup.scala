@@ -724,7 +724,16 @@ object Dedup {
     // task (measured: 12-15 s single-core). Pin the exchange by count
     // (REPARTITION_BY_NUM is exempt from coalescing); it satisfies the
     // window's clustering requirement so no second exchange appears.
-    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // CORE parallelism, not SQLConf.numShufflePartitions: under AQE
+    // coalescing the latter reports initialPartitionNum (8× cores in the
+    // bench session), and REPARTITION_BY_NUM pins that count un-coalesced —
+    // the anchor window ran as 256 near-empty sort tasks whose per-task
+    // overhead outweighed the balance benefit (same trap as Spread.forCpu's
+    // first cut; A/B dev/r16b/contain_npart_ab.log). Conf-overridable for
+    // clusters where the window input is big enough to want more waves.
+    val nPart = docs.sparkSession.conf
+      .get("spark.graft.containment.windowPartitions",
+        docs.sparkSession.sparkContext.defaultParallelism.toString).toInt
     val anchors = ex.join(dfreq, Seq("__g"))
       .filter(col("__df") <= maxAnchorDf)
       .repartition(nPart, col("__cid"))

@@ -496,7 +496,18 @@ object Sampling {
     */
   private def distributedRank(selected: DataFrame): DataFrame = {
     import graft.operators.Ckpt.CkptOps
-    val parts = selected.sparkSession.sessionState.conf.numShufflePartitions
+    // numShufflePartitions (= AQE initialPartitionNum, 8× cores in the
+    // bench session) KEPT after an r16 A/B: unlike the containment window
+    // (Dedup.containmentPairs) and Spread.forCpu, the finer range
+    // partitioning is slightly FASTER here (dev/r16b/rank_npart_ab.log:
+    // 256 vs 32 → q100 1.74 vs 1.88, q107 0.94 vs 1.15 s min-over-4) —
+    // smaller sorted runs beat the extra task overhead. Any partition
+    // count yields the same ranks (range partitions are order-aligned),
+    // so the conf override steers cost only.
+    val parts = selected.sparkSession.conf
+      .get("spark.graft.rank.partitions",
+        selected.sparkSession.sessionState.conf.numShufflePartitions.toString)
+      .toInt
     val sorted = selected
       .repartitionByRange(parts, col("__score").desc, col("__did").asc)
       .sortWithinPartitions(col("__score").desc, col("__did").asc)
