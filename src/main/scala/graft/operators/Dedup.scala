@@ -1189,11 +1189,21 @@ object Dedup {
           while (x != r) { val nxt = parent(x); parent.update(x, r); x = nxt }
           r
         }
+        // nodes seen ONLY via self edges would otherwise vanish from the
+        // contracted star set (union-find absorbs a == b without creating
+        // an entry), diverging from the direct loop, which keeps them as
+        // singletons (ADVICE r16). Track them (zero extra work when no
+        // self edges exist) and re-emit the self loop for any that stay
+        // roots, so every node that appears in pairs survives contraction.
+        val selfSeen = new scala.collection.mutable.LongMap[Unit]()
         it.foreach { case (a, b) =>
-          val ra = find(a)
-          val rb = find(b)
-          if (ra != rb) {
-            if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+          if (a == b) selfSeen.update(a, ())
+          else {
+            val ra = find(a)
+            val rb = find(b)
+            if (ra != rb) {
+              if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+            }
           }
         }
         // snapshot keys first — find() path-compresses the map in place
@@ -1201,7 +1211,7 @@ object Dedup {
         keys.iterator.flatMap { k =>
           val r = find(k)
           if (r != k) Iterator.single((k, r)) else Iterator.empty
-        }
+        } ++ selfSeen.keysIterator.filter(k => find(k) == k).map(k => (k, k))
       }
       .toDF("a", "b")
   }
@@ -1257,6 +1267,13 @@ object Dedup {
       if (ccLog) System.err.println(
         f"[cc] step=$label sec=${(System.nanoTime() - t0) / 1e9}%.1f")
     val mc = new graft.run.MetricsCollector(pairs.sparkSession)
+    // ONE finally owns the listener from here on (ADVICE r16): any throw
+    // mid-materialization — contraction checkpoint, local closure, loop
+    // round — must unregister it, or failed closure calls accumulate
+    // listeners in long-lived sessions. The early-return local route exits
+    // through the same finally.
+    var edgesCkpt: Option[DataFrame] = None
+    try {
     val edges =
       if (contractible) {
         // ONE fused job, the inherited contraction shape exactly: the two
@@ -1273,10 +1290,10 @@ object Dedup {
           sym.observe(obs, count(lit(1)).as("n")))).eagerSerCkpt
         logStep("contract", tC)
         val symN = mc.await(obs) match {
-          case Some(m) => m("n") match { case l: Long => l; case _ => 0L }
-          // listener miss: assume big — the distributed route is the
-          // scale-safe default (its cost is bounded; a single task fed a
-          // huge graph is not)
+          // a malformed metric resolves like a listener miss: assume big —
+          // the distributed route is the scale-safe default (its cost is
+          // bounded; a single task fed a huge graph is not) (ADVICE r16)
+          case Some(m) => m("n") match { case l: Long => l; case _ => Long.MaxValue }
           case None => Long.MaxValue
         }
         if (ccLog)
@@ -1289,8 +1306,7 @@ object Dedup {
           val labels = localClosureLabels(c2).eagerSerCkpt
           logStep("localClosure", tLoc)
           ckptRdd(c2).foreach(_.unpersist(blocking = false))
-          mc.close()
-          return labels
+          return labels // the finally below closes mc
         }
         val tE = System.nanoTime()
         val e = c2.unionByName(c2.select(col("b").as("a"), col("a").as("b")))
@@ -1299,6 +1315,7 @@ object Dedup {
         ckptRdd(c2).foreach(_.unpersist(blocking = false))
         e
       } else sym.distinct().eagerSerCkpt
+    edgesCkpt = Some(edges)
     // seed labels with min(id, min(neighbor)) — the exact output of the
     // first propagation round against identity labels, for one groupBy
     // instead of a join+groupBy round (edges are symmetrized, so every
@@ -1310,9 +1327,8 @@ object Dedup {
     // convergence detection rides the checkpoint action as an observed
     // metric — a separate changed-count join would double the actions per
     // round (an iterative operator's cost is dominated by per-round jobs)
-    try {
-      var changed = 1L
-      var iter = 0
+    var changed = 1L
+    var iter = 0
       while (changed > 0 && iter < maxIter) {
         val nbrMin = edges
           .join(labels.select(col("id").as("b"), col("comp")), Seq("b"))
@@ -1365,7 +1381,7 @@ object Dedup {
       mc.close()
       // the returned labels are lineage-truncated at their own checkpoint,
       // so the edge blocks are dead weight once the loop ends
-      ckptRdd(edges).foreach(_.unpersist(blocking = false))
+      edgesCkpt.foreach(e => ckptRdd(e).foreach(_.unpersist(blocking = false)))
     }
   }
 

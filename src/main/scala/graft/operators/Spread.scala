@@ -50,7 +50,35 @@ private[graft] object Spread {
     // 11.2 s vs 9.3 s warm). A CPU-bound stage wants exactly the core
     // count.
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target, key)
+    if (probeWidth(df, target) * 2 < target) df.repartition(target, key)
     else df
+  }
+
+  /** Execution-free width estimate (ADVICE r16): the previous probe was
+    * `df.rdd.getNumPartitions`, and under AQE `Dataset.rdd` forces
+    * AdaptiveSparkPlanExec to materialize every upstream shuffle/broadcast
+    * stage as real jobs — work that is NOT reused by the later consuming
+    * action, so an uncheckpointed input could execute 2+ extra times at
+    * exactly the production scale where the gate is documented to no-op.
+    * Instead, read the width off the plan's LEAVES without executing
+    * anything: a checkpoint leaf (LogicalRDD) knows its partition count as
+    * pure metadata, and a file/local relation's split count is estimated
+    * from its stats size at the session's split size. Narrow ops preserve
+    * leaf width; shuffled ops land at an AQE-coalesced width that tracks
+    * the same data size the leaf estimate reflects — and taking the MAX
+    * across leaves errs toward "already wide enough", i.e. toward NOT
+    * adding a shuffle, which is the scale-safe direction.
+    */
+  private def probeWidth(df: DataFrame, target: Int): Int = {
+    val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    if (leaves.isEmpty) 1
+    else leaves.map {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getNumPartitions
+      case leaf =>
+        val bytes = leaf.stats.sizeInBytes
+        ((bytes + maxSplit - 1) / maxSplit).min(BigInt(target)).toInt
+    }.max
   }
 }

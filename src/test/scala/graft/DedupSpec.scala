@@ -356,10 +356,15 @@ class DedupSpec extends SparkSpecBase {
     val rnd = new scala.util.Random(4242L)
     for (trial <- 0 until 3) {
       val n = 200 + trial * 150
-      val edges = Seq.tabulate(n) { _ =>
-        // sparse id space so components form chains ACROSS partitions
-        (rnd.nextInt(120).toLong * 7L, rnd.nextInt(120).toLong * 7L)
-      }.filter { case (a, b) => a != b }
+      val edges = Seq.tabulate(n) { i =>
+        // sparse id space so components form chains ACROSS partitions;
+        // every ~10th edge is a SELF pair (ADVICE r16: the contract is
+        // "every node that appears in pairs gets a label", and self-pair
+        // nodes exercise the contraction's self-loop re-emission)
+        val a = rnd.nextInt(120).toLong * 7L
+        val b = if (i % 10 == 0) a else rnd.nextInt(120).toLong * 7L
+        (a, b)
+      } :+ (9001L, 9001L) // guaranteed self-pair-ONLY node, isolated id
       val pairs = edges.toDF("id1", "id2").repartition(8)
       // localClosureMaxEdges = 0 forces the contraction + loop route (the
       // r16 scale gate would otherwise close these small graphs in one
