@@ -104,8 +104,20 @@ object Curation {
     // row (only winners survive either way) but the tokenizing regexes
     // evaluate once per distinct fingerprint instead of once per raw
     // document.
-    val gatedPlan = Dedup
-      .exactSurvivors(docs, TextAnalysis.fingerprint(text), idCol)
+    // Spread the exact-dedup winners to core width BEFORE the gates: the
+    // min_by aggregate's output is byte-small (1.2 MB at sf0.1), so AQE
+    // coalesces it to ONE task — and everything downstream of it is
+    // compute-dense per byte (quality/langid regexes here; the MinHash
+    // signature stage reads the checkpoint at the same width and pays
+    // bands·rows+2 hashes per shingle — measured 0.6 s + 1.4 s single-task
+    // warm inside q73, r17 stage table). The repair is one thin exchange
+    // of the winner rows; at production scale the aggregate output is
+    // already wide and [[Spread.forCpu]] no-ops. Site-gated
+    // (`spark.graft.spread.curation`) for A/B; win pinned in
+    // dev/r17/cur_spread_ab.log.
+    val gatedPlan = Spread
+      .forCpu(Dedup.exactSurvivors(docs, TextAnalysis.fingerprint(text), idCol),
+        id, "curation")
       .filter(TextAnalysis.qualityScore(text) >= minQuality &&
         TextAnalysis.languageId(text).isin(languages.map(x => x: Any): _*))
 

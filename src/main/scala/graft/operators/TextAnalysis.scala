@@ -378,6 +378,29 @@ object TextAnalysis {
       .groupBy(col("__did"), col("__p"), col("__w"))
       .agg(count(lit(1)).as("__cnt"))
 
+  /** The ONE tokenized-base builder every self-trained LM gate derives
+    * from — NOT spread, re-measured and re-rejected r17
+    * (dev/r17/lm_spread_ab.log, 4-rep interleaved: q92 1.75 vs 1.25,
+    * q106 2.34 vs 1.70, q108 3.29 vs 2.50 s with spread). The r17 stage
+    * profile explains the r16 verdict the arithmetic seemed to
+    * contradict: the single-task tokenize stage is 1.0-1.4 s warm, but a
+    * REPARTITION_BY_NUM to core width is exempt from AQE coalescing, so
+    * all ~10 byte-tiny downstream model/scoring stages of the deep KN
+    * DAG inherit 32 tasks each — ~300 extra task slots of pure
+    * scheduling that cost more than the single-task stage being
+    * repaired. The substring family keeps spread because its DAG is
+    * shallow (heavy stage → one aggregation); even the shallow
+    * fixed-reference scorer measured a loss on a focused 5-rep A/B
+    * (dev/r17/q101_ab.log), so NO LM site spreads.
+    */
+  private def tokenizedBase(
+      docs: org.apache.spark.sql.DataFrame,
+      id: Column,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(id.as("__did"), wsTokens(col(textCol)).as("__t"))
+      .lazySerCkpt
+
   def bigramLmScore(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String,
@@ -385,15 +408,7 @@ object TextAnalysis {
       addK: Double = 1.0): org.apache.spark.sql.DataFrame = {
     require(addK > 0, s"addK must be positive (add-k smoothing); got $addK")
     val id = col(idCol)
-    // NOT spread (Spread.forCpu measured, then rejected here): warm
-    // tokenize+explode of the byte-small corpus is ~0.3-0.5 s single-task,
-    // and the repartition's extra stages cost more than they recover
-    // (dev/r16b/spread_ab2.log: q92 +0.44, q106 +0.86, q108 +0.98 s with
-    // spread) — the substring family keeps it, where the native window
-    // expression is heavy enough to want the width
-    val base = docs
-      .select(id.as("__did"), wsTokens(col(textCol)).as("__t"))
-      .lazySerCkpt
+    val base = tokenizedBase(docs, id, textCol)
     // vocab over ALL token occurrences (split of "" yields one "" token —
     // filtered here and from the bigram pairs below)
     val vocab = base
@@ -505,6 +520,9 @@ object TextAnalysis {
     val id = col(idCol)
     val hint = (df: org.apache.spark.sql.DataFrame) =>
       if (broadcastModel) broadcast(df) else df
+    // NOT spread — re-measured r17 along with the self-trained gates'
+    // tokenizedBase (dev/r17/q101_ab.log, 5-rep: 1.26 vs 1.12 s with
+    // spread); see tokenizedBase's scaladoc for the mechanism
     val bi = docBigramCounts(
       docs.select(id.as("__did"), wsTokens(col(textCol)).as("__t")))
     // rename the model's columns before joining: contexts DERIVES from
@@ -572,15 +590,7 @@ object TextAnalysis {
     require(discount > 0 && discount < 1,
       s"discount must be in (0, 1); got $discount")
     val id = col(idCol)
-    // NOT spread (Spread.forCpu measured, then rejected here): warm
-    // tokenize+explode of the byte-small corpus is ~0.3-0.5 s single-task,
-    // and the repartition's extra stages cost more than they recover
-    // (dev/r16b/spread_ab2.log: q92 +0.44, q106 +0.86, q108 +0.98 s with
-    // spread) — the substring family keeps it, where the native window
-    // expression is heavy enough to want the width
-    val base = docs
-      .select(id.as("__did"), wsTokens(col(textCol)).as("__t"))
-      .lazySerCkpt
+    val base = tokenizedBase(docs, id, textCol)
     val bi = docBigramCounts(base).lazySerCkpt
     val bigramCounts = bi.groupBy(col("__p"), col("__w")).agg(sum(col("__cnt")).as("__c"))
       .lazySerCkpt
@@ -678,15 +688,7 @@ object TextAnalysis {
     require(discount > 0 && discount < 1,
       s"discount must be in (0, 1); got $discount")
     val id = col(idCol)
-    // NOT spread (Spread.forCpu measured, then rejected here): warm
-    // tokenize+explode of the byte-small corpus is ~0.3-0.5 s single-task,
-    // and the repartition's extra stages cost more than they recover
-    // (dev/r16b/spread_ab2.log: q92 +0.44, q106 +0.86, q108 +0.98 s with
-    // spread) — the substring family keeps it, where the native window
-    // expression is heavy enough to want the width
-    val base = docs
-      .select(id.as("__did"), wsTokens(col(textCol)).as("__t"))
-      .lazySerCkpt
+    val base = tokenizedBase(docs, id, textCol)
     val tri = docTrigramCounts(base).lazySerCkpt
     val triCounts = tri.groupBy(col("__p1"), col("__p2"), col("__w"))
       .agg(sum(col("__cnt")).as("__c"))
@@ -777,15 +779,7 @@ object TextAnalysis {
     val n = order
     val id = col(idCol)
     val gcols = (0 until n).map(k => s"__g$k")
-    // NOT spread (Spread.forCpu measured, then rejected here): warm
-    // tokenize+explode of the byte-small corpus is ~0.3-0.5 s single-task,
-    // and the repartition's extra stages cost more than they recover
-    // (dev/r16b/spread_ab2.log: q92 +0.44, q106 +0.86, q108 +0.98 s with
-    // spread) — the substring family keeps it, where the native window
-    // expression is heavy enough to want the width
-    val base = docs
-      .select(id.as("__did"), wsTokens(col(textCol)).as("__t"))
-      .lazySerCkpt
+    val base = tokenizedBase(docs, id, textCol)
     // n-gram extraction without a per-doc window or positional self-join:
     // transform over the valid starting SLICE with the 0-based element
     // index reaching the remaining n−1 positions (an empty slice — doc
