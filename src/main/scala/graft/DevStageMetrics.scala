@@ -35,7 +35,24 @@ object DevStageMetrics {
     // every access with the buffer's own lock (the main thread reads only
     // after a synchronous bus drain, but the lock keeps the read untorn)
     val stages = mutable.ArrayBuffer.empty[St]
+    // job-level accounting: at sf0.1 the composed pipelines' wall time is
+    // dominated by the gaps BETWEEN jobs (planning, AQE replanning, job
+    // scheduling), not by stage compute — count the jobs and their summed
+    // wall so the gap is measurable (r17)
+    val jobs = mutable.ArrayBuffer.empty[(Int, Long, String)] // (jobId, wallMs, callSite)
+    val jobStarts = mutable.Map.empty[Int, (Long, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.synchronized {
+          val site = js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n').take(70)).getOrElse("?")
+          jobStarts(js.jobId) = (js.time, site)
+        }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobs.synchronized {
+          jobStarts.remove(je.jobId).foreach { case (t0, site) =>
+            jobs += ((je.jobId, je.time - t0, site))
+          }
+        }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val m = i.taskMetrics
@@ -54,6 +71,7 @@ object DevStageMetrics {
     val fn = SparkEntry.queries(qname)
     (1 to reps).foreach { rep =>
       stages.synchronized { stages.clear() }
+      jobs.synchronized { jobs.clear(); jobStarts.clear() }
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -66,7 +84,14 @@ object DevStageMetrics {
         System.err.println(s"[dev] warning: listener bus did not drain in 10 s — " +
           s"rep $rep stage table may be partial")
       val snap = stages.synchronized { stages.toVector }
+      val jsnap = jobs.synchronized { jobs.toVector }
       println(f"== $qname rep $rep: $sec%.2f s, output rows $n")
+      println(f"== jobs ${jsnap.size}, job wall sum ${jsnap.map(_._2).sum / 1e3}%.2f s, " +
+        f"stage wall sum ${snap.map(_.maxTaskMs).sum / 1e3}%.2f s " +
+        f"(gap to total = driver/planning time between jobs)")
+      jsnap.sortBy(-_._2).take(15).foreach { case (id, ms, site) =>
+        println(f"== job $id%4d ${ms / 1e3}%6.2f s  $site")
+      }
       println(f"${"stage"}%-60s ${"tasks"}%5s ${"wall_s"}%7s ${"run_s"}%7s ${"cpu_s"}%7s ${"shR_MB"}%8s ${"shW_MB"}%8s ${"spillM"}%7s ${"spillD"}%7s ${"in_rows"}%10s ${"out_rows"}%10s")
       snap.foreach { s =>
         println(f"${s.name}%-60s ${s.tasks}%5d ${s.maxTaskMs / 1e3}%7.1f ${s.runMs / 1e3}%7.1f ${s.cpuMs / 1e3}%7.1f ${s.shufReadMb}%8.1f ${s.shufWriteMb}%8.1f ${s.spillMemMb}%7.0f ${s.spillDiskMb}%7.0f ${s.inRows}%10d ${s.outRows}%10d")

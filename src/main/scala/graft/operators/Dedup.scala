@@ -706,15 +706,25 @@ object Dedup {
     val shingled = docs
       .select(col(idCol).as("__cid"), wordShingles(col(textCol), shingleLen).as("__csh"))
       .lazySerCkpt
-    // corpus count for the relative rarity cap, off the checkpoint — a
-    // separate docs.count() would recompute an expensive input (q69 feeds
-    // a whole curation pipeline in here) a second time
-    val maxAnchorDf =
-      math.max(math.ceil(maxAnchorDfFrac * shingled.count()).toLong, 16L)
     val ex = shingled.select(col("__cid"), explode(col("__csh")).as("__g"))
+    // Corpus count for the relative rarity cap rides the dfreq branch as
+    // an observed metric ABOVE the checkpoint scan (below a LAZY
+    // checkpoint the listener fires at build time with zeroed
+    // accumulators — the r16 TrainPrep lesson), so the heavy-gram count
+    // job below ALSO materializes the shingle checkpoint and delivers the
+    // doc count: one job instead of the two this operator used to pay
+    // (a dedicated shingled.count() materialization, then the guard
+    // count). maxAnchorDf is only needed when the ANCHOR plan is built,
+    // which happens after that job either way. Fallback on listener
+    // timeout: a plain count over the (now materialized) checkpoint.
+    val docsObs = s"containment_docs_${guardObsId.incrementAndGet()}"
+    val mcDocs = new graft.run.MetricsCollector(docs.sparkSession)
     // two consumers (anchor ranking + the guard's heavy-gram split) —
     // checkpoint, or the count shuffle over every exploded gram runs twice
-    val dfreq = ex.groupBy("__g").agg(count(lit(1)).as("__df")).lazySerCkpt
+    val dfreq = shingled
+      .observe(docsObs, count(lit(1)).as("n"))
+      .select(col("__cid"), explode(col("__csh")).as("__g"))
+      .groupBy("__g").agg(count(lit(1)).as("__df")).lazySerCkpt
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__cid")).orderBy(col("__df").asc, col("__g").asc)
     // The anchor window's input is compute-dense per byte (every doc's
@@ -734,6 +744,20 @@ object Dedup {
     val nPart = docs.sparkSession.conf
       .get("spark.graft.containment.windowPartitions",
         docs.sparkSession.sparkContext.defaultParallelism.toString).toInt
+    // the guard count job (below) is the first action of this operator and
+    // materializes shingled + dfreq; the observed doc count arrives with it
+    val postCap = math.max(maxCandidatesPerDoc / math.max(anchorsPerDoc, 1), 1)
+    val overCap = dfreq.filter(col("__df") > postCap)
+    val (overCapN, nDocs) =
+      try {
+        val oc = overCap.count()
+        val n = mcDocs.await(docsObs) match {
+          case Some(m) => m("n") match { case l: Long => l; case _ => shingled.count() }
+          case None => shingled.count()
+        }
+        (oc, n)
+      } finally mcDocs.close()
+    val maxAnchorDf = math.max(math.ceil(maxAnchorDfFrac * nDocs).toLong, 16L)
     val anchors = ex.join(dfreq, Seq("__g"))
       .filter(col("__df") <= maxAnchorDf)
       .repartition(nPart, col("__cid"))
@@ -757,7 +781,6 @@ object Dedup {
     // changes the plan, not the semantics, and the oracle SQL mirrors the
     // unsplit formulation. (doc, gram) is unique per side, so the
     // row_number order is total and the kept set deterministic.
-    val postCap = math.max(maxCandidatesPerDoc / math.max(anchorsPerDoc, 1), 1)
     val wg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__g")).orderBy(col("__cid").asc)
     val vocab = anchors.select("__g").distinct()
@@ -776,24 +799,37 @@ object Dedup {
     // candidate job, same total work) and drop the hint above the row
     // budget. AQE still broadcasts at runtime if the semi-joined set
     // proves small, so the fallback degrades the plan, never correctness.
-    val overCap = dfreq.filter(col("__df") > postCap)
     val heavyGrams = vocab.join(overCap, Seq("__g"), "left_semi")
     val heavySel =
-      if (overCap.count() <= heavyBroadcastRowBudget) broadcast(heavyGrams)
+      if (overCapN <= heavyBroadcastRowBudget) broadcast(heavyGrams)
       else heavyGrams
-    val light = ex.join(vocab, Seq("__g"), "left_semi")
-      .join(heavySel, Seq("__g"), "left_anti")
-    val heavy = ex.join(heavySel, Seq("__g"), "left_semi")
-      // pin the window exchange by count: the heavy postings are byte-few
-      // but the downstream candidate join is compute-dense per byte
-      .repartition(nPart, col("__g"))
-      .withColumn("__prn", row_number().over(wg))
-      .observe(s"containment_guard_${guardObsId.incrementAndGet()}",
-        count(lit(1)).as("heavy_postings"),
-        sum(when(col("__prn") > postCap, 1L).otherwise(0L)).as("dropped_postings"))
-      .filter(col("__prn") <= postCap)
-      .drop("__prn")
-    val index = light.unionByName(heavy)
+    val lightBase = ex.join(vocab, Seq("__g"), "left_semi")
+    // overCapN == 0 ⇒ NO gram anywhere exceeds the posting cap, so the
+    // heavy set is provably empty: the anti-join is an identity and the
+    // whole heavy branch (broadcast build + window exchange + cap filter)
+    // computes an empty frame. Prune them from the plan — on healthy
+    // corpora (every measured one; the guard is inert by design there)
+    // this removes 2-3 per-call jobs and keeps the index on the pre-guard
+    // plan exactly. Semantics unchanged: with nothing over the cap the
+    // rn filter is a no-op, and the guard observe's absence reads as the
+    // same all-zero disclosure (Verify/RunTrainPrep report nonzero-only).
+    val index =
+      if (overCapN == 0L) lightBase
+      else {
+        val light = lightBase.join(heavySel, Seq("__g"), "left_anti")
+        val heavy = ex.join(heavySel, Seq("__g"), "left_semi")
+          // pin the window exchange by count: the heavy postings are
+          // byte-few but the downstream candidate join is compute-dense
+          // per byte
+          .repartition(nPart, col("__g"))
+          .withColumn("__prn", row_number().over(wg))
+          .observe(s"containment_guard_${guardObsId.incrementAndGet()}",
+            count(lit(1)).as("heavy_postings"),
+            sum(when(col("__prn") > postCap, 1L).otherwise(0L)).as("dropped_postings"))
+          .filter(col("__prn") <= postCap)
+          .drop("__prn")
+        light.unionByName(heavy)
+      }
     // m-of-k co-occurrence: hits = distinct shared anchor grams, because
     // (doc, gram) is unique on both sides (shingles are distinct per doc)
     val cand = anchors
