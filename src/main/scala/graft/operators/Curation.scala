@@ -175,7 +175,10 @@ object Curation {
           .filter(col("id") =!= col("comp"))
           .select(col("id").as(idCol))
       else
-        confirmedPairs.select(col("id2").as(idCol)).distinct()
+        // NOT distinct: the only consumer is the LEFT ANTI below, an
+        // existence test for which duplicate drop ids are inert — the
+        // distinct() was one whole extra exchange + aggregate
+        confirmedPairs.select(col("id2").as(idCol))
 
     gated.join(dropped, Seq(idCol), "left_anti")
   }

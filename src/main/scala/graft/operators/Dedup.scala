@@ -783,6 +783,13 @@ object Dedup {
     // row_number order is total and the kept set deterministic.
     val wg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__g")).orderBy(col("__cid").asc)
+    // distinct() KEPT although both consumers are existence tests
+    // (duplicate keys would be semantically inert): its map-side partial
+    // aggregate dedups BEFORE the semi-join shuffle (an anchor gram can
+    // appear in up to maxAnchorDf docs), and heavyGrams below — broadcast
+    // on replica-heavy corpora — would otherwise carry one row per
+    // posting instead of one per gram. Measured a wash at sf0.1; the
+    // scale safety decides it.
     val vocab = anchors.select("__g").distinct()
     // heavy = anchor-vocabulary grams over the posting cap — empty-to-tiny
     // on every measured corpus (replication raises df, not distinct grams),

@@ -264,7 +264,10 @@ object TrainPrep {
     val contained = pairs
       .join(rev, col("id1") === col("__r2") && col("id2") === col("__r1"), "left")
       .filter(col("__r1").isNull || col("id1") > col("id2"))
-      .select(col("id1").as(idCol)).distinct()
+      // NOT distinct: consumed only by the LEFT ANTI below (existence
+      // test; duplicate contained-ids are inert) — dropping the
+      // distinct() removes one exchange + aggregate per pipeline run
+      .select(col("id1").as(idCol))
     val afterContain =
       staged(lmKept.join(contained, Seq(idCol), "left_anti"), "after_contain")
     staged(
