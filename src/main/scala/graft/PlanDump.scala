@@ -20,7 +20,12 @@ object PlanDump {
         val Array(k, v) = kv.split("=", 2)
         spark.conf.set(k.trim, v.trim)
       })
-    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    // comma-separated names: one JVM dumps a whole touched-query list
+    // (each plan delimited for the splitter that writes plans/rNN files)
+    name.split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>
+      println(s"==== PLAN $q ====")
+      SparkEntry.queries(q)(spark, sfDir).explain("formatted")
+    }
     spark.stop()
   }
 }
