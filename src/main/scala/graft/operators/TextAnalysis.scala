@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Ckpt._
 
@@ -401,6 +402,32 @@ object TextAnalysis {
       .select(id.as("__did"), wsTokens(col(textCol)).as("__t"))
       .lazySerCkpt
 
+  /** Window-fuse gate for the HIGH-order KN chain (r17, guide §2.2/§3):
+    * every context/continuation statistic is an aggregate of the n-gram
+    * TYPE table on a key prefix/suffix of the type key, so instead of
+    * joining each statistic into the per-doc gram chain as its own
+    * groupBy + join (one more shuffle/broadcast of the BIG frame per
+    * statistic), compute it as a window over the type table and join the
+    * enriched type table ONCE per level. Values are sums and counts of
+    * longs over identical groups — bit-identical either way (spec-pinned,
+    * TextAnalysisSpec "window-fused … row-identical") — and the window
+    * keys are gram suffixes (vocab-cardinality or higher), never a single
+    * global partition.
+    *
+    * Measured (min over interleaved reps, dev/r17/lmfuse_ab.log +
+    * lmfuse_ab_100x.log): the fuse LOSES at orders 2-3 (q92 2.14 vs 1.82,
+    * q106 3.74 vs 2.48 at sf0.1; q106 37.4 vs 30.6 at 100×) — shallow
+    * chains keep cheap broadcast probes and the window adds a full
+    * type-table sort — but WINS the deep 4-5-gram chain, decisively at
+    * scale (q109 at 100×: 47.5 vs 64.8 s; sf0.1 a slight win both
+    * orders): 9 statistic joins of the per-doc frame collapse to 4, which
+    * is 5 fewer big-frame shuffles once the type tables outgrow
+    * broadcast. So ONLY [[ngramLmScoreKn]] (orders 4-5) reads this gate,
+    * default ON; the order-2/3 scorers keep the join chain unconditionally.
+    */
+  private def lmWindowFuse(docs: org.apache.spark.sql.DataFrame): Boolean =
+    docs.sparkSession.conf.get("spark.graft.lm.windowFuse", "true").toBoolean
+
   def bigramLmScore(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String,
@@ -417,7 +444,6 @@ object TextAnalysis {
       .agg(count_distinct(col("__w")).as("__v"))
     val bi = docBigramCounts(base).lazySerCkpt
     val bigramCounts = bi.groupBy(col("__p"), col("__w")).agg(sum(col("__cnt")).as("__c"))
-    val contextCounts = bigramCounts.groupBy(col("__p")).agg(sum(col("__c")).as("__cc"))
     // Shape note (r16 opt round): TYPE-level scoring — chaining the model
     // joins over the bigram-types table and joining the per-doc gram table
     // once on (p, w) — was implemented and A/B-measured, then REJECTED: on
@@ -427,6 +453,12 @@ object TextAnalysis {
     // q92 2.31 vs 2.03, q108 4.63 vs 3.13, q94 13.3 vs 10.5 s warm). The
     // dedup-before-LM pipeline order keeps the ratio high at every scale
     // (replicas are removed before scoring), so the per-doc chain stays.
+    // r17: window-fusing the context statistic into the type table was
+    // measured and REJECTED at this order (dev/r17/lmfuse_ab.log: q92
+    // 2.14 fused vs 1.82 joined, min-over-4 interleaved) — at every scale
+    // the single context join stays cheaper than a full type-table window
+    // sort; the HIGH-order chain is where fusing wins (see ngramLmScoreKn).
+    val contextCounts = bigramCounts.groupBy(col("__p")).agg(sum(col("__c")).as("__cc"))
     val scored = bi
       .join(bigramCounts, Seq("__p", "__w"))
       .join(contextCounts, Seq("__p"))
@@ -602,7 +634,10 @@ object TextAnalysis {
     val n1all = bigramCounts.agg(count(lit(1)).as("__n1all"))
     val d = lit(discount)
     // per-doc join chain kept over TYPE-level scoring — measured and
-    // rejected, see bigramLmScore's shape note (dev/r16b/lmtype_ab.log)
+    // rejected, see bigramLmScore's shape note (dev/r16b/lmtype_ab.log).
+    // r17: window-fusing these statistics into the type table also measured
+    // and REJECTED at the bigram order (dev/r17/lmfuse_ab.log) — see
+    // ngramLmScoreKn for where fusing wins and why.
     val scored = bi
       .join(bigramCounts, Seq("__p", "__w"))
       .join(contexts, Seq("__p"))
@@ -707,7 +742,14 @@ object TextAnalysis {
     val n1all = mid.agg(count(lit(1)).as("__n1all"))
     val d = lit(discount)
     // per-doc join chain kept over TYPE-level scoring — measured and
-    // rejected, see bigramLmScore's shape note (dev/r16b/lmtype_ab.log)
+    // rejected, see bigramLmScore's shape note (dev/r16b/lmtype_ab.log).
+    // r17: window-fusing the statistics into each level's type table also
+    // measured and REJECTED at order 3 — it loses at sf0.1 (3.74 fused vs
+    // 2.48, dev/r17/lmfuse_ab.log) AND at 100× (37.4 vs 30.6,
+    // dev/r17/lmfuse_ab_100x.log): with only two levels the join chain is
+    // shallow enough that broadcast/SMJ probes stay cheaper than full
+    // type-table window sorts. The 4-5-gram chain is where fusing wins —
+    // see ngramLmScoreKn.
     val scored = tri
       .join(triCounts, Seq("__p1", "__p2", "__w"))
       .join(ctx12, Seq("__p1", "__p2"))
@@ -798,33 +840,58 @@ object TextAnalysis {
       .lazySerCkpt
     val counts = ng.groupBy(gcols.map(col): _*).agg(sum(col("__cnt")).as("__c"))
       .lazySerCkpt
-    val ctxTop = counts.groupBy(gcols.dropRight(1).map(col): _*)
-      .agg(sum(col("__c")).as("__cc"), count(lit(1)).as("__n1p"))
+    val fuse = lmWindowFuse(docs)
     // adjusted levels, each the type count of the level above
     val adj = scala.collection.mutable.Map.empty[Int, org.apache.spark.sql.DataFrame]
-    val ctxAdj = scala.collection.mutable.Map.empty[Int, org.apache.spark.sql.DataFrame]
     var above = counts
     for (k <- (n - 1) to 2 by -1) {
       val keys = gcols.drop(n - k)
       val t = above.groupBy(keys.map(col): _*).agg(count(lit(1)).as(s"__a$k"))
         .lazySerCkpt
       adj(k) = t
-      ctxAdj(k) = t.groupBy(keys.dropRight(1).map(col): _*)
-        .agg(sum(col(s"__a$k")).as(s"__cc$k"), count(lit(1)).as(s"__nctx$k"))
       above = t
     }
-    val uni = adj(2).groupBy(col(gcols.last)).agg(count(lit(1)).as("__a1"))
     val total = adj(2).agg(count(lit(1)).as("__tot"))
     // per-doc join chain kept over TYPE-level scoring — measured and
-    // rejected, see bigramLmScore's shape note (dev/r16b/lmtype_ab.log)
-    var joined = ng
-      .join(counts, gcols)
-      .join(ctxTop, gcols.dropRight(1))
+    // rejected, see bigramLmScore's shape note (dev/r16b/lmtype_ab.log).
+    // r17: each level's context statistics window-fuse into that level's
+    // type table (lmWindowFuse) — the per-doc frame joins once per LEVEL
+    // (n−1 joins) instead of twice per level plus the unigram join
+    // (2(n−1)+1); the unigram statistic rides level 2's table.
+    var joined =
+      if (fuse)
+        ng.join(counts
+          .withColumn("__cc",
+            sum(col("__c")).over(Window.partitionBy(gcols.dropRight(1).map(col): _*)))
+          .withColumn("__n1p",
+            count(lit(1)).over(Window.partitionBy(gcols.dropRight(1).map(col): _*))),
+          gcols)
+      else ng
+        .join(counts, gcols)
+        .join(counts.groupBy(gcols.dropRight(1).map(col): _*)
+          .agg(sum(col("__c")).as("__cc"), count(lit(1)).as("__n1p")),
+          gcols.dropRight(1))
     for (k <- (n - 1) to 2 by -1) {
       val keys = gcols.drop(n - k)
-      joined = joined.join(adj(k), keys).join(ctxAdj(k), keys.dropRight(1))
+      if (fuse) {
+        var lvl = adj(k)
+          .withColumn(s"__cc$k",
+            sum(col(s"__a$k")).over(Window.partitionBy(keys.dropRight(1).map(col): _*)))
+          .withColumn(s"__nctx$k",
+            count(lit(1)).over(Window.partitionBy(keys.dropRight(1).map(col): _*)))
+        if (k == 2) lvl = lvl.withColumn("__a1",
+          count(lit(1)).over(Window.partitionBy(col(gcols.last))))
+        joined = joined.join(lvl, keys)
+      } else {
+        joined = joined.join(adj(k), keys)
+          .join(adj(k).groupBy(keys.dropRight(1).map(col): _*)
+            .agg(sum(col(s"__a$k")).as(s"__cc$k"), count(lit(1)).as(s"__nctx$k")),
+            keys.dropRight(1))
+      }
     }
-    joined = joined.join(uni, Seq(gcols.last)).crossJoin(broadcast(total))
+    if (!fuse) joined = joined.join(
+      adj(2).groupBy(col(gcols.last)).agg(count(lit(1)).as("__a1")), Seq(gcols.last))
+    joined = joined.crossJoin(broadcast(total))
     val d = lit(discount)
     var p: Column = col("__a1") / col("__tot")
     for (k <- 2 to (n - 1))

@@ -476,6 +476,38 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(generic === pinned)
   }
 
+  test("LM scorers: window-fused model statistics are row-identical to the " +
+      "join-per-statistic chain (r17 lmWindowFuse gate, both arms)") {
+    // the fuse computes each context/continuation statistic as a window
+    // over the type table instead of a groupBy + join back into the
+    // per-doc chain — sums/counts of longs over identical groups, so the
+    // scored output must be EXACTLY equal (same decimals, same doubles)
+    val rnd = new scala.util.Random(41)
+    val alpha = Vector("sa", "nb", "ko", "x1", "vr", "qq", "zz", "mm")
+    val corpus = ((1L to 60L).map { i =>
+      (i, Seq.fill(rnd.nextInt(18) + 1)(alpha(rnd.nextInt(alpha.length))).mkString(" "))
+    } ++ Seq((98L, "one"), (99L, ""))).toDF("doc_id", "text")
+    def runAll() = Seq(
+      TextAnalysis.bigramLmScore(corpus, "doc_id", "text"),
+      TextAnalysis.bigramLmScoreKn(corpus, "doc_id", "text"),
+      TextAnalysis.trigramLmScoreKn(corpus, "doc_id", "text"),
+      TextAnalysis.ngramLmScoreKn(corpus, "doc_id", "text", order = 4),
+      TextAnalysis.ngramLmScoreKn(corpus, "doc_id", "text", order = 5))
+      .map(_.orderBy("doc_id").collect().toSeq)
+    val key = "spark.graft.lm.windowFuse"
+    val prev = spark.conf.getOption(key)
+    val (fused, unfused) = try {
+      spark.conf.set(key, "true")
+      val f = runAll()
+      spark.conf.set(key, "false")
+      (f, runAll())
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    fused.zip(unfused).foreach { case (f, u) => assert(f === u) }
+  }
+
   test("ngramLmScoreKn orders 4-5: hand-checkable single-path corpus, " +
       "short docs carry no evidence, partitioning-invariant") {
     // a corpus whose 4-grams are all distinct except one repeated path:
