@@ -885,8 +885,12 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 8): DataFrame =
-    markedSpans(docs, idCol, textCol, k)
+      k: Int = 8,
+      // hash-prefilter the window-string aggregation — pass true when the
+      // input corpus is already deduplicated (see markedSpans); the
+      // spark.graft.substr.hashPrefilter conf overrides for A/B
+      hashPrefilter: Boolean = false): DataFrame =
+    markedSpans(docs, idCol, textCol, k, hashPrefilter)
       .groupBy(col("__did"))
       .agg(count(lit(1)).as("dup_spans"),
         sum(col("__e") - col("__s")).as("dup_tokens"))
@@ -901,29 +905,69 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      hashPrefilter: Boolean): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val winsCol = GraftColumnBridge.column(graft.functions.WordWindowsExpr(
       GraftColumnBridge.expression(coalesce(col("__wtx").cast("string"), lit(""))), k))
     // spread BEFORE the window build: the k-token window expression +
     // posexplode + dup-gram partial-agg stage is compute-dense per byte
     // over a byte-small corpus ([[Spread.forCpu]] — no-op at scan widths)
-    val wins = Spread
+    val pre = docs.sparkSession.conf
+      .getOption("spark.graft.substr.hashPrefilter")
+      .map(_.toBoolean).getOrElse(hashPrefilter)
+    val exploded = Spread
       .forCpu(docs.select(col(idCol).as("__did"), col(textCol).as("__wtx")),
         col("__did"))
       .select(col("__did"), winsCol.as("__ws"))
       .select(col("__did"), posexplode(col("__ws")).as(Seq("__pos", "__g")))
-      .lazySerCkpt
+    // the hash column rides the checkpoint only on the prefilter route —
+    // the plain route's checkpoint stays byte-identical to the pre-r17 one
+    val wins = (if (pre) exploded.withColumn("__h", xxhash64(col("__g")))
+      else exploded).lazySerCkpt
+    // Hash pre-filter before the window-string aggregation (r17, guide §3
+    // "pre-filter the big side when selective"): the duplicate-detection
+    // groupBy's shuffle key is the k-token window STRING (~170 B/row —
+    // 75 MB at sf0.1 inside q73), but on a DEDUP-ORDERED corpus almost
+    // every window is unique. Count the 8-byte xxhash64 of each window
+    // first (map-side-combined long shuffle, ~1/20 the bytes), keep only
+    // hash-duplicated occurrences (a semi-join AQE broadcasts when the
+    // duplicate set is small), and run the string aggregation on those
+    // survivors only. EXACT by construction, not probabilistically: equal
+    // strings always share a hash, so no true duplicate group can be lost,
+    // and a hash-collision group of distinct strings falls out of the
+    // string groupBy's `__c > 1` filter exactly as before — the string
+    // aggregate remains the decider, the hash only prunes provably-unique
+    // occurrences. Rows outside the hash-duplicate set cannot match
+    // dupGrams (their string would need their hash), so the marking join
+    // over `cands` ≡ over `wins`. Spec-pinned both arms (DedupSpec).
+    //
+    // The SELECTIVITY decides the default, so it is the CALLER's choice
+    // (A/B dev/r17/substr_ab.log, min-over-4 interleaved): after curation
+    // the duplicated-window fraction is tiny and the prefilter wins
+    // (q73 7.86 vs 8.71, q75 7.70 vs 8.34 — TrainPrep passes true); on a
+    // RAW replicated corpus every replica duplicates ALL its windows, the
+    // prefilter keeps most rows and its extra aggregation+semi-join stages
+    // are pure overhead (q70 1.48 vs 1.18, q71 1.62 vs 1.18 — the
+    // standalone operators default false). The session conf overrides both
+    // arms for interleaved measurement.
+    val cands =
+      if (pre)
+        wins.join(
+          wins.groupBy("__h").agg(count(lit(1)).as("__hc"))
+            .filter(col("__hc") > 1).select("__h"),
+          Seq("__h"), "left_semi")
+      else wins
     // global-first rule (min doc id, then min position) in ONE aggregation:
     // min over struct(doc, pos) is lexicographic in both engines, so the
     // two-step formulation's extra join + second aggregation over the
     // tokens-scale wins relation is unnecessary
-    val dupGrams = wins.groupBy("__g")
+    val dupGrams = cands.groupBy("__g")
       .agg(count(lit(1)).as("__c"),
         min(struct(col("__did"), col("__pos"))).as("__first"))
       .filter(col("__c") > 1)
       .select("__g", "__first")
-    val marked = wins
+    val marked = cands
       .join(dupGrams, Seq("__g"))
       .filter(struct(col("__did"), col("__pos")) =!= col("__first"))
       .select("__did", "__pos")
@@ -965,8 +1009,12 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 8): DataFrame = {
-    val spans = markedSpans(docs, idCol, textCol, k)
+      k: Int = 8,
+      // hash-prefilter the window-string aggregation — pass true when the
+      // input corpus is already deduplicated (see markedSpans); the
+      // spark.graft.substr.hashPrefilter conf overrides for A/B
+      hashPrefilter: Boolean = false): DataFrame = {
+    val spans = markedSpans(docs, idCol, textCol, k, hashPrefilter)
       .groupBy("__did")
       .agg(collect_list(struct(col("__s").as("s"), col("__e").as("e"))).as("__spans"))
     // spread the rebuild side too: the span join is a broadcast (spans per

@@ -271,7 +271,12 @@ object TrainPrep {
     val afterContain =
       staged(lmKept.join(contained, Seq(idCol), "left_anti"), "after_contain")
     staged(
-      Dedup.removeDuplicatedSpans(afterContain, idCol, textCol, k = substringK),
+      // hashPrefilter = true: every stage above is a dedup, so the
+      // duplicated-window fraction reaching this pass is tiny by
+      // construction — exactly the selectivity regime where the hash
+      // prefilter wins (markedSpans' A/B note; dev/r17/substr_ab.log)
+      Dedup.removeDuplicatedSpans(afterContain, idCol, textCol, k = substringK,
+        hashPrefilter = true),
       "clean")
   }
 }

@@ -199,6 +199,43 @@ class DedupSpec extends SparkSpecBase {
       "completely different filler content with no repeated sequences at all today")))
   }
 
+  test("markedSpans hash prefilter: filtered and unfiltered routes are " +
+      "row-identical on a randomized duplicated corpus (r17 gate)") {
+    // the prefilter prunes hash-unique window occurrences before the
+    // string aggregation — provably exact (equal strings share a hash;
+    // collision groups fall out of the string-count filter), pinned here
+    // on a corpus with cross-doc, within-doc, and overlapping duplication
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii")
+    val sent = (1 to 9).map(i => s"w$i").mkString(" ")
+    val docs = ((1L to 30L).map { i =>
+      val base = Seq.fill(rnd.nextInt(25) + 5)(vocab(rnd.nextInt(vocab.length)))
+      val txt = if (i % 3 == 0) s"${base.mkString(" ")} $sent" else base.mkString(" ")
+      (i, txt)
+    } :+ (31L, s"$sent $sent")).toDF("doc_id", "text")
+    val key = "spark.graft.substr.hashPrefilter"
+    val prev = spark.conf.getOption(key)
+    val (on, off) = try {
+      spark.conf.set(key, "true")
+      val a = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
+        .orderBy("doc_id").collect().toSeq
+      val ac = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", k = 8)
+        .orderBy("doc_id").collect().toSeq
+      spark.conf.set(key, "false")
+      val b = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
+        .orderBy("doc_id").collect().toSeq
+      val bc = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", k = 8)
+        .orderBy("doc_id").collect().toSeq
+      ((a, ac), (b, bc))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    assert(on._1 === off._1)
+    assert(on._2 === off._2)
+    assert(on._1.nonEmpty) // the fixture really has duplicated spans
+  }
+
   test("jaccard: 1 for identical sets, 0 for disjoint, symmetric in between") {
     val df = Seq((docA, docA), (docA, docC), (docA, docB)).toDF("a", "b")
       .select(Dedup.jaccard(
