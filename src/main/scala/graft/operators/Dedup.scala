@@ -1891,18 +1891,46 @@ object Dedup {
     if (localCap <= 0 ||
         asg.schema("id").dataType != org.apache.spark.sql.types.LongType)
       return semPairsJoinPath(asg, threshold, maxCellSize)
+    import Ckpt.CkptOps
+    // K rows; checkpointed so the max-cell probe below and the broadcast
+    // join (union route only) share ONE counting pass over the assignment
     val sizes = asg.groupBy(col("centroid_id")).agg(count(lit(1)).as("__csz"))
-    val withSz = asg.join(broadcast(sizes), Seq("centroid_id"))
+      .lazySerCkpt
+    // Build-time max-cell probe (r17 — the q67 inert-branch precedent):
+    // when NO cell exceeds the local cap, the banded join path is provably
+    // empty, yet its whole subtree (thin-row checkpoint, the guard's
+    // windows and disclosure counters, two vector join-backs) stays in the
+    // plan and AQE schedules every empty stage as a real job — measured
+    // 26 jobs / 1.7 s of pure between-job driver time on q103 whose total
+    // stage wall is 0.84 s. One K-row scalar job decides (it materializes
+    // the assignment checkpoint that the pair aggregation was about to
+    // materialize anyway — no extra corpus pass on either route); cells
+    // over the cap keep today's union exactly. Conf-gated for A/B
+    // (dev/r17/sem_prune_ab.log); the all-zero guard disclosure of an
+    // empty join path reads identically to an absent one (reports are
+    // nonzero-only — the q67 rule).
+    val pruneEmpty = asg.sparkSession.conf
+      .get("spark.graft.sem.pruneJoinPath", "true").toBoolean
+    val maxSz =
+      if (pruneEmpty)
+        sizes.agg(max(col("__csz"))).first() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      else Long.MaxValue
     // the native emission returns two PRIMITIVE long arrays (id1s, id2s);
     // posexplode one and index the other — no per-pair struct rows exist
     // anywhere between the eval and the final thin (id1, id2) projection
-    val smallPairs = withSz.filter(col("__csz") <= localCap)
+    def localPairs(cells: DataFrame): DataFrame = cells
       .groupBy(col("centroid_id"))
       .agg(collect_list(struct(col("id"), col("vec"))).as("__cell"))
       .select(natCol(graft.functions.CosinePairsAbove(
         natExpr(col("__cell")), natExpr(lit(threshold)))).as("__pp"))
       .select(col("__pp.id1s").as("__l"), posexplode(col("__pp.id2s")))
       .select(col("__l").getItem(col("pos")).as("id1"), col("col").as("id2"))
+    if (maxSz <= localCap) return localPairs(asg)
+    val withSz = asg.join(broadcast(sizes), Seq("centroid_id"))
+    val smallPairs = localPairs(withSz.filter(col("__csz") <= localCap))
     // cells past the cap keep the banded machinery — which is exactly
     // where the star-collapse guard (and its disclosure counters) lives
     val big = withSz.filter(col("__csz") > localCap)

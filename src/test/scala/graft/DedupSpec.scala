@@ -1027,6 +1027,37 @@ class DedupSpec extends SparkSpecBase {
     assert(guarded.size === 4)
   }
 
+  test("semDedup join-path pruning: pruned (all cells under the local cap) " +
+      "and legacy-union plans keep identical survivors (r17 gate)") {
+    // mixed geometry: two cells with near-dup clusters, one singleton cell
+    // — every cell under SemLocalPairMaxCell, so the default route prunes
+    // the banded join subtree; the conf forces the legacy union shape and
+    // both must agree row-for-row. A 30-replica run under a tiny
+    // maxCellSize also exercises the probe choosing the UNION route (the
+    // oversized-cell spec above pins that regime's survivors).
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("centroid_id", "cvec")
+    val emb = Seq(
+      (1L, Array(1f, 0.1f)), (2L, Array(1f, 0.12f)), (3L, Array(1f, 0.5f)),
+      (4L, Array(0.1f, 1f)), (5L, Array(0.12f, 1f)), (6L, Array(0.9f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val key = "spark.graft.sem.pruneJoinPath"
+    val prev = spark.conf.getOption(key)
+    val (pruned, legacy) = try {
+      spark.conf.set(key, "true")
+      val a = Dedup.semDedup(emb, "vec_id", "embedding", cents, threshold = 0.95)
+        .orderBy("vec_id").collect().toSeq
+      spark.conf.set(key, "false")
+      val b = Dedup.semDedup(emb, "vec_id", "embedding", cents, threshold = 0.95)
+        .orderBy("vec_id").collect().toSeq
+      (a, b)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    assert(pruned === legacy)
+    assert(pruned.nonEmpty && pruned.size < 6) // the near-dup pairs really fired
+  }
+
   test("semDedupPairs shuffles thin (id, fp, cell) rows, never vectors") {
     // the 100 TB rule the sign-bucket tier pins at line ~318, applied to
     // the clustered tier: the intra-cell candidate exchange must carry
