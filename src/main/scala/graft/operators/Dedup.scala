@@ -323,10 +323,36 @@ object Dedup {
     * join only runs where the direct rep join did not).
     */
   private[graft] def guardedBandPairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
-    val over = banded.groupBy("band", "bucket")
+    import Ckpt.CkptOps
+    val overRaw = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
       .select("band", "bucket")
+    // Build-time emptiness probe (r17 — the sem pair-stage / q67 inert-
+    // branch precedent): when NO bucket exceeds the cap, the anti-join
+    // keeps every row and the whole star/rep/sub-split subtree is provably
+    // empty, yet AQE still schedules each of its stages as a real job —
+    // pure between-job driver latency on every LSH caller. Every call site
+    // lazily checkpoints `banded` (thin rows) immediately before calling,
+    // so the probe materializes exactly the checkpoint the consuming
+    // action was about to materialize — no extra pass over the upstream
+    // (signatures, decodes). Oversized buckets keep today's guard exactly;
+    // its observed disclosure metrics then register as before (Verify
+    // treats absent guard observes as clean — the all-zero disclosure of
+    // an empty subtree reads identically to an absent one). Checkpointing
+    // `over` also lets the kept path's anti- and semi-joins share ONE
+    // aggregation pass instead of relying on AQE exchange reuse.
+    val pruneEmpty = banded.sparkSession.conf
+      .get("spark.graft.lsh.pruneGuardPath", "true").toBoolean
+    val over = if (pruneEmpty) overRaw.lazySerCkpt else overRaw
+    if (pruneEmpty && over.isEmpty) {
+      val allThin = banded.select("id", "band", "bucket")
+      val pa = allThin.toDF("id1", "band", "bucket")
+      val pb = allThin.toDF("id2", "band", "bucket")
+      return pa.join(pb, Seq("band", "bucket"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2")
+    }
     val thin = banded.select("id", "band", "bucket")
     // select by NAME after the USING join — it reorders keys to the front
     val small = thin.join(over, Seq("band", "bucket"), "left_anti")

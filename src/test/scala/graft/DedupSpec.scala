@@ -608,6 +608,36 @@ class DedupSpec extends SparkSpecBase {
     } finally mc.close()
   }
 
+  test("guardedBandPairs empty-guard pruning: pruned (no oversized bucket) and legacy " +
+      "plans emit identical pairs; an oversized bucket keeps the guard (r17 gate)") {
+    // regime 1: every bucket under the cap — the probe prunes the guard
+    // subtree and the plain self-join must equal the legacy union shape
+    val small = ((0L until 5L).map(i => (i, 1000L + i, 0, "a", 0L)) ++
+      (10L until 13L).map(i => (i, 1000L + i, 1, "b", 0L)))
+      .toDF("id", "fp", "band", "bucket", "sub")
+    // regime 2: one bucket over the cap — the probe must route to the
+    // guard exactly as before (the metered spec above pins its semantics)
+    val mixed = ((0L until 5L).map(i => (i, 1000L + i, 0, "a", 0L)) ++
+      (100L until 112L).map(i => (i, 555L, 0, "dup", 0L)))
+      .toDF("id", "fp", "band", "bucket", "sub")
+    val key = "spark.graft.lsh.pruneGuardPath"
+    val prev = spark.conf.getOption(key)
+    def run(df: org.apache.spark.sql.DataFrame, cap: Int, prune: Boolean) = {
+      spark.conf.set(key, prune.toString)
+      Dedup.guardedBandPairs(df, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    try {
+      assert(run(small, 8, prune = true) === run(small, 8, prune = false))
+      assert(run(small, 8, prune = true).size === 10 + 3)
+      assert(run(mixed, 8, prune = true) === run(mixed, 8, prune = false))
+      assert(run(mixed, 8, prune = true).contains((100L, 101L))) // star fired
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("honest >4096-distinct-fp bucket at the DEFAULT threshold sub-splits, zero drops") {
     // The r5/r6 seam: a bucket with more DISTINCT fingerprints than
     // DefaultMaxBucketSize used to be dropped wholesale. 5000 distinct fps
