@@ -418,15 +418,42 @@ object TextAnalysis {
     * lmfuse_ab_100x.log): the fuse LOSES at orders 2-3 (q92 2.14 vs 1.82,
     * q106 3.74 vs 2.48 at sf0.1; q106 37.4 vs 30.6 at 100×) — shallow
     * chains keep cheap broadcast probes and the window adds a full
-    * type-table sort — but WINS the deep 4-5-gram chain, decisively at
-    * scale (q109 at 100×: 47.5 vs 64.8 s; sf0.1 a slight win both
-    * orders): 9 statistic joins of the per-doc frame collapse to 4, which
-    * is 5 fewer big-frame shuffles once the type tables outgrow
-    * broadcast. So ONLY [[ngramLmScoreKn]] (orders 4-5) reads this gate,
-    * default ON; the order-2/3 scorers keep the join chain unconditionally.
+    * type-table sort — but WINS the deep 4-5-gram chain decisively at
+    * scale (100×: q109 47.5 vs 64.8, q108 42.9 vs 50.3 s warm,
+    * lmfuse_ab_100x_q108.log): 9 statistic joins of the per-doc frame
+    * collapse to 4, which is 5 fewer big-frame shuffles once the type
+    * tables outgrow broadcast. So ONLY [[ngramLmScoreKn]] (orders 4-5)
+    * reads this gate; the order-2/3 scorers keep the join chain
+    * unconditionally.
+    *
+    * Default `auto` (r17): at the bench SFs the replaced joins are
+    * broadcasts, so the fuse has nothing to save — fused vs joined
+    * measures as a WASH inside the harness's arm-order bias at both 32
+    * and 8 cores (lmfuse_ab.log q108 3.69 vs 3.72;
+    * lmfuse_ab_8cpu.log/lmfuse_auto_8cpu.log: whichever arm ran second
+    * won by ~0.6 s in BOTH orders) — so the gate decides from the DATA,
+    * not a constant: fuse once the input's plan-stats size exceeds the
+    * broadcast threshold (execution-free — parquet scans report file
+    * bytes; the per-level type tables scale with the text volume, so
+    * input bytes past the threshold mean the statistic joins stop
+    * broadcasting). This keeps small-input plans free of type-table
+    * window sorts they cannot profit from, and engages the fuse exactly
+    * in its proven regime: 0.57 MB input (sf0.1) → joined (wash);
+    * 57 MB (100×) → fused (q108 42.9 vs 50.3, q109 47.5 vs 64.8 s).
+    * Absent/unknown stats (checkpointed inputs report the conservative
+    * default) and a disabled broadcast threshold both resolve to FUSE —
+    * the scale-safe polarity. `true`/`false` force an arm for A/Bs and
+    * plan dumps.
     */
   private def lmWindowFuse(docs: org.apache.spark.sql.DataFrame): Boolean =
-    docs.sparkSession.conf.get("spark.graft.lm.windowFuse", "true").toBoolean
+    docs.sparkSession.conf.get("spark.graft.lm.windowFuse", "auto") match {
+      case "true" => true
+      case "false" => false
+      case _ =>
+        val in = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+        val thr = docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+        thr <= 0 || in > thr
+    }
 
   def bigramLmScore(
       docs: org.apache.spark.sql.DataFrame,

@@ -496,16 +496,21 @@ class TextAnalysisSpec extends SparkSpecBase {
       .map(_.orderBy("doc_id").collect().toSeq)
     val key = "spark.graft.lm.windowFuse"
     val prev = spark.conf.getOption(key)
-    val (fused, unfused) = try {
+    val (fused, unfused, auto) = try {
       spark.conf.set(key, "true")
       val f = runAll()
       spark.conf.set(key, "false")
-      (f, runAll())
+      val u = runAll()
+      // default `auto` resolves from input plan stats (r17) — whichever
+      // arm it picks, the scored output must equal both forced arms
+      spark.conf.unset(key)
+      (f, u, runAll())
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
     fused.zip(unfused).foreach { case (f, u) => assert(f === u) }
+    auto.zip(fused).foreach { case (a, f) => assert(a === f) }
   }
 
   test("ngramLmScoreKn orders 4-5: hand-checkable single-path corpus, " +
